@@ -1,0 +1,119 @@
+"""Functional NN primitives over param pytrees.
+
+Params are nested dicts of jnp arrays whose leaf names mirror the checkpoint
+layout (`weight` stored [out, in] as in safetensors — no transpose needed at
+load, reference weight_converter.py:318-446). XLA lays out and fuses these;
+we keep the math simple and MXU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, object]
+
+
+def linear(p: Params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """y = x @ W^T + b with W stored [out_features, in_features]."""
+    w = p["weight"]
+    y = jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=x.dtype,
+    )
+    b = p.get("bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def init_linear(
+    key: jax.Array,
+    in_features: int,
+    out_features: int,
+    bias: bool = True,
+    dtype=jnp.float32,
+) -> Params:
+    """LeCun-uniform init matching common torch defaults; for tests only
+    (real use loads checkpoint weights)."""
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / (in_features**0.5)
+    p: Params = {
+        "weight": jax.random.uniform(
+            wkey, (out_features, in_features), dtype, -bound, bound
+        )
+    }
+    if bias:
+        p["bias"] = jax.random.uniform(bkey, (out_features,), dtype, -bound, bound)
+    return p
+
+
+def rms_norm_weighted(p: Optional[Params], x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    from ltx2_tpu.core import rms_norm
+
+    weight = p.get("weight") if p else None
+    return rms_norm(x, weight, eps)
+
+
+def layer_norm(p: Optional[Params], x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """LayerNorm over last dim, fp32 accumulation; weight/bias optional."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        w = p.get("weight")
+        b = p.get("bias")
+        if w is not None:
+            out = out * w.astype(jnp.float32)
+        if b is not None:
+            out = out + b.astype(jnp.float32)
+    return out.astype(dtype)
+
+
+def group_norm(
+    p: Optional[Params], x: jnp.ndarray, num_groups: int, eps: float = 1e-6
+) -> jnp.ndarray:
+    """GroupNorm over channel axis 1 for (B, C, ...) tensors, fp32 stats."""
+    dtype = x.dtype
+    b, c = x.shape[:2]
+    spatial = x.shape[2:]
+    xf = x.astype(jnp.float32).reshape(b, num_groups, c // num_groups, *spatial)
+    axes = tuple(range(2, xf.ndim))
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    out = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, *spatial)
+    if p is not None:
+        shape = (1, c) + (1,) * len(spatial)
+        w = p.get("weight")
+        bias = p.get("bias")
+        if w is not None:
+            out = out * w.astype(jnp.float32).reshape(shape)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32).reshape(shape)
+    return out.astype(dtype)
+
+
+def pixel_norm(x: jnp.ndarray, axis: int = 1, eps: float = 1e-6) -> jnp.ndarray:
+    """RMS normalization across the channel axis (VAE PixelNorm)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=axis, keepdims=True) + eps)
+    return (xf * scale).astype(dtype)
+
+
+def silu_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """silu(a) * b. XLA fuses this elementwise chain into its producer matmul
+    on TPU — equivalent of the reference's Metal kernel (fused_ops.py:12-92)."""
+    return jax.nn.silu(a) * b
+
+
+def gelu_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """gelu_tanh(a) * b (fused_ops.py:30-131)."""
+    return jax.nn.gelu(a, approximate=True) * b

@@ -1,0 +1,75 @@
+"""Device mesh and sharding helpers — the runtime layer of the TPU build.
+
+The reference has no distributed runtime (SURVEY.md §2.12); this module is
+new TPU-first design. One mesh with ('data', 'model') axes serves every
+pipeline: the CFG cond/uncond pair (the reference's batched-CFG trick,
+generate.py:62-66) shards over 'data'; DiT attention heads and FFN hidden
+dims shard over 'model' (tensor parallelism over ICI). A third optional
+'seq' axis supports sequence/context parallelism for long clips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
+
+
+def create_mesh(
+    data: int = 1,
+    model: Optional[int] = None,
+    seq: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model[, seq]) mesh.
+
+    model=None takes every remaining device. The model axis is innermost so
+    TP collectives ride the fastest ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if model is None:
+        model = n // (data * seq)
+    assert data * model * seq == n, (
+        f"mesh {data}x{model}x{seq} != {n} devices"
+    )
+    dev_array = np.asarray(devices).reshape(data, seq, model)
+    if seq == 1:
+        return Mesh(dev_array.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+    return Mesh(dev_array, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), (DATA_AXIS, MODEL_AXIS))
+
+
+def sharding(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh, rules):
+    """Place a param pytree on `mesh` according to `rules`.
+
+    rules: list of (predicate(path, leaf) -> bool, PartitionSpec). First
+    matching rule wins; unmatched leaves are replicated. Paths are
+    '/'-joined key strings.
+    """
+    def place(path, leaf):
+        path_str = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        for pred, spec in rules:
+            if pred(path_str, leaf):
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -1,0 +1,39 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Mirrors the reference's marker-by-path convention (reference:
+tests/conftest.py:106-117) and adds the TPU-build-specific virtual mesh so
+TP/SP/DP shardings are exercised without real multi-chip hardware.
+"""
+
+import os
+
+# Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        path = str(item.fspath)
+        if "test_generation" in path or "test_e2e" in path:
+            item.add_marker(pytest.mark.integration)
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.unit)
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    """An 8-device (data=2, model=4) mesh on virtual CPU devices."""
+    from ltx2_tpu.parallel.mesh import create_mesh
+
+    return create_mesh(data=2, model=4)
