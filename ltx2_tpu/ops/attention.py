@@ -1,0 +1,69 @@
+"""Scaled dot-product attention for TPU.
+
+The reference leans on mx.fast.scaled_dot_product_attention (attention.py:31,
+67,141); here the equivalent is XLA's fused attention via
+jax.nn.dot_product_attention, with a Pallas flash-attention kernel available
+for long video-token sequences (ops/pallas/flash_attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Multi-head SDPA over (B, H, T, D) tensors with optional additive mask.
+
+    mask broadcasts against (B, H, T_q, T_k); additive float (0 = attend,
+    -finfo.max = masked), matching the reference's mask convention
+    (model.py:163-201).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    # jax.nn.dot_product_attention expects (B, T, H, D).
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    bias = None
+    if mask is not None:
+        bias = jnp.broadcast_to(
+            mask.astype(q.dtype), (q.shape[0], 1, q.shape[2], k.shape[2])
+        )
+    out = jax.nn.dot_product_attention(qt, kt, vt, bias=bias, scale=scale)
+    return out.transpose(0, 2, 1, 3)
+
+
+def sdpa_tokens(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Attention over token-major (B, T, H*D) tensors (the DiT layout).
+
+    Equivalent of the reference's compiled attention core
+    (attention.py:11-85): head split, SDPA, head merge — one fused region
+    under jit.
+    """
+    b, t_q, _ = q.shape
+    t_k = k.shape[1]
+    qh = q.reshape(b, t_q, heads, dim_head).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, t_k, heads, dim_head).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, t_k, heads, dim_head).transpose(0, 2, 1, 3)
+    if mask is not None and mask.ndim == 2:
+        mask = mask[None, None, :, :]
+    elif mask is not None and mask.ndim == 3:
+        mask = mask[:, None, :, :]
+    out = sdpa(qh, kh, vh, mask=mask)
+    return out.transpose(0, 2, 1, 3).reshape(b, t_q, heads * dim_head)

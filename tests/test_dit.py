@@ -1,0 +1,246 @@
+"""DiT model tests on tiny configs (random init, shape/NaN/behavioral checks).
+
+Mirrors the reference's weight-free unit strategy (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx2_tpu.components.perturbations import (
+    BatchedPerturbationConfig,
+    Perturbation,
+    PerturbationConfig,
+    PerturbationType,
+)
+from ltx2_tpu.models.transformer.model import (
+    LTXModelConfig,
+    LTXModelType,
+    Modality,
+    init_ltx_model,
+    ltx_model_apply,
+    x0_model_apply,
+)
+from ltx2_tpu.ops.rope import create_position_grid
+
+
+def tiny_config(**kwargs) -> LTXModelConfig:
+    defaults = dict(
+        model_type=LTXModelType.VideoOnly,
+        num_attention_heads=2,
+        attention_head_dim=16,
+        in_channels=8,
+        out_channels=8,
+        num_layers=2,
+        cross_attention_dim=32,
+        caption_channels=24,
+        compute_dtype="float32",
+        audio_heads=2,
+        audio_head_dim=8,
+        audio_in_channels=8,
+        audio_out_channels=8,
+        remat=False,
+    )
+    defaults.update(kwargs)
+    return LTXModelConfig(**defaults)
+
+
+def make_video_modality(cfg, batch=2, frames=2, height=2, width=3, seq=5, key=0):
+    n = frames * height * width
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    grid = create_position_grid(batch, frames, height, width).astype(jnp.float32)
+    positions = jnp.stack([grid, grid + 1], axis=-1)  # (B, 3, N, 2)
+    return Modality(
+        latent=jax.random.normal(ks[0], (batch, n, cfg.in_channels)),
+        context=jax.random.normal(ks[1], (batch, seq, cfg.caption_channels or cfg.cross_attention_dim)),
+        context_mask=jnp.ones((batch, seq), jnp.int32),
+        timesteps=jnp.full((batch,), 0.5),
+        positions=positions,
+        sigma=jnp.full((batch,), 0.5),
+    )
+
+
+def make_audio_modality(cfg, batch=2, frames=4, seq=5, key=1):
+    ks = jax.random.split(jax.random.PRNGKey(key), 2)
+    t = jnp.arange(frames, dtype=jnp.float32)[None, None, :].repeat(batch, 0)
+    positions = jnp.stack([t, t + 0.1], axis=-1)  # (B, 1, T, 2)
+    return Modality(
+        latent=jax.random.normal(ks[0], (batch, frames, cfg.audio_in_channels)),
+        context=jax.random.normal(ks[1], (batch, seq, cfg.caption_channels or cfg.audio_inner_dim)),
+        context_mask=jnp.ones((batch, seq), jnp.int32),
+        timesteps=jnp.full((batch,), 0.5),
+        positions=positions,
+        sigma=jnp.full((batch,), 0.5),
+    )
+
+
+class TestVideoOnly:
+    def test_forward_shapes(self):
+        cfg = tiny_config()
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        out = ltx_model_apply(params, cfg, video=video)
+        assert out.shape == (2, 12, cfg.out_channels)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_jit_compiles(self):
+        cfg = tiny_config()
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        fn = jax.jit(lambda p, v: ltx_model_apply(p, cfg, video=v))
+        out1 = fn(params, video)
+        out2 = fn(params, video)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_x0_model(self):
+        cfg = tiny_config()
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        velocity = ltx_model_apply(params, cfg, video=video)
+        x0 = x0_model_apply(params, cfg, video=video)
+        expected = np.asarray(video.latent) - 0.5 * np.asarray(velocity)
+        np.testing.assert_allclose(np.asarray(x0), expected, atol=1e-5)
+
+    def test_per_token_timesteps(self):
+        cfg = tiny_config()
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        per_token = video.replace(timesteps=jnp.full((2, 12), 0.5))
+        out_scalar = ltx_model_apply(params, cfg, video=video)
+        out_tok = ltx_model_apply(params, cfg, video=per_token)
+        np.testing.assert_allclose(
+            np.asarray(out_scalar), np.asarray(out_tok), atol=1e-4
+        )
+
+    def test_context_mask_effect(self):
+        cfg = tiny_config()
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg, seq=6)
+        masked = video.replace(
+            context_mask=jnp.asarray([[1, 1, 1, 0, 0, 0]] * 2, jnp.int32)
+        )
+        out_full = ltx_model_apply(params, cfg, video=video)
+        out_masked = ltx_model_apply(params, cfg, video=masked)
+        assert not np.allclose(np.asarray(out_full), np.asarray(out_masked))
+
+    def test_v2_switches(self):
+        cfg = tiny_config(
+            cross_attention_adaln=True, apply_gated_attention=True, caption_channels=None,
+            cross_attention_dim=32,
+        )
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        # V2: no caption projection — context arrives at cross_attention_dim.
+        video = video.replace(
+            context=jax.random.normal(jax.random.PRNGKey(9), (2, 5, cfg.cross_attention_dim))
+        )
+        out = ltx_model_apply(params, cfg, video=video)
+        assert out.shape == (2, 12, cfg.out_channels)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_remat_matches(self):
+        cfg = tiny_config(remat=False)
+        cfg_r = tiny_config(remat=True)
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        out = ltx_model_apply(params, cfg, video=video)
+        out_r = ltx_model_apply(params, cfg_r, video=video)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-5)
+
+
+class TestAudioVideo:
+    def test_av_forward(self):
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        audio = make_audio_modality(cfg)
+        v_out, a_out = ltx_model_apply(params, cfg, video=video, audio=audio)
+        assert v_out.shape == (2, 12, cfg.out_channels)
+        assert a_out.shape == (2, 4, cfg.audio_out_channels)
+        assert bool(jnp.all(jnp.isfinite(v_out))) and bool(jnp.all(jnp.isfinite(a_out)))
+
+    def test_av_video_only_inference(self):
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        out = ltx_model_apply(params, cfg, video=video, audio=None)
+        assert out.shape == (2, 12, cfg.out_channels)
+
+    def test_cross_modal_coupling(self):
+        """Changing the audio latent must change the video output (A2V attn)."""
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        audio = make_audio_modality(cfg)
+        audio2 = audio.replace(latent=audio.latent + 1.0)
+        v1, _ = ltx_model_apply(params, cfg, video=video, audio=audio)
+        v2, _ = ltx_model_apply(params, cfg, video=video, audio=audio2)
+        assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+
+class TestPerturbations:
+    def test_skip_video_self_attn_changes_output(self):
+        cfg = tiny_config()
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        stg = BatchedPerturbationConfig(
+            perturbations=(
+                PerturbationConfig(
+                    perturbations=(
+                        Perturbation(type=PerturbationType.SKIP_VIDEO_SELF_ATTN, blocks=None),
+                    )
+                ),
+            ) * 2
+        )
+        base = ltx_model_apply(params, cfg, video=video)
+        perturbed = ltx_model_apply(params, cfg, video=video, perturbations=stg)
+        assert not np.allclose(np.asarray(base), np.asarray(perturbed))
+
+    def test_block_selective_skip(self):
+        cfg = tiny_config()
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        skip_block_0 = BatchedPerturbationConfig(
+            perturbations=(
+                PerturbationConfig(
+                    perturbations=(
+                        Perturbation(type=PerturbationType.SKIP_VIDEO_SELF_ATTN, blocks=(0,)),
+                    )
+                ),
+            ) * 2
+        )
+        skip_all = BatchedPerturbationConfig(
+            perturbations=(
+                PerturbationConfig(
+                    perturbations=(
+                        Perturbation(type=PerturbationType.SKIP_VIDEO_SELF_ATTN, blocks=None),
+                    )
+                ),
+            ) * 2
+        )
+        out_b0 = ltx_model_apply(params, cfg, video=video, perturbations=skip_block_0)
+        out_all = ltx_model_apply(params, cfg, video=video, perturbations=skip_all)
+        assert not np.allclose(np.asarray(out_b0), np.asarray(out_all))
+
+    def test_per_sample_perturbation(self):
+        """Sample 0 perturbed, sample 1 not — sample 1 must match baseline."""
+        cfg = tiny_config()
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        video = make_video_modality(cfg)
+        mixed = BatchedPerturbationConfig(
+            perturbations=(
+                PerturbationConfig(
+                    perturbations=(
+                        Perturbation(type=PerturbationType.SKIP_VIDEO_SELF_ATTN, blocks=None),
+                    )
+                ),
+                PerturbationConfig.empty(),
+            )
+        )
+        base = ltx_model_apply(params, cfg, video=video)
+        out = ltx_model_apply(params, cfg, video=video, perturbations=mixed)
+        np.testing.assert_allclose(
+            np.asarray(out[1]), np.asarray(base[1]), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(out[0]), np.asarray(base[0]))
