@@ -1,0 +1,129 @@
+"""Native safetensors reader/writer with bf16 + fp8 support.
+
+The reference loads checkpoints through torch (weight_converter.py:12-28,
+fp8_loader.py:54-130) because MLX lacks fp8. On the TPU build we parse the
+safetensors container directly: 8-byte LE header length + JSON header of
+{name: {dtype, shape, data_offsets}} (+"__metadata__"), then memory-map the
+data region. This gives streaming, zero-copy host reads for every dtype
+(fp8 via ml_dtypes) with no torch round-trip — the host side of the weight
+pipeline that feeds `jax.device_put` with shardings.
+"""
+
+from __future__ import annotations
+
+import json
+import mmap
+import struct
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import ml_dtypes
+import numpy as np
+
+_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "BF16": ml_dtypes.bfloat16,
+    "F8_E4M3": ml_dtypes.float8_e4m3fn,
+    "F8_E5M2": ml_dtypes.float8_e5m2,
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "BOOL": np.bool_,
+    "U16": np.uint16,
+    "U32": np.uint32,
+    "U64": np.uint64,
+}
+_DTYPE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+class SafetensorsFile:
+    """Lazily-mapped safetensors container."""
+
+    def __init__(self, path: str):
+        self.path = str(path)
+        with open(self.path, "rb") as f:
+            header_len = struct.unpack("<Q", f.read(8))[0]
+            header = json.loads(f.read(header_len))
+        self.metadata: Dict[str, str] = header.pop("__metadata__", {}) or {}
+        self._entries: Dict[str, dict] = header
+        self._data_start = 8 + header_len
+        self._mm: Optional[np.memmap] = None
+
+    def keys(self):
+        return self._entries.keys()
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._entries
+
+    def info(self, key: str) -> Tuple[str, Tuple[int, ...]]:
+        e = self._entries[key]
+        return e["dtype"], tuple(e["shape"])
+
+    def _map(self) -> np.memmap:
+        if self._mm is None:
+            self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
+        return self._mm
+
+    def get(self, key: str) -> np.ndarray:
+        """Zero-copy view into the mapped file (read-only)."""
+        e = self._entries[key]
+        dtype = _DTYPES[e["dtype"]]
+        start, end = e["data_offsets"]
+        mm = self._map()
+        buf = mm[self._data_start + start : self._data_start + end]
+        return buf.view(dtype).reshape(e["shape"])
+
+    def items(self) -> Iterator[Tuple[str, np.ndarray]]:
+        for key in self._entries:
+            yield key, self.get(key)
+
+    def close(self) -> None:
+        self._mm = None
+
+
+def read_metadata(path: str) -> Dict[str, str]:
+    """Read only the `__metadata__` block (cheap; header-only I/O)."""
+    with open(path, "rb") as f:
+        header_len = struct.unpack("<Q", f.read(8))[0]
+        header = json.loads(f.read(header_len))
+    return header.get("__metadata__", {}) or {}
+
+
+def write_safetensors(
+    path: str,
+    tensors: Dict[str, np.ndarray],
+    metadata: Optional[Dict[str, str]] = None,
+) -> None:
+    """Minimal safetensors writer (tests + checkpoint caching)."""
+    header: Dict[str, object] = {}
+    if metadata:
+        header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
+    offset = 0
+    blobs = []
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        dtype_name = _DTYPE_NAMES.get(arr.dtype)
+        if dtype_name is None:
+            raise ValueError(f"Unsupported dtype {arr.dtype} for {name}")
+        nbytes = arr.nbytes
+        header[name] = {
+            "dtype": dtype_name,
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + nbytes],
+        }
+        blobs.append(arr.tobytes())
+        offset += nbytes
+    header_bytes = json.dumps(header).encode("utf-8")
+    # Pad header to 8-byte alignment (spec recommendation).
+    pad = (-len(header_bytes)) % 8
+    header_bytes += b" " * pad
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(header_bytes)))
+        f.write(header_bytes)
+        for blob in blobs:
+            f.write(blob)

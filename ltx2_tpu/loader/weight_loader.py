@@ -1,0 +1,214 @@
+"""Checkpoint -> DiT param-tree loading with key rewriting and fp8 dequant.
+
+Capability parity with reference LTX_2_MLX/loader/weight_converter.py
+(load_transformer_weights, key rewrites at :277-315, flat->nested at
+:449-500) and fp8_loader.py, re-designed for the TPU param layout:
+
+- Key rewrite rules are DATA (regex pairs), not code.
+- Per-block weights are STACKED along a leading layer axis to match the
+  lax.scan block layout (model.py here), instead of numeric-key lists.
+- fp8 E4M3 weights dequantize as w * weight_scale on the host (numpy), then
+  cast to the compute dtype.
+- Weights land on device via jax.device_put, optionally with a NamedSharding
+  per leaf (tensor-parallel weight streaming without host OOM).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx2_tpu.loader.safetensors_io import SafetensorsFile, read_metadata
+from ltx2_tpu.ops.common import Params
+
+# Reference key-rewrite rules (weight_converter.py:277-315) as data.
+KEY_REWRITE_RULES: List[Tuple[str, str]] = [
+    (r"\.to_out\.0\.", ".to_out."),
+    (r"\.audio_ff\.net\.0\.proj\.", ".audio_ff.project_in.proj."),
+    (r"\.audio_ff\.net\.2\.", ".audio_ff.project_out."),
+    (r"\.ff\.net\.0\.proj\.", ".ff.project_in.proj."),
+    (r"\.ff\.net\.2\.", ".ff.project_out."),
+]
+
+DIFFUSION_PREFIX = "model.diffusion_model."
+
+
+def convert_checkpoint_key(key: str, include_audio: bool = False) -> Optional[str]:
+    """Checkpoint key (after diffusion prefix strip) -> param-tree key path.
+
+    Returns None for keys to skip (audio weights on video-only load, text
+    connectors which belong to the text encoder).
+    """
+    if not include_audio and ("av_ca" in key or "a2v" in key or "audio" in key.lower()):
+        return None
+    if "video_embeddings_connector" in key or "audio_embeddings_connector" in key:
+        return None
+    for pattern, repl in KEY_REWRITE_RULES:
+        key = re.sub(pattern, repl, key)
+    return key
+
+
+def is_fp8_checkpoint(path: str) -> bool:
+    """Checkpoints quantized to fp8 ship per-tensor `.weight_scale` entries
+    (fp8_loader.py:35-51)."""
+    f = SafetensorsFile(path)
+    return any(k.endswith(".weight_scale") for k in f.keys())
+
+
+def detect_model_version(path: str) -> str:
+    """`model_version` from safetensors metadata (generate.py:224-235)."""
+    try:
+        return read_metadata(path).get("model_version", "")
+    except Exception:
+        return ""
+
+
+def is_v2_model(path: str) -> bool:
+    return detect_model_version(path).startswith("2.3")
+
+
+def read_checkpoint_config(path: str) -> dict:
+    """JSON `config` blob from metadata — the source of truth for V2.0/V2.3
+    architecture variants (generate.py:142-152)."""
+    import json
+
+    try:
+        return json.loads(read_metadata(path).get("config", "{}"))
+    except Exception:
+        return {}
+
+
+def _dequantize(
+    f: SafetensorsFile, key: str, arr: np.ndarray, fp8_scales: Dict[str, str]
+) -> np.ndarray:
+    if key in fp8_scales:
+        scale = float(np.asarray(f.get(fp8_scales[key])).reshape(-1)[0])
+        return arr.astype(np.float32) * scale
+    return arr
+
+
+def load_flat_diffusion_weights(
+    path: str,
+    include_audio: bool = False,
+    target_dtype: str = "bfloat16",
+    fp32_keys: Tuple[str, ...] = ("scale_shift_table", "adaln", "norm"),
+) -> Dict[str, np.ndarray]:
+    """Stream `model.diffusion_model.*` tensors -> flat {tree-key: np array}.
+
+    AdaLN tables and norm weights stay fp32 (parity hazard #1, SURVEY.md);
+    matmul weights go to `target_dtype`.
+    """
+    f = SafetensorsFile(path)
+    fp8_scales = {
+        k.replace(".weight_scale", ".weight"): k
+        for k in f.keys()
+        if k.endswith(".weight_scale")
+    }
+    out: Dict[str, np.ndarray] = {}
+    tdt = np.dtype(jnp.dtype(target_dtype).name) if target_dtype != "bfloat16" else None
+    for key in f.keys():
+        if not key.startswith(DIFFUSION_PREFIX) or key.endswith("_scale"):
+            continue
+        short = key[len(DIFFUSION_PREFIX):]
+        tree_key = convert_checkpoint_key(short, include_audio=include_audio)
+        if tree_key is None:
+            continue
+        arr = _dequantize(f, key, f.get(key), fp8_scales)
+        if any(marker in tree_key for marker in fp32_keys):
+            arr = np.asarray(arr, dtype=np.float32)
+        else:
+            import ml_dtypes
+
+            np_target = ml_dtypes.bfloat16 if target_dtype == "bfloat16" else tdt
+            arr = np.asarray(arr).astype(np_target)
+        out[tree_key] = arr
+    return out
+
+
+_BLOCK_RE = re.compile(r"^transformer_blocks\.(\d+)\.(.+)$")
+
+
+def structure_diffusion_weights(
+    flat: Dict[str, np.ndarray],
+    num_layers: Optional[int] = None,
+    device_put: Optional[Callable[[str, np.ndarray], jnp.ndarray]] = None,
+) -> Params:
+    """Flat keys -> nested param tree with transformer blocks STACKED along
+    the layer axis (the scan layout).
+
+    device_put(tree_path, np_array) -> device array lets the caller control
+    placement/sharding per leaf; defaults to jnp.asarray.
+    """
+    if device_put is None:
+        def device_put(_path, arr):
+            return jnp.asarray(arr)
+
+    top: Dict[str, np.ndarray] = {}
+    per_block: Dict[int, Dict[str, np.ndarray]] = {}
+    for key, arr in flat.items():
+        m = _BLOCK_RE.match(key)
+        if m:
+            per_block.setdefault(int(m.group(1)), {})[m.group(2)] = arr
+        else:
+            top[key] = arr
+
+    tree: Params = {}
+    for key, arr in top.items():
+        _set_nested(tree, key.split("."), device_put(key, arr))
+
+    if per_block:
+        n = num_layers if num_layers is not None else max(per_block) + 1
+        sub_keys = sorted(per_block[0].keys())
+        blocks: Params = {}
+        for sub in sub_keys:
+            stacked = np.stack([per_block[i][sub] for i in range(n)], axis=0)
+            _set_nested(
+                blocks, sub.split("."), device_put(f"transformer_blocks.{sub}", stacked)
+            )
+        tree["transformer_blocks"] = blocks
+    return tree
+
+
+def _set_nested(tree: dict, parts: List[str], value) -> None:
+    node = tree
+    for part in parts[:-1]:
+        node = node.setdefault(part, {})
+    node[parts[-1]] = value
+
+
+def load_transformer_params(
+    path: str,
+    include_audio: bool = False,
+    target_dtype: str = "bfloat16",
+    num_layers: Optional[int] = None,
+    device_put: Optional[Callable[[str, np.ndarray], jnp.ndarray]] = None,
+) -> Params:
+    """Full pipeline: stream safetensors -> key rewrite -> fp8 dequant ->
+    stacked param tree on device (load_transformer_weights parity,
+    weight_converter.py:318-446)."""
+    flat = load_flat_diffusion_weights(
+        path, include_audio=include_audio, target_dtype=target_dtype
+    )
+    return structure_diffusion_weights(flat, num_layers=num_layers, device_put=device_put)
+
+
+def load_av_transformer_params(path: str, **kwargs) -> Params:
+    """AudioVideo variant (weight_converter.py:527-553)."""
+    return load_transformer_params(path, include_audio=True, **kwargs)
+
+
+def flatten_params(tree: Params, prefix: str = "") -> Dict[str, jnp.ndarray]:
+    """Param tree -> flat {dotted-key: leaf}; inverse of structuring (minus
+    block stacking)."""
+    out: Dict[str, jnp.ndarray] = {}
+    for key, value in tree.items():
+        path = f"{prefix}.{key}" if prefix else key
+        if isinstance(value, dict):
+            out.update(flatten_params(value, path))
+        else:
+            out[path] = value
+    return out

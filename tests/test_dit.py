@@ -1,6 +1,8 @@
 """DiT model tests on tiny configs (random init, shape/NaN/behavioral checks).
 
-Mirrors the reference's weight-free unit strategy (SURVEY.md §4).
+Mirrors the reference's weight-free unit strategy (SURVEY.md §4). All model
+calls are jitted via tests/helpers.py — eager dispatch is pathologically
+slow in this environment.
 """
 
 import jax
@@ -18,11 +20,9 @@ from ltx2_tpu.models.transformer.model import (
     LTXModelConfig,
     LTXModelType,
     Modality,
-    init_ltx_model,
-    ltx_model_apply,
-    x0_model_apply,
 )
 from ltx2_tpu.ops.rope import create_position_grid
+from tests.helpers import cached_params, jitted_forward
 
 
 def tiny_config(**kwargs) -> LTXModelConfig:
@@ -78,128 +78,131 @@ def make_audio_modality(cfg, batch=2, frames=4, seq=5, key=1):
 class TestVideoOnly:
     def test_forward_shapes(self):
         cfg = tiny_config()
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
-        out = ltx_model_apply(params, cfg, video=video)
+        out = jitted_forward(cfg)(params, video)
         assert out.shape == (2, 12, cfg.out_channels)
         assert bool(jnp.all(jnp.isfinite(out)))
 
-    def test_jit_compiles(self):
+    def test_deterministic(self):
         cfg = tiny_config()
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
-        fn = jax.jit(lambda p, v: ltx_model_apply(p, cfg, video=v))
-        out1 = fn(params, video)
-        out2 = fn(params, video)
-        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+        fn = jitted_forward(cfg)
+        np.testing.assert_allclose(
+            np.asarray(fn(params, video)), np.asarray(fn(params, video))
+        )
 
     def test_x0_model(self):
         cfg = tiny_config()
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
-        velocity = ltx_model_apply(params, cfg, video=video)
-        x0 = x0_model_apply(params, cfg, video=video)
+        velocity = jitted_forward(cfg)(params, video)
+        x0 = jitted_forward(cfg, x0=True)(params, video)
         expected = np.asarray(video.latent) - 0.5 * np.asarray(velocity)
         np.testing.assert_allclose(np.asarray(x0), expected, atol=1e-5)
 
     def test_per_token_timesteps(self):
         cfg = tiny_config()
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
         per_token = video.replace(timesteps=jnp.full((2, 12), 0.5))
-        out_scalar = ltx_model_apply(params, cfg, video=video)
-        out_tok = ltx_model_apply(params, cfg, video=per_token)
+        fn = jitted_forward(cfg)
         np.testing.assert_allclose(
-            np.asarray(out_scalar), np.asarray(out_tok), atol=1e-4
+            np.asarray(fn(params, video)), np.asarray(fn(params, per_token)), atol=1e-4
         )
 
     def test_context_mask_effect(self):
         cfg = tiny_config()
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg, seq=6)
         masked = video.replace(
             context_mask=jnp.asarray([[1, 1, 1, 0, 0, 0]] * 2, jnp.int32)
         )
-        out_full = ltx_model_apply(params, cfg, video=video)
-        out_masked = ltx_model_apply(params, cfg, video=masked)
-        assert not np.allclose(np.asarray(out_full), np.asarray(out_masked))
+        fn = jitted_forward(cfg)
+        assert not np.allclose(
+            np.asarray(fn(params, video)), np.asarray(fn(params, masked))
+        )
 
     def test_v2_switches(self):
         cfg = tiny_config(
             cross_attention_adaln=True, apply_gated_attention=True, caption_channels=None,
             cross_attention_dim=32,
         )
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
-        # V2: no caption projection — context arrives at cross_attention_dim.
         video = video.replace(
             context=jax.random.normal(jax.random.PRNGKey(9), (2, 5, cfg.cross_attention_dim))
         )
-        out = ltx_model_apply(params, cfg, video=video)
+        out = jitted_forward(cfg)(params, video)
         assert out.shape == (2, 12, cfg.out_channels)
         assert bool(jnp.all(jnp.isfinite(out)))
 
     def test_remat_matches(self):
         cfg = tiny_config(remat=False)
         cfg_r = tiny_config(remat=True)
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
-        out = ltx_model_apply(params, cfg, video=video)
-        out_r = ltx_model_apply(params, cfg_r, video=video)
+        out = jitted_forward(cfg)(params, video)
+        out_r = jitted_forward(cfg_r)(params, video)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-5)
 
 
 class TestAudioVideo:
     def test_av_forward(self):
         cfg = tiny_config(model_type=LTXModelType.AudioVideo)
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
         audio = make_audio_modality(cfg)
-        v_out, a_out = ltx_model_apply(params, cfg, video=video, audio=audio)
+        v_out, a_out = jitted_forward(cfg)(params, video, audio)
         assert v_out.shape == (2, 12, cfg.out_channels)
         assert a_out.shape == (2, 4, cfg.audio_out_channels)
         assert bool(jnp.all(jnp.isfinite(v_out))) and bool(jnp.all(jnp.isfinite(a_out)))
 
     def test_av_video_only_inference(self):
         cfg = tiny_config(model_type=LTXModelType.AudioVideo)
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
-        out = ltx_model_apply(params, cfg, video=video, audio=None)
+        out = jitted_forward(cfg)(params, video, None)
         assert out.shape == (2, 12, cfg.out_channels)
 
     def test_cross_modal_coupling(self):
         """Changing the audio latent must change the video output (A2V attn)."""
         cfg = tiny_config(model_type=LTXModelType.AudioVideo)
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
         audio = make_audio_modality(cfg)
         audio2 = audio.replace(latent=audio.latent + 1.0)
-        v1, _ = ltx_model_apply(params, cfg, video=video, audio=audio)
-        v2, _ = ltx_model_apply(params, cfg, video=video, audio=audio2)
+        fn = jitted_forward(cfg)
+        v1, _ = fn(params, video, audio)
+        v2, _ = fn(params, video, audio2)
         assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+
+def _stg_all(n=2):
+    return BatchedPerturbationConfig(
+        perturbations=(
+            PerturbationConfig(
+                perturbations=(
+                    Perturbation(type=PerturbationType.SKIP_VIDEO_SELF_ATTN, blocks=None),
+                )
+            ),
+        ) * n
+    )
 
 
 class TestPerturbations:
     def test_skip_video_self_attn_changes_output(self):
         cfg = tiny_config()
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
-        stg = BatchedPerturbationConfig(
-            perturbations=(
-                PerturbationConfig(
-                    perturbations=(
-                        Perturbation(type=PerturbationType.SKIP_VIDEO_SELF_ATTN, blocks=None),
-                    )
-                ),
-            ) * 2
-        )
-        base = ltx_model_apply(params, cfg, video=video)
-        perturbed = ltx_model_apply(params, cfg, video=video, perturbations=stg)
+        base = jitted_forward(cfg)(params, video)
+        perturbed = jitted_forward(cfg, _stg_all())(params, video)
         assert not np.allclose(np.asarray(base), np.asarray(perturbed))
 
     def test_block_selective_skip(self):
         cfg = tiny_config()
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
         skip_block_0 = BatchedPerturbationConfig(
             perturbations=(
@@ -210,23 +213,14 @@ class TestPerturbations:
                 ),
             ) * 2
         )
-        skip_all = BatchedPerturbationConfig(
-            perturbations=(
-                PerturbationConfig(
-                    perturbations=(
-                        Perturbation(type=PerturbationType.SKIP_VIDEO_SELF_ATTN, blocks=None),
-                    )
-                ),
-            ) * 2
-        )
-        out_b0 = ltx_model_apply(params, cfg, video=video, perturbations=skip_block_0)
-        out_all = ltx_model_apply(params, cfg, video=video, perturbations=skip_all)
+        out_b0 = jitted_forward(cfg, skip_block_0)(params, video)
+        out_all = jitted_forward(cfg, _stg_all())(params, video)
         assert not np.allclose(np.asarray(out_b0), np.asarray(out_all))
 
     def test_per_sample_perturbation(self):
         """Sample 0 perturbed, sample 1 not — sample 1 must match baseline."""
         cfg = tiny_config()
-        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        params = cached_params(cfg)
         video = make_video_modality(cfg)
         mixed = BatchedPerturbationConfig(
             perturbations=(
@@ -238,9 +232,7 @@ class TestPerturbations:
                 PerturbationConfig.empty(),
             )
         )
-        base = ltx_model_apply(params, cfg, video=video)
-        out = ltx_model_apply(params, cfg, video=video, perturbations=mixed)
-        np.testing.assert_allclose(
-            np.asarray(out[1]), np.asarray(base[1]), atol=1e-5
-        )
+        base = jitted_forward(cfg)(params, video)
+        out = jitted_forward(cfg, mixed)(params, video)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(base[1]), atol=1e-5)
         assert not np.allclose(np.asarray(out[0]), np.asarray(base[0]))

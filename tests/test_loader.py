@@ -1,0 +1,250 @@
+"""Loader tests: key conversion, checkpoint round-trip, fp8, LoRA, registry.
+
+Mirrors reference tests/test_loaders.py semantics (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+import pytest
+
+from ltx2_tpu.loader import (
+    LoRAConfig,
+    StateDictRegistry,
+    convert_checkpoint_key,
+    detect_model_version,
+    fuse_lora_into_params,
+    is_fp8_checkpoint,
+    is_v2_model,
+    load_flat_diffusion_weights,
+    load_transformer_params,
+    read_checkpoint_config,
+    structure_diffusion_weights,
+    unfuse_lora_deltas,
+    write_safetensors,
+)
+from ltx2_tpu.models.transformer.model import LTXModelConfig, LTXModelType
+from tests.helpers import cached_params, jitted_forward, params_to_checkpoint
+from tests.test_dit import make_video_modality, tiny_config
+
+
+class TestKeyConversion:
+    def test_to_out_rewrite(self):
+        assert (
+            convert_checkpoint_key("transformer_blocks.0.attn1.to_out.0.weight")
+            == "transformer_blocks.0.attn1.to_out.weight"
+        )
+
+    def test_ff_rewrites(self):
+        assert (
+            convert_checkpoint_key("transformer_blocks.3.ff.net.0.proj.weight")
+            == "transformer_blocks.3.ff.project_in.proj.weight"
+        )
+        assert (
+            convert_checkpoint_key("transformer_blocks.3.ff.net.2.bias")
+            == "transformer_blocks.3.ff.project_out.bias"
+        )
+
+    def test_audio_ff_rewrites_with_audio(self):
+        assert (
+            convert_checkpoint_key(
+                "transformer_blocks.1.audio_ff.net.0.proj.weight", include_audio=True
+            )
+            == "transformer_blocks.1.audio_ff.project_in.proj.weight"
+        )
+
+    def test_audio_skipped_without_flag(self):
+        assert convert_checkpoint_key("audio_patchify_proj.weight") is None
+        assert convert_checkpoint_key("transformer_blocks.0.audio_attn1.to_q.weight") is None
+        assert (
+            convert_checkpoint_key("audio_patchify_proj.weight", include_audio=True)
+            is not None
+        )
+
+    def test_connectors_skipped(self):
+        assert convert_checkpoint_key("video_embeddings_connector.blocks.0.attn1.to_q.weight") is None
+
+
+class TestCheckpointRoundTrip:
+    def test_load_matches_init(self, tmp_path):
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        ckpt = params_to_checkpoint(params)
+        path = str(tmp_path / "model.safetensors")
+        write_safetensors(path, ckpt, metadata={"model_version": "2.0.0"})
+
+        loaded = load_transformer_params(path, target_dtype="float32")
+        video = make_video_modality(cfg)
+        fn = jitted_forward(cfg)
+        np.testing.assert_allclose(
+            np.asarray(fn(params, video)), np.asarray(fn(loaded, video)), atol=1e-5
+        )
+
+    def test_av_load(self, tmp_path):
+        from tests.test_dit import make_audio_modality
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = cached_params(cfg)
+        ckpt = params_to_checkpoint(params)
+        path = str(tmp_path / "av.safetensors")
+        write_safetensors(path, ckpt)
+
+        loaded = load_transformer_params(path, include_audio=True, target_dtype="float32")
+        video = make_video_modality(cfg)
+        audio = make_audio_modality(cfg)
+        fn = jitted_forward(cfg)
+        v0, a0 = fn(params, video, audio)
+        v1, a1 = fn(loaded, video, audio)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-5)
+
+    def test_adaln_tables_stay_fp32(self, tmp_path):
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        path = str(tmp_path / "m.safetensors")
+        write_safetensors(path, params_to_checkpoint(params))
+        loaded = load_transformer_params(path, target_dtype="bfloat16")
+        assert loaded["scale_shift_table"].dtype == jnp.float32
+        assert loaded["transformer_blocks"]["scale_shift_table"].dtype == jnp.float32
+        assert loaded["transformer_blocks"]["attn1"]["to_q"]["weight"].dtype == jnp.bfloat16
+
+
+class TestMetadata:
+    def test_version_detection(self, tmp_path):
+        path = str(tmp_path / "v23.safetensors")
+        write_safetensors(
+            path,
+            {"x": np.zeros((2, 2), np.float32)},
+            metadata={"model_version": "2.3.0", "config": '{"vae": {"decoder_blocks": []}}'},
+        )
+        assert detect_model_version(path) == "2.3.0"
+        assert is_v2_model(path)
+        assert read_checkpoint_config(path) == {"vae": {"decoder_blocks": []}}
+
+    def test_non_v2(self, tmp_path):
+        path = str(tmp_path / "v20.safetensors")
+        write_safetensors(path, {"x": np.zeros(2, np.float32)}, metadata={"model_version": "2.0.0"})
+        assert not is_v2_model(path)
+
+
+class TestFP8:
+    def test_fp8_detect_and_dequant(self, tmp_path):
+        w = np.linspace(-2, 2, 64, dtype=np.float32).reshape(8, 8)
+        scale = 0.5
+        w_fp8 = (w / scale).astype(ml_dtypes.float8_e4m3fn)
+        path = str(tmp_path / "fp8.safetensors")
+        write_safetensors(
+            path,
+            {
+                "model.diffusion_model.patchify_proj.weight": w_fp8,
+                "model.diffusion_model.patchify_proj.weight_scale": np.asarray(
+                    [scale], np.float32
+                ),
+            },
+        )
+        assert is_fp8_checkpoint(path)
+        flat = load_flat_diffusion_weights(path, target_dtype="float32")
+        got = flat["patchify_proj.weight"]
+        expected = w_fp8.astype(np.float32) * scale
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    def test_non_fp8_detect(self, tmp_path):
+        path = str(tmp_path / "reg.safetensors")
+        write_safetensors(path, {"model.diffusion_model.x.weight": np.zeros(4, np.float32)})
+        assert not is_fp8_checkpoint(path)
+
+
+class TestLoRA:
+    def _make_lora(self, tmp_path, rank=2, out_dim=32, in_dim=8, strength_key="attn1.to_q"):
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(rank, in_dim)).astype(np.float32)
+        b = rng.normal(size=(out_dim, rank)).astype(np.float32)
+        path = str(tmp_path / "lora.safetensors")
+        write_safetensors(
+            path,
+            {
+                f"diffusion_model.transformer_blocks.0.{strength_key}.lora_A.weight": a,
+                f"diffusion_model.transformer_blocks.0.{strength_key}.lora_B.weight": b,
+            },
+        )
+        return path, b @ a
+
+    def test_fuse_and_restore(self, tmp_path):
+        cfg = tiny_config()
+        params = jax.tree_util.tree_map(lambda x: x, cached_params(cfg))
+        base = np.asarray(params["transformer_blocks"]["attn1"]["to_q"]["weight"]).copy()
+        path, delta = self._make_lora(
+            tmp_path, out_dim=cfg.video_inner_dim, in_dim=cfg.video_inner_dim
+        )
+
+        params, applied = fuse_lora_into_params(
+            params, [LoRAConfig(path=path, strength=0.5)], return_deltas=True
+        )
+        fused = np.asarray(params["transformer_blocks"]["attn1"]["to_q"]["weight"])
+        np.testing.assert_allclose(fused[0], base[0] + 0.5 * delta, atol=1e-5)
+        np.testing.assert_allclose(fused[1], base[1], atol=1e-7)  # only block 0
+
+        params = unfuse_lora_deltas(params, applied)
+        restored = np.asarray(params["transformer_blocks"]["attn1"]["to_q"]["weight"])
+        np.testing.assert_allclose(restored, base, atol=1e-5)
+
+    def test_strength_bounds(self):
+        with pytest.raises(ValueError):
+            LoRAConfig(path="x", strength=3.0)
+
+    def test_lora_down_up_naming(self, tmp_path):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(2, 32)).astype(np.float32)
+        b = rng.normal(size=(32, 2)).astype(np.float32)
+        path = str(tmp_path / "lora2.safetensors")
+        write_safetensors(
+            path,
+            {
+                "transformer_blocks.0.attn1.to_k.lora_down.weight": a,
+                "transformer_blocks.0.attn1.to_k.lora_up.weight": b,
+            },
+        )
+        cfg = tiny_config()
+        params = jax.tree_util.tree_map(lambda x: x, cached_params(cfg))
+        base = np.asarray(params["transformer_blocks"]["attn1"]["to_k"]["weight"]).copy()
+        params = fuse_lora_into_params(params, [LoRAConfig(path=path, strength=1.0)])
+        fused = np.asarray(params["transformer_blocks"]["attn1"]["to_k"]["weight"])
+        np.testing.assert_allclose(fused[0], base[0] + b @ a, atol=1e-5)
+
+
+class TestRegistry:
+    def test_add_get_pop(self):
+        reg = StateDictRegistry()
+        sd = {"w": np.zeros(2)}
+        reg.add(["/tmp/a.safetensors"], "transformer", sd)
+        assert reg.get(["/tmp/a.safetensors"], "transformer") is sd
+        assert reg.get(["/tmp/a.safetensors"], "other") is None
+        assert reg.pop(["/tmp/a.safetensors"], "transformer") is sd
+        assert len(reg) == 0
+
+    def test_duplicate_add_raises(self):
+        reg = StateDictRegistry()
+        reg.add(["/tmp/a"], None, {})
+        with pytest.raises(ValueError):
+            reg.add(["/tmp/a"], None, {})
+
+    def test_thread_safety(self):
+        import threading
+
+        reg = StateDictRegistry()
+        errors = []
+
+        def worker(i):
+            try:
+                reg.add([f"/tmp/{i}"], None, {"i": i})
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(reg) == 16
