@@ -1,0 +1,102 @@
+"""Temporal-chunked decoding with crossfade blending.
+
+Capability parity with reference decode_latent
+(simple_decoder.py:676-800): overlapping latent-frame chunks (default 7 / 2
+overlap) blended with a linear ramp, then [-1,1] -> uint8 (T, H, W, 3).
+
+On TPU the un-chunked path is numerically fine (the reference chunks to work
+around an MLX conv bug); chunking here bounds peak HBM for long clips. The
+per-chunk decode is jitted once per chunk shape.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx2_tpu.models.video_vae.decoder import VideoDecoderConfig, video_decoder_apply
+
+
+@lru_cache(maxsize=16)
+def _jitted_decoder(cfg: VideoDecoderConfig, timestep, causal: bool):
+    return jax.jit(
+        lambda params, latent, key: video_decoder_apply(
+            params, cfg, latent, timestep=timestep, noise_key=key, causal=causal
+        )
+    )
+
+
+def latent_t_to_pixel_t(lt: int, num_temporal_upsamples: int = 3) -> int:
+    """Latent frames -> pixel frames through the temporal upsample stages
+    (each doubles then trims one: t -> 2t - 1)."""
+    pt = lt
+    for _ in range(num_temporal_upsamples):
+        pt = pt * 2 - 1
+    return pt
+
+
+def decode_latent(
+    latent: jnp.ndarray,
+    params,
+    cfg: VideoDecoderConfig,
+    timestep: Optional[float] = 0.05,
+    key: Optional[jax.Array] = None,
+    temporal_chunk_size: int = 0,
+    temporal_overlap: int = 2,
+    causal: bool = False,
+) -> np.ndarray:
+    """Decode latent -> uint8 (T, H, W, 3) frames.
+
+    temporal_chunk_size=0 (TPU default) decodes in a single fused pass;
+    set e.g. 7 to bound memory on long clips (reference default).
+    """
+    if latent.ndim == 4:
+        latent = latent[None]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    t_latent = latent.shape[2]
+    decode = _jitted_decoder(cfg, timestep, causal)
+
+    if temporal_chunk_size <= 0 or t_latent <= temporal_chunk_size:
+        video = decode(params, latent, key)
+    else:
+        total_pixel_frames = latent_t_to_pixel_t(t_latent)
+        stride = temporal_chunk_size - temporal_overlap
+        overlap_pixel_ref = latent_t_to_pixel_t(temporal_overlap)
+
+        chunks = []
+        t = 0
+        while t < t_latent:
+            end = min(t + temporal_chunk_size, t_latent)
+            if end - t < temporal_overlap + 1 and t > 0:
+                t = max(0, end - temporal_chunk_size)
+                end = min(t + temporal_chunk_size, t_latent)
+            key, sub = jax.random.split(key)
+            chunks.append((t, end, decode(params, latent[:, :, t:end], sub)))
+            if end >= t_latent:
+                break
+            t += stride
+
+        video = chunks[0][2]
+        for _start, _end, cur in chunks[1:]:
+            overlap_pixels = min(overlap_pixel_ref, cur.shape[2], video.shape[2])
+            if overlap_pixels <= 1:
+                video = jnp.concatenate([video, cur], axis=2)
+                continue
+            prev_overlap = video[:, :, -overlap_pixels:]
+            ramp = jnp.linspace(0.0, 1.0, overlap_pixels).reshape(1, 1, -1, 1, 1)
+            blended = prev_overlap * (1.0 - ramp) + cur[:, :, :overlap_pixels] * ramp
+            video = jnp.concatenate(
+                [video[:, :, :-overlap_pixels], blended, cur[:, :, overlap_pixels:]],
+                axis=2,
+            )
+        video = video[:, :, :total_pixel_frames]
+
+    video = jnp.clip((video + 1) / 2, 0, 1) * 255
+    video = video.astype(jnp.uint8)[0].transpose(1, 2, 3, 0)
+    return np.asarray(video)

@@ -1,0 +1,270 @@
+"""Tiled VAE decoding for high-resolution / long videos.
+
+Capability parity with reference LTX_2_MLX/model/video_vae/tiling.py:
+TilingConfig validation (spatial tiles >=64px %32, temporal >=16f %8,
+defaults 512px/64px overlap + 64f/24f overlap, tiling.py:55-122), tile-spec
+generation, and weighted accumulation with per-axis trapezoidal ramp masks.
+
+TPU-first: each tile decodes as one jitted call (shapes bucketed, so a few
+compilations cover all tiles); the weighted blend accumulates host-side in
+numpy — output pixels are leaving the device anyway, and this avoids the
+reference's O(tiles * volume) concatenation dance (tiling.py:415-475).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def compute_trapezoidal_mask_1d(
+    length: int,
+    ramp_left: int,
+    ramp_right: int,
+    left_starts_from_0: bool = False,
+) -> np.ndarray:
+    """1D trapezoidal blending mask (tiling.py:9-52)."""
+    if length <= 0:
+        raise ValueError("Mask length must be positive.")
+
+    ramp_left = max(0, min(ramp_left, length))
+    ramp_right = max(0, min(ramp_right, length))
+
+    mask = np.ones((length,), np.float32)
+    if ramp_left > 0:
+        interval = ramp_left + 1 if left_starts_from_0 else ramp_left + 2
+        fade_in = np.linspace(0.0, 1.0, interval, dtype=np.float32)[:-1]
+        if not left_starts_from_0:
+            fade_in = fade_in[1:]
+        mask[:ramp_left] = fade_in
+    if ramp_right > 0:
+        mask[length - ramp_right :] = np.linspace(
+            1.0, 0.0, ramp_right + 2, dtype=np.float32
+        )[1:-1]
+    return np.clip(mask, 0, 1)
+
+
+@dataclass(frozen=True)
+class SpatialTilingConfig:
+    tile_size_in_pixels: int
+    tile_overlap_in_pixels: int = 0
+
+    def __post_init__(self) -> None:
+        if self.tile_size_in_pixels < 64:
+            raise ValueError(
+                f"tile_size_in_pixels must be at least 64, got {self.tile_size_in_pixels}"
+            )
+        if self.tile_size_in_pixels % 32 != 0:
+            raise ValueError(
+                f"tile_size_in_pixels must be divisible by 32, got {self.tile_size_in_pixels}"
+            )
+        if self.tile_overlap_in_pixels % 32 != 0:
+            raise ValueError(
+                f"tile_overlap_in_pixels must be divisible by 32, got {self.tile_overlap_in_pixels}"
+            )
+        if self.tile_overlap_in_pixels >= self.tile_size_in_pixels:
+            raise ValueError(
+                f"Overlap must be less than tile size, got "
+                f"{self.tile_overlap_in_pixels} and {self.tile_size_in_pixels}"
+            )
+
+
+@dataclass(frozen=True)
+class TemporalTilingConfig:
+    tile_size_in_frames: int
+    tile_overlap_in_frames: int = 0
+
+    def __post_init__(self) -> None:
+        if self.tile_size_in_frames < 16:
+            raise ValueError(
+                f"tile_size_in_frames must be at least 16, got {self.tile_size_in_frames}"
+            )
+        if self.tile_size_in_frames % 8 != 0:
+            raise ValueError(
+                f"tile_size_in_frames must be divisible by 8, got {self.tile_size_in_frames}"
+            )
+        if self.tile_overlap_in_frames % 8 != 0:
+            raise ValueError(
+                f"tile_overlap_in_frames must be divisible by 8, got {self.tile_overlap_in_frames}"
+            )
+        if self.tile_overlap_in_frames >= self.tile_size_in_frames:
+            raise ValueError(
+                f"Overlap must be less than tile size, got "
+                f"{self.tile_overlap_in_frames} and {self.tile_size_in_frames}"
+            )
+
+
+@dataclass(frozen=True)
+class TilingConfig:
+    spatial_config: Optional[SpatialTilingConfig] = None
+    temporal_config: Optional[TemporalTilingConfig] = None
+
+    @classmethod
+    def default(cls) -> "TilingConfig":
+        return cls(
+            spatial_config=SpatialTilingConfig(
+                tile_size_in_pixels=512, tile_overlap_in_pixels=64
+            ),
+            temporal_config=TemporalTilingConfig(
+                tile_size_in_frames=64, tile_overlap_in_frames=24
+            ),
+        )
+
+
+@dataclass
+class TileSpec:
+    in_t_start: int
+    in_t_end: int
+    in_h_start: int
+    in_h_end: int
+    in_w_start: int
+    in_w_end: int
+    out_t_start: int
+    out_t_end: int
+    out_h_start: int
+    out_h_end: int
+    out_w_start: int
+    out_w_end: int
+    ramp_t_left: int
+    ramp_t_right: int
+    ramp_h_left: int
+    ramp_h_right: int
+    ramp_w_left: int
+    ramp_w_right: int
+
+
+def _gen_tiles_1d(length: int, tile_size: int, overlap: int) -> List[Tuple[int, int, int, int]]:
+    """(start, end, ramp_left, ramp_right) tiles covering [0, length)."""
+    if length <= tile_size:
+        return [(0, length, 0, 0)]
+    tiles = []
+    stride = tile_size - overlap
+    pos = 0
+    while pos < length:
+        end = min(pos + tile_size, length)
+        start = max(0, end - tile_size)
+        tiles.append(
+            (start, end, overlap if start > 0 else 0, overlap if end < length else 0)
+        )
+        if end >= length:
+            break
+        pos += stride
+    return tiles
+
+
+def generate_tile_specs(
+    latent_shape: Tuple[int, int, int, int, int],
+    tiling_config: TilingConfig,
+    scale_factors: Tuple[int, int, int] = (8, 32, 32),
+) -> List[TileSpec]:
+    """Tile specs over the latent grid (tiling.py:154-249)."""
+    _, _, t, h, w = latent_shape
+    scale_t, scale_h, scale_w = scale_factors
+
+    if tiling_config.spatial_config:
+        sc = tiling_config.spatial_config
+        tile_h, tile_w = sc.tile_size_in_pixels // scale_h, sc.tile_size_in_pixels // scale_w
+        ov_h, ov_w = sc.tile_overlap_in_pixels // scale_h, sc.tile_overlap_in_pixels // scale_w
+    else:
+        tile_h, tile_w, ov_h, ov_w = h, w, 0, 0
+
+    if tiling_config.temporal_config:
+        tc = tiling_config.temporal_config
+        tile_t, ov_t = tc.tile_size_in_frames // scale_t, tc.tile_overlap_in_frames // scale_t
+    else:
+        tile_t, ov_t = t, 0
+
+    specs = []
+    for ts, te, rtl, rtr in _gen_tiles_1d(t, tile_t, ov_t):
+        for hs, he, rhl, rhr in _gen_tiles_1d(h, tile_h, ov_h):
+            for ws, we, rwl, rwr in _gen_tiles_1d(w, tile_w, ov_w):
+                specs.append(
+                    TileSpec(
+                        in_t_start=ts, in_t_end=te,
+                        in_h_start=hs, in_h_end=he,
+                        in_w_start=ws, in_w_end=we,
+                        out_t_start=ts * scale_t if ts > 0 else 0,
+                        out_t_end=(te - 1) * scale_t + 1 if te > 1 else 1,
+                        out_h_start=hs * scale_h, out_h_end=he * scale_h,
+                        out_w_start=ws * scale_w, out_w_end=we * scale_w,
+                        ramp_t_left=rtl * scale_t, ramp_t_right=rtr * scale_t,
+                        ramp_h_left=rhl * scale_h, ramp_h_right=rhr * scale_h,
+                        ramp_w_left=rwl * scale_w, ramp_w_right=rwr * scale_w,
+                    )
+                )
+    return specs
+
+
+def decode_tiled(
+    latent,
+    decoder_fn,
+    tiling_config: TilingConfig,
+    timestep: Optional[float] = 0.05,
+    scale_factors: Tuple[int, int, int] = (8, 32, 32),
+    key: Optional[jax.Array] = None,
+) -> Iterator[np.ndarray]:
+    """Decode per-tile, blend with trapezoidal weights, normalize
+    (tiling.py:252-412). decoder_fn(latent_tile, timestep) -> (B,3,t,h,w).
+
+    Yields the final blended (B, 3, T_out, H_out, W_out) float array.
+    """
+    b, _c, t, h, w = latent.shape
+    scale_t, scale_h, scale_w = scale_factors
+    specs = generate_tile_specs(tuple(latent.shape), tiling_config, scale_factors)
+
+    out_t = (t - 1) * scale_t + 1
+    out_h = h * scale_h
+    out_w = w * scale_w
+    output = np.zeros((b, 3, out_t, out_h, out_w), np.float32)
+    weights = np.zeros((1, 1, out_t, out_h, out_w), np.float32)
+
+    for spec in specs:
+        tile_latent = latent[
+            :, :,
+            spec.in_t_start : spec.in_t_end,
+            spec.in_h_start : spec.in_h_end,
+            spec.in_w_start : spec.in_w_end,
+        ]
+        decoded = np.asarray(decoder_fn(tile_latent, timestep=timestep))
+
+        dt, dh, dw = decoded.shape[2:]
+        tile_t = min(dt, spec.out_t_end - spec.out_t_start)
+        tile_h = min(dh, spec.out_h_end - spec.out_h_start)
+        tile_w = min(dw, spec.out_w_end - spec.out_w_start)
+
+        mask = (
+            compute_trapezoidal_mask_1d(
+                tile_t,
+                min(spec.ramp_t_left, tile_t),
+                min(spec.ramp_t_right, tile_t),
+                left_starts_from_0=(spec.out_t_start == 0),
+            )[None, None, :, None, None]
+            * compute_trapezoidal_mask_1d(
+                tile_h, min(spec.ramp_h_left, tile_h), min(spec.ramp_h_right, tile_h)
+            )[None, None, None, :, None]
+            * compute_trapezoidal_mask_1d(
+                tile_w, min(spec.ramp_w_left, tile_w), min(spec.ramp_w_right, tile_w)
+            )[None, None, None, None, :]
+        )
+
+        sl = (
+            slice(None),
+            slice(None),
+            slice(spec.out_t_start, spec.out_t_start + tile_t),
+            slice(spec.out_h_start, spec.out_h_start + tile_h),
+            slice(spec.out_w_start, spec.out_w_start + tile_w),
+        )
+        output[sl] += decoded[:, :, :tile_t, :tile_h, :tile_w] * mask
+        weights[sl] += mask
+
+    yield output / np.maximum(weights, 1e-8)
+
+
+def should_auto_tile(latent_shape: Tuple[int, ...], voxel_threshold: int = 4000) -> bool:
+    """Auto-enable tiling when latent voxels exceed the threshold
+    (one_stage.py:74-84)."""
+    _, _, t, h, w = latent_shape
+    return t * h * w > voxel_threshold

@@ -11,11 +11,15 @@ import os
 # JAX_PLATFORMS=axon (a tunneled TPU), which would make every test dispatch
 # over the network.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Avoid routing XLA compiles through the TPU tunnel plugin.
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Parallel LLVM codegen thrashes on low-core machines (100s+ cold compiles).
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,302 @@
+"""Video VAE tests: pixel ops parity vs einops, causal conv, tiny
+encoder/decoder forwards, checkpoint loading round-trip."""
+
+import functools
+
+import einops
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx2_tpu.models.video_vae.chunking import decode_latent, latent_t_to_pixel_t
+from ltx2_tpu.models.video_vae.conv import conv3d_ndhwc, from_ndhwc, to_ndhwc
+from ltx2_tpu.models.video_vae.decoder import (
+    VideoDecoderConfig,
+    init_video_decoder,
+    video_decoder_apply,
+)
+from ltx2_tpu.models.video_vae.encoder import (
+    VideoEncoderConfig,
+    init_video_encoder,
+    video_encoder_apply,
+)
+from ltx2_tpu.models.video_vae.ops import (
+    patchify,
+    pixel_shuffle_3d,
+    pixel_unshuffle_3d,
+    unpatchify,
+)
+
+TINY_DECODER = VideoDecoderConfig(
+    decoder_blocks=(("res_x", 1), ("compress_all", 2, True), ("res_x", 1)),
+    base_channels=4,
+    latent_channels=8,
+    patch_size=2,
+)
+
+TINY_ENCODER = VideoEncoderConfig(
+    patch_size=2,
+    latent_channels=8,
+    plan=(
+        ("res", 16, 1, None),
+        ("down", 16, 32, (2, 2, 2)),
+        ("res", 32, 1, None),
+    ),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_decoder_params():
+    cfg = TINY_DECODER
+    init = jax.jit(lambda k: init_video_decoder(k, cfg))
+    return init(jax.random.PRNGKey(0))
+
+
+class TestPixelOps:
+    def test_patchify_matches_einops(self):
+        x = np.random.default_rng(0).normal(size=(2, 3, 4, 8, 8)).astype(np.float32)
+        got = np.asarray(patchify(jnp.asarray(x), patch_size_hw=4, patch_size_t=1))
+        expected = einops.rearrange(
+            x, "b c (f p) (h q) (w r) -> b (c p r q) f h w", p=1, q=4, r=4
+        )
+        np.testing.assert_allclose(got, expected)
+
+    def test_unpatchify_inverse(self):
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 3, 2, 8, 12)), jnp.float32)
+        packed = patchify(x, patch_size_hw=4)
+        assert packed.shape == (1, 48, 2, 2, 3)
+        back = unpatchify(packed, patch_size_hw=4)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+    def test_unpatchify_matches_einops(self):
+        x = np.random.default_rng(2).normal(size=(1, 48, 2, 3, 4)).astype(np.float32)
+        got = np.asarray(unpatchify(jnp.asarray(x), patch_size_hw=4))
+        expected = einops.rearrange(
+            x, "b (c p r q) f h w -> b c (f p) (h q) (w r)", p=1, q=4, r=4
+        )
+        np.testing.assert_allclose(got, expected)
+
+    def test_pixel_shuffle_roundtrip(self):
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 4, 2, 3, 3)), jnp.float32)
+        up = pixel_shuffle_3d(x, 2)
+        assert up.shape == (1, 1, 2, 6, 6)
+        back = pixel_unshuffle_3d(up, 2)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+class TestConv3d:
+    def _params(self, in_c=4, out_c=4, k=3, seed=0):
+        rng = np.random.default_rng(seed)
+        return {
+            "weight": jnp.asarray(
+                rng.normal(size=(out_c, in_c, k, k, k)).astype(np.float32) * 0.1
+            ),
+            "bias": jnp.zeros((out_c,), jnp.float32),
+        }
+
+    def test_shape_preserved(self):
+        p = self._params()
+        x = jnp.ones((1, 5, 8, 8, 4))
+        out = jax.jit(lambda p, x: conv3d_ndhwc(p, x, causal=True))(p, x)
+        assert out.shape == (1, 5, 8, 8, 4)
+
+    def test_causal_no_future_leak(self):
+        """Output at frame t must not depend on frames > t when causal."""
+        p = self._params()
+        fn = jax.jit(lambda p, x: conv3d_ndhwc(p, x, causal=True))
+        x = jnp.asarray(
+            np.random.default_rng(4).normal(size=(1, 6, 4, 4, 4)), jnp.float32
+        )
+        x2 = x.at[:, 4:].set(99.0)  # mutate the future
+        out1 = np.asarray(fn(p, x))
+        out2 = np.asarray(fn(p, x2))
+        np.testing.assert_allclose(out1[:, :4], out2[:, :4], atol=1e-5)
+        assert not np.allclose(out1[:, 4:], out2[:, 4:])
+
+    def test_noncausal_symmetric(self):
+        p = self._params()
+        fn = jax.jit(lambda p, x: conv3d_ndhwc(p, x, causal=False))
+        x = jnp.asarray(
+            np.random.default_rng(5).normal(size=(1, 6, 4, 4, 4)), jnp.float32
+        )
+        x2 = x.at[:, 5:].set(99.0)
+        out1 = np.asarray(fn(p, x))
+        out2 = np.asarray(fn(p, x2))
+        # Non-causal: frame 3 output still unaffected by frame 5 (k=3 reach is 1).
+        np.testing.assert_allclose(out1[:, :4], out2[:, :4], atol=1e-5)
+
+    def test_matches_reference_temporal_slice_sum(self):
+        """One real 3D conv == the reference's kT x 2D accumulation."""
+        p = self._params(in_c=3, out_c=5)
+        x = jnp.asarray(
+            np.random.default_rng(6).normal(size=(1, 4, 6, 6, 3)), jnp.float32
+        )
+        got = np.asarray(jax.jit(lambda p, x: conv3d_ndhwc(p, x, causal=True, spatial_mode="zeros"))(p, x))
+
+        # Reference semantics in numpy: pad zeros spatially, replicate first
+        # frame temporally, then correlate.
+        xn = np.asarray(x).transpose(0, 4, 1, 2, 3)  # (B, C, T, H, W)
+        xn = np.pad(xn, [(0, 0), (0, 0), (0, 0), (1, 1), (1, 1)])
+        xn = np.concatenate([xn[:, :, :1]] * 2 + [xn], axis=2)
+        w = np.asarray(p["weight"])  # (out, in, kt, kh, kw)
+        b, c, t, h, wd = xn.shape
+        out = np.zeros((1, 5, 4, 6, 6), np.float32)
+        for ot in range(4):
+            for oh in range(6):
+                for ow in range(6):
+                    patch = xn[0, :, ot : ot + 3, oh : oh + 3, ow : ow + 3]
+                    out[0, :, ot, oh, ow] = np.tensordot(
+                        w, patch, axes=([1, 2, 3, 4], [0, 1, 2, 3])
+                    )
+        np.testing.assert_allclose(got, out.transpose(0, 2, 3, 4, 1), atol=1e-4)
+
+
+class TestDecoder:
+    def test_shapes_and_finite(self):
+        cfg = TINY_DECODER
+        params = tiny_decoder_params()
+        latent = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 3, 4, 4))
+        fn = jax.jit(
+            lambda p, z, k: video_decoder_apply(p, cfg, z, timestep=0.05, noise_key=k)
+        )
+        out = fn(params, latent, jax.random.PRNGKey(2))
+        # Temporal: 3 -> d2s x2 trim -> 5. Spatial: 4 -> 8 (d2s) -> 16 (patch 2).
+        assert out.shape == (1, 3, 5, 16, 16)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_timestep_changes_output(self):
+        cfg = TINY_DECODER
+        params = tiny_decoder_params()
+        latent = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 2, 4, 4))
+        fn = jax.jit(
+            lambda p, z, t: video_decoder_apply(p, cfg, z, timestep=t, noise_key=None)
+        )
+        o1 = fn(params, latent, 0.05)
+        o2 = fn(params, latent, 0.5)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_decode_latent_uint8(self):
+        cfg = TINY_DECODER
+        params = tiny_decoder_params()
+        latent = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 4, 4))
+        video = decode_latent(latent, params, cfg, key=jax.random.PRNGKey(0))
+        assert video.dtype == np.uint8
+        assert video.shape == (5, 16, 16, 3)
+
+    def test_chunked_matches_single_roughly(self):
+        """Chunked decode blends overlaps; interior frames match exactly."""
+        cfg = TINY_DECODER
+        params = tiny_decoder_params()
+        latent = jax.random.normal(jax.random.PRNGKey(1), (8, 9, 4, 4))
+        single = decode_latent(
+            latent, params, cfg, timestep=None, key=jax.random.PRNGKey(0)
+        )
+        chunked = decode_latent(
+            latent, params, cfg, timestep=None, key=jax.random.PRNGKey(0),
+            temporal_chunk_size=5, temporal_overlap=2,
+        )
+        assert single.shape == chunked.shape
+        # First chunk's non-overlap region is identical.
+        np.testing.assert_array_equal(single[:3], chunked[:3])
+
+    def test_latent_t_to_pixel_t(self):
+        assert latent_t_to_pixel_t(16) == (((16 * 2 - 1) * 2 - 1) * 2 - 1)
+
+
+class TestEncoder:
+    def test_shapes_and_frame_check(self):
+        cfg = TINY_ENCODER
+        params = jax.jit(lambda k: init_video_encoder(k, cfg))(jax.random.PRNGKey(0))
+        video = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 9, 16, 16))
+        fn = jax.jit(lambda p, v: video_encoder_apply(p, cfg, v))
+        out = fn(params, video)
+        # patchify 2 -> 8x8; one (2,2,2) down -> 4x4 spatial, temporal 9->pad10->5.
+        assert out.shape == (1, 8, 5, 4, 4)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+        with pytest.raises(ValueError, match="Invalid number of frames"):
+            video_encoder_apply(params, cfg, jnp.zeros((1, 3, 8, 16, 16)))
+
+
+class TestWeightsLoading:
+    def test_decoder_checkpoint_roundtrip(self, tmp_path):
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+        from ltx2_tpu.models.video_vae.weights import load_video_decoder_params
+
+        cfg = TINY_DECODER
+        params = tiny_decoder_params()
+
+        ckpt = {}
+        ckpt["vae.per_channel_statistics.mean-of-means"] = np.asarray(
+            params["per_channel_statistics"]["mean_of_means"]
+        )
+        ckpt["vae.per_channel_statistics.std-of-means"] = np.asarray(
+            params["per_channel_statistics"]["std_of_means"]
+        )
+        for name in ["conv_in", "conv_out"]:
+            ckpt[f"vae.decoder.{name}.conv.weight"] = np.asarray(params[name]["weight"])
+            ckpt[f"vae.decoder.{name}.conv.bias"] = np.asarray(params[name]["bias"])
+        ckpt["vae.decoder.last_scale_shift_table"] = np.asarray(
+            params["last_scale_shift_table"]
+        )
+        ckpt["vae.decoder.timestep_scale_multiplier"] = np.asarray(
+            params["timestep_scale_multiplier"]
+        )
+        for ln in ["linear_1", "linear_2"]:
+            for sfx in ["weight", "bias"]:
+                ckpt[
+                    f"vae.decoder.last_time_embedder.timestep_embedder.{ln}.{sfx}"
+                ] = np.asarray(params["last_time_embedder"][ln][sfx])
+        for i, (block, (kind, spec, _c)) in enumerate(
+            zip(params["up_blocks"], cfg.plan())
+        ):
+            if kind == "res":
+                for j, rb in enumerate(block["res_blocks"]):
+                    for cn in ["conv1", "conv2"]:
+                        ckpt[f"vae.decoder.up_blocks.{i}.res_blocks.{j}.{cn}.conv.weight"] = np.asarray(rb[cn]["weight"])
+                        ckpt[f"vae.decoder.up_blocks.{i}.res_blocks.{j}.{cn}.conv.bias"] = np.asarray(rb[cn]["bias"])
+                    ckpt[f"vae.decoder.up_blocks.{i}.res_blocks.{j}.scale_shift_table"] = np.asarray(rb["scale_shift_table"])
+                if "time_embedder" in block:
+                    for ln in ["linear_1", "linear_2"]:
+                        for sfx in ["weight", "bias"]:
+                            ckpt[f"vae.decoder.up_blocks.{i}.time_embedder.timestep_embedder.{ln}.{sfx}"] = np.asarray(block["time_embedder"][ln][sfx])
+            else:
+                ckpt[f"vae.decoder.up_blocks.{i}.conv.conv.weight"] = np.asarray(block["conv"]["weight"])
+                ckpt[f"vae.decoder.up_blocks.{i}.conv.conv.bias"] = np.asarray(block["conv"]["bias"])
+
+        path = str(tmp_path / "vae.safetensors")
+        write_safetensors(path, ckpt)
+        loaded = load_video_decoder_params(path, cfg)
+
+        latent = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 2, 4, 4))
+        fn = jax.jit(
+            lambda p, z: video_decoder_apply(p, cfg, z, timestep=0.05, noise_key=None)
+        )
+        np.testing.assert_allclose(
+            np.asarray(fn(params, latent)), np.asarray(fn(loaded, latent)), atol=1e-6
+        )
+
+    def test_config_from_metadata(self, tmp_path):
+        import json
+
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+        from ltx2_tpu.models.video_vae.weights import decoder_config_from_checkpoint
+
+        blocks = [
+            ["res_x", {"num_layers": 3}],
+            ["compress_all", {"multiplier": 2, "residual": True}],
+            ["res_x", {"num_layers": 3}],
+        ]
+        path = str(tmp_path / "m.safetensors")
+        write_safetensors(
+            path,
+            {"x": np.zeros(2, np.float32)},
+            metadata={"config": json.dumps({"vae": {"decoder_blocks": blocks}})},
+        )
+        cfg = decoder_config_from_checkpoint(path)
+        assert cfg.decoder_blocks == (
+            ("res_x", 3),
+            ("compress_all", 2, True),
+            ("res_x", 3),
+        )
