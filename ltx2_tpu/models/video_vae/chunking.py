@@ -65,9 +65,10 @@ def decode_latent(
     if temporal_chunk_size <= 0 or t_latent <= temporal_chunk_size:
         video = decode(params, latent, key)
     else:
-        total_pixel_frames = latent_t_to_pixel_t(t_latent)
+        n_up = cfg.num_temporal_upsamples
+        total_pixel_frames = latent_t_to_pixel_t(t_latent, n_up)
         stride = temporal_chunk_size - temporal_overlap
-        overlap_pixel_ref = latent_t_to_pixel_t(temporal_overlap)
+        overlap_pixel_ref = latent_t_to_pixel_t(temporal_overlap, n_up)
 
         chunks = []
         t = 0

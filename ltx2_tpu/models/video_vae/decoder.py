@@ -105,6 +105,14 @@ class VideoDecoderConfig:
         return plan
 
     @property
+    def num_temporal_upsamples(self) -> int:
+        return sum(
+            1
+            for entry in self.decoder_blocks
+            if entry[0] != "res_x" and _STRIDE_MAP[entry[0]][0] > 1
+        )
+
+    @property
     def final_channels(self) -> int:
         c = self.base_channels * 8
         for entry in self.decoder_blocks:

@@ -1,0 +1,156 @@
+"""Shared pipeline utilities.
+
+Capability parity with reference LTX_2_MLX/pipelines/common.py: image
+loading (aspect-preserving resize + center-crop), image -> latent-index
+conditionings, denoise-mask post-processing, and Modality construction with
+per-token timesteps = denoise_mask * sigma (common.py:193-232).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ltx2_tpu.conditioning.item import ConditioningItem
+from ltx2_tpu.conditioning.latent import VideoConditionByLatentIndex
+from ltx2_tpu.conditioning.tools import VideoLatentTools
+from ltx2_tpu.models.transformer.model import Modality
+from ltx2_tpu.types import LatentState
+
+
+@dataclass
+class ImageCondition:
+    image_path: str
+    frame_index: int
+    strength: float = 0.95
+
+
+def load_image_tensor(
+    image_path: str,
+    height: int,
+    width: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Load image -> (1, 3, 1, H, W) in [-1, 1] with aspect-preserving
+    resize + center crop (common.py:32-102)."""
+    from PIL import Image
+
+    if not os.path.exists(image_path):
+        raise FileNotFoundError(f"Image not found: {image_path}")
+    try:
+        img = Image.open(image_path)
+    except Exception as e:
+        raise ValueError(f"Failed to open image {image_path}: {e}")
+    if img.mode not in ["RGB", "RGBA", "L"]:
+        raise ValueError(
+            f"Unsupported image format: {img.mode}. Supported formats: RGB, RGBA, L"
+        )
+
+    img = img.convert("RGB")
+    src_w, src_h = img.size
+    target_aspect = width / height
+    src_aspect = src_w / src_h
+
+    if abs(src_aspect - target_aspect) < 0.01:
+        img = img.resize((width, height), Image.Resampling.LANCZOS)
+    else:
+        if src_aspect > target_aspect:
+            new_h = height
+            new_w = int(src_w * (height / src_h))
+        else:
+            new_w = width
+            new_h = int(src_h * (width / src_w))
+        img = img.resize((new_w, new_h), Image.Resampling.LANCZOS)
+        left = (new_w - width) // 2
+        top = (new_h - height) // 2
+        img = img.crop((left, top, left + width, top + height))
+
+    arr = np.asarray(img).astype(np.float32) / 127.5 - 1.0
+    arr = arr.transpose(2, 0, 1)[None, :, None]  # (1, C, 1, H, W)
+    return jnp.asarray(arr, dtype)
+
+
+def create_image_conditionings(
+    images: List[ImageCondition],
+    encode_fn,
+    height: int,
+    width: int,
+    dtype=jnp.float32,
+) -> List[ConditioningItem]:
+    """Encode images -> latent-index conditionings (common.py:105-146).
+
+    encode_fn: (1, 3, 1, H, W) pixel tensor -> (1, 128, 1, H/32, W/32)
+    latent (the jitted VAE encoder)."""
+    conditionings = []
+    for img_cond in images:
+        image_tensor = load_image_tensor(img_cond.image_path, height, width, dtype)
+        encoded = encode_fn(image_tensor)
+        conditionings.append(
+            VideoConditionByLatentIndex(
+                latent=encoded,
+                strength=img_cond.strength,
+                latent_idx=img_cond.frame_index,
+            )
+        )
+    return conditionings
+
+
+def apply_conditionings(
+    latent_state: LatentState,
+    conditionings: List[ConditioningItem],
+    video_tools: VideoLatentTools,
+) -> LatentState:
+    for conditioning in conditionings:
+        latent_state = conditioning.apply_to(latent_state, video_tools)
+    return latent_state
+
+
+def post_process_latent(
+    denoised: jnp.ndarray,
+    denoise_mask: jnp.ndarray,
+    clean_latent: jnp.ndarray,
+) -> jnp.ndarray:
+    """denoised*mask + clean*(1-mask) (common.py:169-190)."""
+    if denoise_mask.ndim == 2 and denoised.ndim == 3:
+        denoise_mask = denoise_mask[..., None]
+    mask = denoise_mask.astype(jnp.float32)
+    return (
+        denoised.astype(jnp.float32) * mask
+        + clean_latent.astype(jnp.float32) * (1 - mask)
+    ).astype(denoised.dtype)
+
+
+def timesteps_from_mask(denoise_mask: jnp.ndarray, sigma) -> jnp.ndarray:
+    """(B, N[, 1]) mask * sigma -> (B, N) per-token timesteps
+    (common.py:193-203)."""
+    t = denoise_mask.astype(jnp.float32) * sigma
+    if t.ndim == 3:
+        t = t[..., 0]
+    return t
+
+
+def modality_from_state(
+    state: LatentState,
+    context: jnp.ndarray,
+    sigma,
+) -> Modality:
+    """LatentState + context + sigma -> transformer Modality
+    (common.py:206-232). Works for both video and audio states."""
+    sigma_arr = jnp.asarray(sigma, jnp.float32).reshape(-1)
+    if sigma_arr.shape[0] != state.latent.shape[0]:
+        sigma_arr = jnp.broadcast_to(sigma_arr[:1], (state.latent.shape[0],))
+    return Modality(
+        latent=state.latent,
+        timesteps=timesteps_from_mask(state.denoise_mask, sigma),
+        positions=state.positions,
+        context=context,
+        context_mask=None,
+        sigma=sigma_arr,
+    )
+
+
+audio_modality_from_state = modality_from_state

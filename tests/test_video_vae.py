@@ -184,21 +184,23 @@ class TestDecoder:
         assert video.dtype == np.uint8
         assert video.shape == (5, 16, 16, 3)
 
-    def test_chunked_matches_single_roughly(self):
-        """Chunked decode blends overlaps; interior frames match exactly."""
+    def test_chunked_matches_single_causal(self):
+        """With CAUSAL decoding a chunk's output depends only on past latents,
+        so the first chunk's frames match the single pass exactly. (Non-causal
+        decoding bleeds chunk-boundary padding inward — approximate only.)"""
         cfg = TINY_DECODER
         params = tiny_decoder_params()
         latent = jax.random.normal(jax.random.PRNGKey(1), (8, 9, 4, 4))
         single = decode_latent(
-            latent, params, cfg, timestep=None, key=jax.random.PRNGKey(0)
+            latent, params, cfg, timestep=None, key=jax.random.PRNGKey(0), causal=True
         )
         chunked = decode_latent(
             latent, params, cfg, timestep=None, key=jax.random.PRNGKey(0),
-            temporal_chunk_size=5, temporal_overlap=2,
+            temporal_chunk_size=5, temporal_overlap=2, causal=True,
         )
         assert single.shape == chunked.shape
-        # First chunk's non-overlap region is identical.
-        np.testing.assert_array_equal(single[:3], chunked[:3])
+        # Frames before the first overlap ramp come solely from chunk 1.
+        np.testing.assert_array_equal(single[:4], chunked[:4])
 
     def test_latent_t_to_pixel_t(self):
         assert latent_t_to_pixel_t(16) == (((16 * 2 - 1) * 2 - 1) * 2 - 1)
