@@ -1,0 +1,370 @@
+"""Jitted denoise loops — the hot loop of every pipeline.
+
+Re-designs the reference's per-step Python dispatch
+(OneStagePipeline._denoise_loop_cfg, one_stage.py:224-332; _denoise_loop_
+heun :334-464; *_av variants :466-729) as ONE lax.scan over the sigma
+schedule, with the guidance passes folded into the BATCH axis:
+
+    row 0 = conditioned, row 1 = unconditioned (CFG), row 2 = STG-perturbed
+
+A single DiT forward per step serves all passes (the reference's batched-CFG
+trick, generate.py:62-66, generalized to STG via per-sample perturbation
+masks), and the rows shard over the mesh 'data' axis. RoPE tables are
+precomputed ONCE per generation and reused across all steps (hoisted out of
+the scan — the reference recomputes per forward).
+
+Supported: CFG / CFG* / APG guiders, STG with block lists and step cutoff,
+GE velocity momentum (one_stage.py:300-307), Euler and Heun samplers,
+late-block cross-attention scaling (one_stage.py:207-222), denoise-mask
+post-processing, joint audio-video loops with per-modality guidance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx2_tpu.components.guiders import CFGGuider
+from ltx2_tpu.components.perturbations import (
+    BatchedPerturbationConfig,
+    PerturbationConfig,
+    create_stg_perturbation,
+)
+from ltx2_tpu.models.transformer.model import (
+    LTXModelConfig,
+    Modality,
+    ltx_model_apply,
+)
+from ltx2_tpu.ops.rope import precompute_freqs_cis
+from ltx2_tpu.pipelines.common import modality_from_state, post_process_latent
+from ltx2_tpu.types import LatentState
+
+
+@dataclass(frozen=True)
+class DenoiseLoopConfig:
+    """Static configuration of a denoise loop (hashable -> one jit per cfg)."""
+
+    guider: object = CFGGuider(scale=1.0)  # video guidance
+    audio_guider: object = CFGGuider(scale=1.0)
+    stg_scale: float = 0.0
+    stg_blocks: Optional[Tuple[int, ...]] = None
+    stg_cutoff: float = 1.0
+    ge_gamma: float = 0.0
+    sampler: str = "euler"  # "euler" | "heun"
+    cross_attn_scale: float = 1.0
+    cross_attn_start_block: int = 40
+
+    @property
+    def need_cfg(self) -> bool:
+        return self.guider.enabled()
+
+    @property
+    def need_stg(self) -> bool:
+        return self.stg_scale != 0.0
+
+    @property
+    def rows(self) -> int:
+        return 1 + int(self.need_cfg) + int(self.need_stg)
+
+
+def _build_perturbations(
+    loop_cfg: DenoiseLoopConfig, batch: int
+) -> Optional[BatchedPerturbationConfig]:
+    """Per-row perturbation config: only the STG row skips self-attention."""
+    if not loop_cfg.need_stg:
+        return None
+    rows = []
+    for _ in range(batch - 1):
+        rows.append(PerturbationConfig.empty())
+    rows.append(
+        create_stg_perturbation(
+            skip_video_self_attn=True,
+            blocks=list(loop_cfg.stg_blocks) if loop_cfg.stg_blocks else None,
+        )
+    )
+    return BatchedPerturbationConfig(perturbations=tuple(rows))
+
+
+def _ca_scales(loop_cfg: DenoiseLoopConfig, num_layers: int) -> Optional[jnp.ndarray]:
+    if loop_cfg.cross_attn_scale == 1.0:
+        return None
+    scales = np.ones((num_layers,), np.float32)
+    scales[loop_cfg.cross_attn_start_block :] = loop_cfg.cross_attn_scale
+    return jnp.asarray(scales)
+
+
+def _tile_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    return jnp.concatenate([x] * rows, axis=0)
+
+
+def _precompute_video_pe(model_cfg: LTXModelConfig, positions: jnp.ndarray, rows: int):
+    """Hoist RoPE table computation out of the scan (one compute per
+    generation instead of per step per pass)."""
+    pe = precompute_freqs_cis(
+        indices_grid=_tile_rows(positions, rows),
+        dim=model_cfg.video_inner_dim,
+        out_dtype=jnp.float32,
+        theta=model_cfg.positional_embedding_theta,
+        max_pos=list(model_cfg.positional_embedding_max_pos),
+        use_middle_indices_grid=model_cfg.use_middle_indices_grid,
+        num_attention_heads=model_cfg.num_attention_heads,
+        rope_type=model_cfg.rope_type,
+        use_double_precision=model_cfg.use_rope_double_precision,
+    )
+    return pe
+
+
+def _combine_guidance(loop_cfg: DenoiseLoopConfig, outs, guider, stg_flag):
+    """Split batched rows -> guided prediction."""
+    idx = 1
+    pos = outs[0:1]
+    denoised = pos
+    if loop_cfg.need_cfg:
+        neg = outs[idx : idx + 1]
+        idx += 1
+        denoised = guider.guide(pos, neg)
+    if loop_cfg.need_stg:
+        perturbed = outs[idx : idx + 1]
+        delta = loop_cfg.stg_scale * (denoised - perturbed)
+        denoised = denoised + stg_flag * delta
+    return denoised
+
+
+def _ge_correct(loop_cfg, latent, denoised, sigma, prev_velocity, step_idx):
+    """GE velocity momentum (one_stage.py:300-307); carried across steps."""
+    if loop_cfg.ge_gamma <= 0:
+        return denoised, prev_velocity
+    current_velocity = (latent - denoised) / sigma
+    delta_v = current_velocity - prev_velocity
+    total_velocity = loop_cfg.ge_gamma * delta_v + prev_velocity
+    corrected = latent - total_velocity * sigma
+    denoised = jnp.where(step_idx > 0, corrected, denoised)
+    return denoised, current_velocity
+
+
+def _euler_step(latent, denoised, sigma, sigma_next):
+    velocity = (latent.astype(jnp.float32) - denoised.astype(jnp.float32)) / sigma
+    return (latent.astype(jnp.float32) + velocity * (sigma_next - sigma)).astype(
+        latent.dtype
+    )
+
+
+@lru_cache(maxsize=32)
+def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig):
+    """Build the jitted video-only denoise loop.
+
+    Returns fn(params, state: LatentState, sigmas (S+1,), pos_ctx, neg_ctx)
+    -> final LatentState. sigmas enter as a traced array — one compilation
+    serves every schedule of the same length.
+    """
+    rows = loop_cfg.rows
+    ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
+
+    def loop(params, state: LatentState, sigmas, pos_ctx, neg_ctx):
+        num_steps = sigmas.shape[0] - 1
+        batch = state.latent.shape[0]
+        assert batch == 1, "pipelines drive batch-1 states; rows carry CFG/STG"
+
+        contexts = [pos_ctx]
+        if loop_cfg.need_cfg:
+            contexts.append(neg_ctx)
+        if loop_cfg.need_stg:
+            contexts.append(pos_ctx)
+        context = jnp.concatenate(contexts, axis=0)
+
+        positions = _tile_rows(state.positions, rows)
+        video_pe = _precompute_video_pe(model_cfg, state.positions, rows)
+        perturb = _build_perturbations(loop_cfg, rows)
+
+        mask = state.denoise_mask
+        clean = state.clean_latent
+
+        # Per-step STG active flags (cutoff): static schedule length.
+        step_ids = jnp.arange(num_steps)
+        stg_flags = ((step_ids + 1) / num_steps <= loop_cfg.stg_cutoff).astype(
+            jnp.float32
+        )
+
+        def forward(latent, sigma):
+            tiled_state = LatentState(
+                latent=_tile_rows(latent, rows),
+                denoise_mask=_tile_rows(mask, rows),
+                positions=positions,
+                clean_latent=_tile_rows(clean, rows),
+            )
+            modality = modality_from_state(tiled_state, context, sigma)
+            from ltx2_tpu.models.transformer.model import x0_model_apply
+
+            return x0_model_apply(
+                params, model_cfg, video=modality,
+                perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
+            )
+
+        def step_fn(carry, xs):
+            latent, prev_velocity = carry
+            step_idx, sigma, sigma_next, stg_flag = xs
+
+            outs = forward(latent, sigma)
+            denoised = _combine_guidance(loop_cfg, outs, loop_cfg.guider, stg_flag)
+            denoised, prev_velocity = _ge_correct(
+                loop_cfg, latent, denoised, sigma, prev_velocity, step_idx
+            )
+            denoised = post_process_latent(denoised, mask, clean)
+
+            if loop_cfg.sampler == "heun":
+                predicted = _euler_step(latent, denoised, sigma, sigma_next)
+                outs2 = forward(predicted, sigma_next)
+                denoised2 = _combine_guidance(
+                    loop_cfg, outs2, loop_cfg.guider, stg_flag
+                )
+                denoised2 = post_process_latent(denoised2, mask, clean)
+                v1 = (latent.astype(jnp.float32) - denoised) / sigma
+                safe_next = jnp.where(sigma_next == 0, 1.0, sigma_next)
+                v2 = (predicted.astype(jnp.float32) - denoised2) / safe_next
+                heun_latent = (
+                    latent.astype(jnp.float32) + 0.5 * (v1 + v2) * (sigma_next - sigma)
+                ).astype(latent.dtype)
+                # Final step (sigma_next==0): take the denoised sample directly
+                # (one_stage.py:419-424).
+                new_latent = jnp.where(
+                    sigma_next == 0, denoised.astype(latent.dtype), heun_latent
+                )
+            else:
+                new_latent = _euler_step(latent, denoised, sigma, sigma_next)
+
+            return (new_latent, prev_velocity), None
+
+        init = (state.latent, jnp.zeros_like(state.latent, jnp.float32))
+        xs = (
+            step_ids.astype(jnp.float32),
+            sigmas[:-1].astype(jnp.float32),
+            sigmas[1:].astype(jnp.float32),
+            stg_flags,
+        )
+        (final_latent, _), _ = jax.lax.scan(step_fn, init, xs)
+        return state.replace(latent=final_latent)
+
+    return jax.jit(loop)
+
+
+@lru_cache(maxsize=32)
+def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig):
+    """Joint audio-video denoise loop (one_stage.py:466-729), batched rows.
+
+    Returns fn(params, video_state, audio_state, sigmas,
+               pos_v_ctx, neg_v_ctx, pos_a_ctx, neg_a_ctx)
+    -> (video_state, audio_state).
+    """
+    rows = loop_cfg.rows
+    ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
+
+    def loop(params, video_state, audio_state, sigmas, pos_v, neg_v, pos_a, neg_a):
+        num_steps = sigmas.shape[0] - 1
+
+        def stack_ctx(pos, neg):
+            ctxs = [pos]
+            if loop_cfg.need_cfg:
+                ctxs.append(neg)
+            if loop_cfg.need_stg:
+                ctxs.append(pos)
+            return jnp.concatenate(ctxs, axis=0)
+
+        v_ctx = stack_ctx(pos_v, neg_v)
+        a_ctx = stack_ctx(pos_a, neg_a)
+
+        v_positions = _tile_rows(video_state.positions, rows)
+        a_positions = _tile_rows(audio_state.positions, rows)
+        video_pe = _precompute_video_pe(model_cfg, video_state.positions, rows)
+        perturb = _build_perturbations(loop_cfg, rows)
+
+        v_mask, v_clean = video_state.denoise_mask, video_state.clean_latent
+        a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
+
+        step_ids = jnp.arange(num_steps)
+        stg_flags = ((step_ids + 1) / num_steps <= loop_cfg.stg_cutoff).astype(
+            jnp.float32
+        )
+
+        def forward(v_latent, a_latent, sigma):
+            from ltx2_tpu.models.transformer.model import x0_model_apply
+
+            v_state = LatentState(
+                latent=_tile_rows(v_latent, rows),
+                denoise_mask=_tile_rows(v_mask, rows),
+                positions=v_positions,
+                clean_latent=_tile_rows(v_clean, rows),
+            )
+            a_state = LatentState(
+                latent=_tile_rows(a_latent, rows),
+                denoise_mask=_tile_rows(a_mask, rows),
+                positions=a_positions,
+                clean_latent=_tile_rows(a_clean, rows),
+            )
+            return x0_model_apply(
+                params, model_cfg,
+                video=modality_from_state(v_state, v_ctx, sigma),
+                audio=modality_from_state(a_state, a_ctx, sigma),
+                perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
+            )
+
+        def step_fn(carry, xs):
+            v_latent, a_latent, prev_velocity = carry
+            step_idx, sigma, sigma_next, stg_flag = xs
+
+            v_outs, a_outs = forward(v_latent, a_latent, sigma)
+            v_denoised = _combine_guidance(loop_cfg, v_outs, loop_cfg.guider, stg_flag)
+            a_denoised = _combine_guidance(
+                loop_cfg, a_outs, loop_cfg.audio_guider, 0.0
+            )
+            v_denoised, prev_velocity = _ge_correct(
+                loop_cfg, v_latent, v_denoised, sigma, prev_velocity, step_idx
+            )
+            v_denoised = post_process_latent(v_denoised, v_mask, v_clean)
+            a_denoised = post_process_latent(a_denoised, a_mask, a_clean)
+
+            if loop_cfg.sampler == "heun":
+                v_pred = _euler_step(v_latent, v_denoised, sigma, sigma_next)
+                a_pred = _euler_step(a_latent, a_denoised, sigma, sigma_next)
+                v_outs2, a_outs2 = forward(v_pred, a_pred, sigma_next)
+                v_d2 = _combine_guidance(loop_cfg, v_outs2, loop_cfg.guider, stg_flag)
+                a_d2 = _combine_guidance(loop_cfg, a_outs2, loop_cfg.audio_guider, 0.0)
+                v_d2 = post_process_latent(v_d2, v_mask, v_clean)
+                a_d2 = post_process_latent(a_d2, a_mask, a_clean)
+                safe_next = jnp.where(sigma_next == 0, 1.0, sigma_next)
+
+                def heun(latent, d1, pred, d2):
+                    w1 = (latent.astype(jnp.float32) - d1) / sigma
+                    w2 = (pred.astype(jnp.float32) - d2) / safe_next
+                    out = (
+                        latent.astype(jnp.float32) + 0.5 * (w1 + w2) * (sigma_next - sigma)
+                    ).astype(latent.dtype)
+                    return jnp.where(sigma_next == 0, d1.astype(latent.dtype), out)
+
+                new_v = heun(v_latent, v_denoised, v_pred, v_d2)
+                new_a = heun(a_latent, a_denoised, a_pred, a_d2)
+            else:
+                new_v = _euler_step(v_latent, v_denoised, sigma, sigma_next)
+                new_a = _euler_step(a_latent, a_denoised, sigma, sigma_next)
+
+            return (new_v, new_a, prev_velocity), None
+
+        init = (
+            video_state.latent,
+            audio_state.latent,
+            jnp.zeros_like(video_state.latent, jnp.float32),
+        )
+        xs = (
+            step_ids.astype(jnp.float32),
+            sigmas[:-1].astype(jnp.float32),
+            sigmas[1:].astype(jnp.float32),
+            stg_flags,
+        )
+        (final_v, final_a, _), _ = jax.lax.scan(step_fn, init, xs)
+        return video_state.replace(latent=final_v), audio_state.replace(latent=final_a)
+
+    return jax.jit(loop)

@@ -1,0 +1,325 @@
+"""Single-stage CFG text/image-to-video pipeline.
+
+Capability parity with reference LTX_2_MLX/pipelines/one_stage.py
+(OneStagePipeline, one_stage.py:113-1011): LTX2Scheduler sigmas, CFG/CFG*
+(or guider override e.g. APG), optional STG extra pass, GE velocity
+correction, Euler or Heun sampling, image conditioning by latent
+replacement, optional joint audio-video generation, late-block cross-attn
+scaling, temporal-upscaler hook, and auto-tiled VAE decode.
+
+TPU-first: the entire denoise loop is one jitted lax.scan (denoise.py);
+CFG/STG ride the batch axis. The pipeline object holds params + static
+configs and orchestrates host-side phases (conditioning, decode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx2_tpu.components import (
+    CFGGuider,
+    CFGStarRescalingGuider,
+    GaussianNoiser,
+    LTX2Scheduler,
+    AudioPatchifier,
+    VideoLatentPatchifier,
+)
+from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
+from ltx2_tpu.models.transformer.model import LTXModelConfig, LTXModelType
+from ltx2_tpu.models.video_vae import (
+    TilingConfig,
+    VideoDecoderConfig,
+    VideoEncoderConfig,
+    decode_latent,
+    decode_tiled,
+    video_decoder_apply,
+    video_encoder_apply,
+)
+from ltx2_tpu.pipelines.common import (
+    ImageCondition,
+    apply_conditionings,
+    create_image_conditionings,
+)
+from ltx2_tpu.pipelines.denoise import (
+    DenoiseLoopConfig,
+    make_av_denoise_loop,
+    make_video_denoise_loop,
+)
+from ltx2_tpu.types import (
+    AudioLatentShape,
+    VideoLatentShape,
+    VideoPixelShape,
+)
+
+
+@dataclass
+class OneStageCFGConfig:
+    """Pipeline configuration (one_stage.py:52-110)."""
+
+    height: int = 480
+    width: int = 704
+    num_frames: int = 97  # must be 8k + 1
+
+    seed: int = 42
+    fps: float = 24.0
+    num_inference_steps: int = 30
+
+    cfg_scale: float = 3.0
+    audio_cfg_scale: float = 7.0
+    rescale_scale: float = 0.7
+
+    tiling_config: Optional[TilingConfig] = None
+
+    dtype: str = "float32"
+
+    audio_enabled: bool = False
+    use_internal_audio_branch: bool = True
+    audio_vae_channels: int = 8
+    audio_mel_bins: int = 16
+    audio_sample_rate: int = 16000
+    audio_hop_length: int = 160
+    audio_downsample_factor: int = 4
+    audio_output_sample_rate: int = 24000
+
+    latent_channels: int = 128
+
+    def __post_init__(self):
+        if self.num_frames % 8 != 1:
+            raise ValueError(
+                f"num_frames must be 8*k + 1, got {self.num_frames}. "
+                f"Valid values: 1, 9, 17, 25, 33, ..., 121"
+            )
+        if self.height % 32 != 0 or self.width % 32 != 0:
+            raise ValueError(
+                f"Resolution ({self.height}x{self.width}) "
+                f"must be divisible by 32 for single-stage pipeline."
+            )
+
+    def effective_tiling(self) -> Optional[TilingConfig]:
+        """Auto-enable tiling above ~4000 latent voxels (one_stage.py:74-84)."""
+        if self.tiling_config is not None:
+            return self.tiling_config
+        latent_frames = (self.num_frames - 1) // 8 + 1
+        if latent_frames * (self.height // 32) * (self.width // 32) > 4000:
+            return TilingConfig.default()
+        return None
+
+
+class OneStagePipeline:
+    """Single-stage CFG pipeline over functional params."""
+
+    def __init__(
+        self,
+        transformer_params,
+        transformer_cfg: LTXModelConfig,
+        video_encoder_params=None,
+        video_encoder_cfg: Optional[VideoEncoderConfig] = None,
+        video_decoder_params=None,
+        video_decoder_cfg: Optional[VideoDecoderConfig] = None,
+        audio_decoder_params=None,
+        audio_decoder_cfg=None,
+        vocoder_params=None,
+        vocoder_cfg=None,
+    ):
+        self.transformer_params = transformer_params
+        self.transformer_cfg = transformer_cfg
+        self.video_encoder_params = video_encoder_params
+        self.video_encoder_cfg = video_encoder_cfg
+        self.video_decoder_params = video_decoder_params
+        self.video_decoder_cfg = video_decoder_cfg
+        self.audio_decoder_params = audio_decoder_params
+        self.audio_decoder_cfg = audio_decoder_cfg
+        self.vocoder_params = vocoder_params
+        self.vocoder_cfg = vocoder_cfg
+
+        self.is_av_model = transformer_cfg.model_type == LTXModelType.AudioVideo
+        self.patchifier = VideoLatentPatchifier(patch_size=1)
+        self.audio_patchifier = AudioPatchifier(patch_size=1)
+        self.scheduler = LTX2Scheduler()
+
+    # -- helpers -----------------------------------------------------------
+    def _encode_image(self, image_tensor: jnp.ndarray) -> jnp.ndarray:
+        if self.video_encoder_params is None:
+            raise ValueError("video encoder required for image conditioning")
+        fn = jax.jit(
+            lambda p, x: video_encoder_apply(p, self.video_encoder_cfg, x)
+        )
+        return fn(self.video_encoder_params, image_tensor)
+
+    def _decode_video(self, latent: jnp.ndarray, config: OneStageCFGConfig, key):
+        tiling = config.effective_tiling()
+        if tiling is not None:
+            decoder_fn = lambda tile, timestep=0.05: video_decoder_apply(  # noqa: E731
+                self.video_decoder_params, self.video_decoder_cfg, tile,
+                timestep=timestep, noise_key=key,
+            )
+            chunks = list(decode_tiled(latent, jax.jit(decoder_fn), tiling))
+            video = chunks[0] if len(chunks) == 1 else np.concatenate(chunks, axis=2)
+            video = np.clip((video + 1) / 2, 0, 1) * 255
+            return video.astype(np.uint8)[0].transpose(1, 2, 3, 0)
+        return decode_latent(
+            latent, self.video_decoder_params, self.video_decoder_cfg, key=key
+        )
+
+    def _decode_audio(self, audio_latent: jnp.ndarray) -> jnp.ndarray:
+        if self.audio_decoder_params is None or self.vocoder_params is None:
+            raise ValueError("Audio decoder and vocoder required for audio decoding")
+        from ltx2_tpu.models.audio_vae import audio_decoder_apply, vocoder_apply
+
+        mel = jax.jit(
+            lambda p, z: audio_decoder_apply(p, self.audio_decoder_cfg, z)
+        )(self.audio_decoder_params, audio_latent)
+        return vocoder_apply(self.vocoder_params, self.vocoder_cfg, mel)
+
+    # -- main --------------------------------------------------------------
+    def __call__(
+        self,
+        positive_encoding: jnp.ndarray,
+        negative_encoding: jnp.ndarray,
+        config: OneStageCFGConfig,
+        images: Optional[List[ImageCondition]] = None,
+        callback: Optional[Callable[[int, int], None]] = None,
+        positive_audio_encoding: Optional[jnp.ndarray] = None,
+        negative_audio_encoding: Optional[jnp.ndarray] = None,
+        stg_scale: float = 0.0,
+        stg_blocks: Optional[List[int]] = None,
+        stg_cutoff: float = 1.0,
+        guider_override=None,
+        ge_gamma: float = 0.0,
+        sampler: str = "euler",
+        temporal_upscaler: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+        cross_attn_scale: float = 1.0,
+        cross_attn_start_block: int = 40,
+        skip_decode: bool = False,
+    ) -> Tuple[np.ndarray, Optional[jnp.ndarray]]:
+        images = images or []
+        internal_audio_active = self.is_av_model and (
+            config.use_internal_audio_branch or config.audio_enabled
+        )
+        if (config.audio_enabled or internal_audio_active) and (
+            positive_audio_encoding is None or negative_audio_encoding is None
+        ):
+            raise ValueError(
+                "Audio encoding required for AudioVideo generation. "
+                "Provide positive_audio_encoding and negative_audio_encoding."
+            )
+
+        key = jax.random.PRNGKey(config.seed)
+        key, noise_key, audio_noise_key, decode_key = jax.random.split(key, 4)
+        noiser = GaussianNoiser()
+
+        if guider_override is not None:
+            video_guider = guider_override
+        elif config.rescale_scale > 0:
+            video_guider = CFGStarRescalingGuider(scale=config.cfg_scale)
+        else:
+            video_guider = CFGGuider(scale=config.cfg_scale)
+        if config.rescale_scale > 0:
+            audio_guider = CFGStarRescalingGuider(scale=config.audio_cfg_scale)
+        else:
+            audio_guider = CFGGuider(scale=config.audio_cfg_scale)
+
+        pixel_shape = VideoPixelShape(
+            batch=1, frames=config.num_frames,
+            height=config.height, width=config.width, fps=config.fps,
+        )
+        latent_shape = VideoLatentShape.from_pixel_shape(
+            pixel_shape, latent_channels=config.latent_channels
+        )
+        video_tools = VideoLatentTools(
+            patchifier=self.patchifier, target_shape=latent_shape, fps=config.fps
+        )
+
+        conditionings = create_image_conditionings(
+            images, self._encode_image, config.height, config.width, jnp.dtype(config.dtype)
+        )
+
+        video_state = video_tools.create_initial_state(dtype=jnp.dtype(config.dtype))
+        video_state = apply_conditionings(video_state, conditionings, video_tools)
+
+        sigmas = jnp.asarray(
+            self.scheduler.execute(
+                steps=config.num_inference_steps, tokens=latent_shape.tokens
+            )
+        )
+        video_state = noiser(noise_key, video_state, noise_scale=1.0)
+
+        loop_cfg = DenoiseLoopConfig(
+            guider=video_guider,
+            audio_guider=audio_guider,
+            stg_scale=stg_scale,
+            stg_blocks=tuple(stg_blocks) if stg_blocks else None,
+            stg_cutoff=stg_cutoff,
+            ge_gamma=ge_gamma,
+            sampler=sampler,
+            cross_attn_scale=cross_attn_scale,
+            cross_attn_start_block=cross_attn_start_block,
+        )
+
+        audio_state = None
+        audio_tools = None
+        if internal_audio_active:
+            audio_shape = AudioLatentShape.from_video_pixel_shape(
+                pixel_shape,
+                channels=config.audio_vae_channels,
+                mel_bins=config.audio_mel_bins,
+                sample_rate=config.audio_sample_rate,
+                hop_length=config.audio_hop_length,
+                audio_latent_downsample_factor=config.audio_downsample_factor,
+            )
+            audio_tools = AudioLatentTools(
+                patchifier=self.audio_patchifier, target_shape=audio_shape
+            )
+            audio_state = audio_tools.create_initial_state(dtype=jnp.dtype(config.dtype))
+            audio_state = noiser(audio_noise_key, audio_state, noise_scale=1.0)
+
+            loop = make_av_denoise_loop(self.transformer_cfg, loop_cfg)
+            video_state, audio_state = loop(
+                self.transformer_params, video_state, audio_state, sigmas,
+                positive_encoding, negative_encoding,
+                positive_audio_encoding, negative_audio_encoding,
+            )
+        else:
+            loop = make_video_denoise_loop(self.transformer_cfg, loop_cfg)
+            video_state = loop(
+                self.transformer_params, video_state, sigmas,
+                positive_encoding, negative_encoding,
+            )
+        if callback:
+            callback(config.num_inference_steps, config.num_inference_steps)
+
+        video_state = video_tools.clear_conditioning(video_state)
+        video_state = video_tools.unpatchify(video_state)
+        final_video_latent = video_state.latent
+
+        if temporal_upscaler is not None:
+            stats = self.video_decoder_params["per_channel_statistics"]
+            std = stats["std_of_means"].reshape(1, -1, 1, 1, 1)
+            mean = stats["mean_of_means"].reshape(1, -1, 1, 1, 1)
+            latent_unnorm = final_video_latent * std + mean
+            latent_upscaled = temporal_upscaler(latent_unnorm)
+            final_video_latent = (latent_upscaled - mean) / std
+
+        if skip_decode:
+            return np.asarray(final_video_latent), (
+                np.asarray(audio_state.latent) if audio_state is not None else None
+            )
+
+        video = self._decode_video(final_video_latent, config, decode_key)
+
+        audio_waveform = None
+        if config.audio_enabled and audio_state is not None and audio_tools is not None:
+            audio_state = audio_tools.clear_conditioning(audio_state)
+            audio_state = audio_tools.unpatchify(audio_state)
+            audio_waveform = self._decode_audio(audio_state.latent)
+
+        return video, audio_waveform
+
+
+def create_one_stage_pipeline(**kwargs) -> OneStagePipeline:
+    return OneStagePipeline(**kwargs)

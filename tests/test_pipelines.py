@@ -1,0 +1,261 @@
+"""Pipeline tests: config validation, jitted denoise loop semantics, and a
+tiny end-to-end one-stage run (random weights).
+
+Mirrors reference tests/test_pipelines.py strategy (config validation +
+mock-pipeline shape/seed/CFG preparation without weights, SURVEY.md §4).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+from ltx2_tpu.conditioning.tools import VideoLatentTools
+from ltx2_tpu.models.transformer.model import LTXModelType
+from ltx2_tpu.pipelines.common import (
+    modality_from_state,
+    post_process_latent,
+    timesteps_from_mask,
+)
+from ltx2_tpu.pipelines.denoise import (
+    DenoiseLoopConfig,
+    make_av_denoise_loop,
+    make_video_denoise_loop,
+)
+from ltx2_tpu.pipelines.one_stage import OneStageCFGConfig, OneStagePipeline
+from ltx2_tpu.types import LatentState, VideoLatentShape
+from tests.helpers import cached_params
+from tests.test_dit import tiny_config
+from tests.test_video_vae import TINY_DECODER, TINY_ENCODER, tiny_decoder_params
+
+
+def make_state(cfg, frames=2, height=2, width=3, key=0):
+    shape = VideoLatentShape(
+        batch=1, channels=cfg.in_channels, frames=frames, height=height, width=width
+    )
+    tools = VideoLatentTools(
+        patchifier=VideoLatentPatchifier(patch_size=1), target_shape=shape, fps=24.0
+    )
+    state = tools.create_initial_state()
+    return GaussianNoiser()(jax.random.PRNGKey(key), state, 1.0), tools
+
+
+class TestConfig:
+    def test_frame_validation(self):
+        with pytest.raises(ValueError, match="num_frames"):
+            OneStageCFGConfig(num_frames=10)
+        OneStageCFGConfig(num_frames=9, height=64, width=64)
+
+    def test_resolution_validation(self):
+        with pytest.raises(ValueError, match="divisible by 32"):
+            OneStageCFGConfig(num_frames=9, height=100, width=64)
+
+    def test_auto_tiling(self):
+        small = OneStageCFGConfig(num_frames=9, height=64, width=64)
+        assert small.effective_tiling() is None
+        big = OneStageCFGConfig(num_frames=121, height=512, width=768)
+        assert big.effective_tiling() is not None
+
+
+class TestCommon:
+    def test_post_process_blend(self):
+        denoised = jnp.full((1, 4, 2), 2.0)
+        clean = jnp.zeros((1, 4, 2))
+        mask = jnp.asarray([[1.0, 1.0, 0.0, 0.5]])
+        out = np.asarray(post_process_latent(denoised, mask, clean))
+        np.testing.assert_allclose(out[0, :, 0], [2.0, 2.0, 0.0, 1.0])
+
+    def test_timesteps_from_mask(self):
+        mask = jnp.asarray([[1.0, 0.0, 0.5]])[..., None]
+        t = timesteps_from_mask(mask, 0.8)
+        np.testing.assert_allclose(np.asarray(t), [[0.8, 0.0, 0.4]])
+
+    def test_modality_from_state(self):
+        cfg = tiny_config()
+        state, _ = make_state(cfg)
+        m = modality_from_state(state, jnp.zeros((1, 5, 24)), 0.7)
+        assert m.timesteps.shape == (1, 12)
+        np.testing.assert_allclose(np.asarray(m.sigma), [0.7])
+
+
+class TestDenoiseLoop:
+    def test_no_cfg_reaches_denoised(self):
+        """With sigma schedule ending at 0, final latent is finite and
+        differs from initial noise."""
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, _ = make_state(cfg)
+        loop = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(1.0)))
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+        out = loop(params, state, sigmas, ctx, ctx)
+        assert out.latent.shape == state.latent.shape
+        assert bool(jnp.all(jnp.isfinite(out.latent)))
+        assert not np.allclose(np.asarray(out.latent), np.asarray(state.latent))
+
+    def test_cfg_changes_output(self):
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, _ = make_state(cfg)
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        pos = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.caption_channels))
+        base = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(1.0)))(
+            params, state, sigmas, pos, neg
+        )
+        cfg_out = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(4.0)))(
+            params, state, sigmas, pos, neg
+        )
+        assert not np.allclose(np.asarray(base.latent), np.asarray(cfg_out.latent))
+
+    def test_cfg_same_context_equals_no_cfg(self):
+        """CFG with identical pos/neg context must reduce to no guidance."""
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, _ = make_state(cfg)
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+        no_cfg = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(1.0)))(
+            params, state, sigmas, ctx, ctx
+        )
+        with_cfg = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(3.0)))(
+            params, state, sigmas, ctx, ctx
+        )
+        np.testing.assert_allclose(
+            np.asarray(no_cfg.latent), np.asarray(with_cfg.latent), atol=2e-4
+        )
+
+    def test_stg_changes_output(self):
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, _ = make_state(cfg)
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+        base = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(1.0)))(
+            params, state, sigmas, ctx, ctx
+        )
+        stg = make_video_denoise_loop(
+            cfg, DenoiseLoopConfig(guider=CFGGuider(1.0), stg_scale=2.0)
+        )(params, state, sigmas, ctx, ctx)
+        assert not np.allclose(np.asarray(base.latent), np.asarray(stg.latent))
+
+    def test_heun_sampler_runs(self):
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, _ = make_state(cfg)
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+        out = make_video_denoise_loop(
+            cfg, DenoiseLoopConfig(guider=CFGGuider(1.0), sampler="heun")
+        )(params, state, sigmas, ctx, ctx)
+        assert bool(jnp.all(jnp.isfinite(out.latent)))
+
+    def test_mask_freezes_conditioned_tokens(self):
+        """Tokens with denoise_mask=0 must keep their clean values."""
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, _ = make_state(cfg)
+        clean_vals = jax.random.normal(jax.random.PRNGKey(7), state.latent.shape)
+        mask = state.denoise_mask.at[:, :4].set(0.0)
+        frozen = LatentState(
+            latent=jnp.where(mask > 0, state.latent, clean_vals),
+            denoise_mask=mask,
+            positions=state.positions,
+            clean_latent=clean_vals,
+        )
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+        out = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(1.0)))(
+            params, frozen, sigmas, ctx, ctx
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.latent[:, :4]), np.asarray(clean_vals[:, :4]), atol=1e-4
+        )
+
+    def test_av_loop(self):
+        from tests.test_dit import make_audio_modality
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = cached_params(cfg)
+        v_state, _ = make_state(cfg)
+        from ltx2_tpu.components import AudioPatchifier
+        from ltx2_tpu.conditioning.tools import AudioLatentTools
+        from ltx2_tpu.types import AudioLatentShape
+
+        a_shape = AudioLatentShape(batch=1, channels=2, frames=4, mel_bins=4)
+        a_tools = AudioLatentTools(
+            patchifier=AudioPatchifier(patch_size=4), target_shape=a_shape
+        )
+        a_state = GaussianNoiser()(
+            jax.random.PRNGKey(3), a_tools.create_initial_state(), 1.0
+        )
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        v_ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+        a_ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.caption_channels))
+        loop = make_av_denoise_loop(
+            cfg, DenoiseLoopConfig(guider=CFGGuider(2.0), audio_guider=CFGGuider(3.0))
+        )
+        v_out, a_out = loop(params, v_state, a_state, sigmas, v_ctx, v_ctx, a_ctx, a_ctx)
+        assert v_out.latent.shape == v_state.latent.shape
+        assert a_out.latent.shape == a_state.latent.shape
+        assert bool(jnp.all(jnp.isfinite(v_out.latent)))
+        assert bool(jnp.all(jnp.isfinite(a_out.latent)))
+
+
+class TestOneStageEndToEnd:
+    def test_tiny_generation(self):
+        """Full pipeline on tiny configs: text ctx -> denoise -> VAE decode."""
+        dit_cfg = tiny_config(in_channels=8, out_channels=8)
+        pipeline = OneStagePipeline(
+            transformer_params=cached_params(dit_cfg),
+            transformer_cfg=dit_cfg,
+            video_decoder_params=tiny_decoder_params(),
+            video_decoder_cfg=TINY_DECODER,
+        )
+        config = OneStageCFGConfig(
+            height=64, width=96, num_frames=9,
+            num_inference_steps=2, cfg_scale=2.0, rescale_scale=0.0,
+            latent_channels=8,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        video, audio = pipeline(pos, neg, config)
+        # latent 2x2x3 -> decode: T 2*2-1=3, H 2*4=8, W 3*4=12
+        assert video.shape == (3, 8, 12, 3)
+        assert video.dtype == np.uint8
+        assert audio is None
+
+    def test_seed_determinism(self):
+        dit_cfg = tiny_config(in_channels=8, out_channels=8)
+        pipeline = OneStagePipeline(
+            transformer_params=cached_params(dit_cfg),
+            transformer_cfg=dit_cfg,
+            video_decoder_params=tiny_decoder_params(),
+            video_decoder_cfg=TINY_DECODER,
+        )
+        config = OneStageCFGConfig(
+            height=64, width=96, num_frames=9,
+            num_inference_steps=2, cfg_scale=1.0, rescale_scale=0.0,
+            latent_channels=8,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        v1, _ = pipeline(pos, pos, config)
+        v2, _ = pipeline(pos, pos, config)
+        np.testing.assert_array_equal(v1, v2)
+
+    def test_skip_decode_returns_latent(self):
+        dit_cfg = tiny_config(in_channels=8, out_channels=8)
+        pipeline = OneStagePipeline(
+            transformer_params=cached_params(dit_cfg), transformer_cfg=dit_cfg
+        )
+        config = OneStageCFGConfig(
+            height=64, width=96, num_frames=9,
+            num_inference_steps=2, cfg_scale=1.0, rescale_scale=0.0,
+            latent_channels=8,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent, _ = pipeline(pos, pos, config, skip_decode=True)
+        assert latent.shape == (1, 8, 2, 2, 3)
