@@ -46,12 +46,15 @@ def apply_interleaved_rotary_emb(
 ) -> jnp.ndarray:
     """Pair-rotation RoPE: pairs (d0,d1),(d2,d3),... rotate together
     (rope.py:51-89). One fused elementwise chain under XLA."""
-    shape = input_tensor.shape
-    pairs = input_tensor.reshape(*shape[:-1], shape[-1] // 2, 2)
+    dtype = input_tensor.dtype
+    x = input_tensor.astype(jnp.float32)
+    shape = x.shape
+    pairs = x.reshape(*shape[:-1], shape[-1] // 2, 2)
     t1 = pairs[..., 0]
     t2 = pairs[..., 1]
     rotated = jnp.stack([-t2, t1], axis=-1).reshape(shape)
-    return input_tensor * cos_freqs + rotated * sin_freqs
+    out = x * cos_freqs.astype(jnp.float32) + rotated * sin_freqs.astype(jnp.float32)
+    return out.astype(dtype)
 
 
 def apply_split_rotary_emb(
@@ -61,14 +64,19 @@ def apply_split_rotary_emb(
 ) -> jnp.ndarray:
     """Half-rotation RoPE: first half rotates with second half
     (rope.py:92-144). cos/sin are (B, H, T, D/2)."""
+    dtype = input_tensor.dtype
+    x = input_tensor.astype(jnp.float32)
+    cos_freqs = cos_freqs.astype(jnp.float32)
+    sin_freqs = sin_freqs.astype(jnp.float32)
+
     needs_reshape = False
-    if input_tensor.ndim != 4 and cos_freqs.ndim == 4:
+    if x.ndim != 4 and cos_freqs.ndim == 4:
         b, h, t, _ = cos_freqs.shape
-        input_tensor = input_tensor.reshape(b, t, h, -1).transpose(0, 2, 1, 3)
+        x = x.reshape(b, t, h, -1).transpose(0, 2, 1, 3)
         needs_reshape = True
 
-    dim = input_tensor.shape[-1]
-    split = input_tensor.reshape(*input_tensor.shape[:-1], 2, dim // 2)
+    dim = x.shape[-1]
+    split = x.reshape(*x.shape[:-1], 2, dim // 2)
     first = split[..., 0, :]
     second = split[..., 1, :]
 
@@ -81,7 +89,7 @@ def apply_split_rotary_emb(
     if needs_reshape:
         b, h, t, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
-    return out
+    return out.astype(dtype)
 
 
 @lru_cache(maxsize=8)

@@ -1,0 +1,79 @@
+"""Tensor-parallel sharding rules for the DiT param tree.
+
+New TPU-first design (the reference has no distributed runtime, SURVEY.md
+§2.12). Strategy: Megatron-style TP over the mesh 'model' axis —
+column-parallel QKV/FFN-in (out-features sharded), row-parallel
+out-projections (in-features sharded) — with GSPMD propagating activation
+shardings and inserting the all-reduces over ICI. The CFG/STG row batch
+shards over 'data'. One code path serves 1 chip and any slice.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ltx2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+# (regex over '/'-joined tree path, PartitionSpec) — first match wins.
+# Block leaves carry a leading layer axis (lax.scan layout), hence the
+# leading None in every transformer_blocks spec.
+DIT_SHARDING_RULES: List[Tuple[str, P]] = [
+    # Column-parallel: shard out-features of QKV / gate / FFN-in.
+    (r"transformer_blocks/.*(to_q|to_k|to_v)/weight$", P(None, MODEL_AXIS, None)),
+    (r"transformer_blocks/.*(to_q|to_k|to_v)/bias$", P(None, MODEL_AXIS)),
+    (r"transformer_blocks/.*to_gate_logits/weight$", P(None, MODEL_AXIS, None)),
+    (r"transformer_blocks/.*to_gate_logits/bias$", P(None, MODEL_AXIS)),
+    (r"transformer_blocks/.*project_in/proj/weight$", P(None, MODEL_AXIS, None)),
+    (r"transformer_blocks/.*project_in/proj/bias$", P(None, MODEL_AXIS)),
+    (r"transformer_blocks/.*w_(up|gate)/weight$", P(None, MODEL_AXIS, None)),
+    # Row-parallel: shard in-features of the output projections.
+    (r"transformer_blocks/.*to_out/weight$", P(None, None, MODEL_AXIS)),
+    (r"transformer_blocks/.*project_out/weight$", P(None, None, MODEL_AXIS)),
+    (r"transformer_blocks/.*w_down/weight$", P(None, None, MODEL_AXIS)),
+    # Q/K norms act on the sharded inner dim.
+    (r"transformer_blocks/.*(q_norm|k_norm)/weight$", P(None, MODEL_AXIS)),
+    # Everything else (AdaLN tables, biases of row-parallel layers, top-level
+    # projections, timestep MLPs) replicates.
+]
+
+
+def path_to_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def spec_for_path(path_str: str) -> P:
+    for pattern, spec in DIT_SHARDING_RULES:
+        if re.search(pattern, path_str):
+            return spec
+    return P()
+
+
+def dit_param_shardings(mesh: Mesh, params) -> Dict:
+    """Pytree of NamedShardings matching `params` structure."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for_path(path_to_str(path))),
+        params,
+    )
+
+
+def shard_dit_params(mesh: Mesh, params):
+    """Place the DiT param tree on the mesh according to the TP rules."""
+    shardings = dit_param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch-axis (CFG rows / samples) sharding for an activation tensor."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

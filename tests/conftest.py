@@ -3,32 +3,37 @@
 Mirrors the reference's marker-by-path convention (reference:
 tests/conftest.py:106-117) and adds the TPU-build-specific virtual mesh so
 TP/SP/DP shardings are exercised without real multi-chip hardware.
+
+NOTE: this environment's sitecustomize imports jax (and registers the
+tunneled 'axon' TPU backend) BEFORE conftest runs, so env vars like
+JAX_PLATFORMS/XLA_FLAGS are snapshot too early to matter. We therefore
+configure through jax.config.update, which takes effect as long as no
+backend has been initialized yet.
 """
 
 import os
 
-# Must be set before jax import. Force CPU: the ambient environment sets
-# JAX_PLATFORMS=axon (a tunneled TPU), which would make every test dispatch
-# over the network.
-os.environ["JAX_PLATFORMS"] = "cpu"
-# Avoid routing XLA compiles through the TPU tunnel plugin.
 os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags += " --xla_force_host_platform_device_count=8"
 # Parallel LLVM codegen thrashes on low-core machines (100s+ cold compiles).
+flags = os.environ.get("XLA_FLAGS", "")
 if "xla_cpu_parallel_codegen_split_count" not in flags:
-    flags += " --xla_cpu_parallel_codegen_split_count=1"
-os.environ["XLA_FLAGS"] = flags.strip()
+    os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: amortizes XLA compiles across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+assert jax.devices()[0].platform == "cpu", (
+    f"tests must run on CPU, got {jax.devices()}"
+)
+assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.devices())}"
 
 
 def pytest_collection_modifyitems(config, items):

@@ -1,0 +1,105 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The TPU-build equivalent of distributed tests the reference lacks
+(SURVEY.md §4): TP-sharded DiT forward must match the unsharded result.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ltx2_tpu.parallel.mesh import create_mesh
+from ltx2_tpu.parallel.sharding import (
+    dit_param_shardings,
+    shard_dit_params,
+    spec_for_path,
+)
+from tests.helpers import cached_params, jitted_forward
+from tests.test_dit import make_video_modality, tiny_config
+
+
+pytestmark = pytest.mark.multichip
+
+
+def mesh_config():
+    # heads=4 so the model axis (4) divides head-sharded dims;
+    # cross_attention_dim must equal inner_dim (caption projection output).
+    return tiny_config(
+        num_attention_heads=4, attention_head_dim=16, cross_attention_dim=64
+    )
+
+
+class TestRules:
+    def test_qkv_column_parallel(self):
+        assert spec_for_path("transformer_blocks/attn1/to_q/weight") == P(
+            None, "model", None
+        )
+
+    def test_out_row_parallel(self):
+        assert spec_for_path("transformer_blocks/attn1/to_out/weight") == P(
+            None, None, "model"
+        )
+        # Row-parallel bias replicates (added after the all-reduce).
+        assert spec_for_path("transformer_blocks/attn1/to_out/bias") == P()
+
+    def test_tables_replicated(self):
+        assert spec_for_path("transformer_blocks/scale_shift_table") == P()
+        assert spec_for_path("scale_shift_table") == P()
+        assert spec_for_path("adaln_single/linear/weight") == P()
+
+
+class TestShardedForward:
+    def test_matches_unsharded(self):
+        cfg = mesh_config()
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+
+        mesh = create_mesh(data=2, model=4)
+        sharded_params = shard_dit_params(mesh, params)
+
+        from ltx2_tpu.models.transformer.model import ltx_model_apply
+
+        fn = jax.jit(lambda p, v: ltx_model_apply(p, cfg, video=v))
+        out = fn(sharded_params, video)
+        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
+
+    def test_params_actually_sharded(self):
+        cfg = mesh_config()
+        params = cached_params(cfg)
+        mesh = create_mesh(data=2, model=4)
+        shardings = dit_param_shardings(mesh, params)
+        qw = shardings["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        assert qw.spec == P(None, "model", None)
+        sharded = shard_dit_params(mesh, params)
+        leaf = sharded["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        # 64-dim inner sharded over 4 model devices -> 16 per shard.
+        shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+        assert all(shape[1] == leaf.shape[1] // 4 for shape in shard_shapes)
+
+    def test_denoise_loop_sharded(self):
+        """The full scanned denoise loop runs under the mesh."""
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+
+        cfg = mesh_config()
+        params = cached_params(cfg)
+        mesh = create_mesh(data=2, model=4)
+        sharded_params = shard_dit_params(mesh, params)
+
+        shape = VideoLatentShape(batch=1, channels=cfg.in_channels, frames=2, height=2, width=3)
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = GaussianNoiser()(jax.random.PRNGKey(0), tools.create_initial_state(), 1.0)
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+
+        loop = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(3.0)))
+        expected = np.asarray(loop(params, state, sigmas, ctx, ctx).latent)
+        out = loop(sharded_params, state, sigmas, ctx, ctx)
+        np.testing.assert_allclose(np.asarray(out.latent), expected, atol=5e-4)
