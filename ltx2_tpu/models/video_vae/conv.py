@@ -30,12 +30,16 @@ def conv3d_ndhwc(
     x: jnp.ndarray,
     causal: bool = True,
     spatial_mode: str = "reflect",
+    temporal_mode: str = "replicate",
 ) -> jnp.ndarray:
     """3D conv over channels-last (B, T, H, W, C) with VAE padding rules.
 
     p['weight'] is (outC, inC, kT, kH, kW); p['bias'] is (outC,).
     Kernel is assumed cubic with padding k//2 spatially (k=3 everywhere in
     the VAE; k=1 works too).
+
+    temporal_mode: 'replicate' (VAE: causal front-replicate or symmetric
+    replicate) or 'zeros' (upscalers: plain symmetric zero padding).
     """
     w = p["weight"]
     k = w.shape[2]
@@ -50,12 +54,13 @@ def conv3d_ndhwc(
 
     t_pad = k - 1
     if t_pad > 0:
+        t_mode = "edge" if temporal_mode == "replicate" else "constant"
         if causal:
-            x = jnp.pad(x, [(0, 0), (t_pad, 0), (0, 0), (0, 0), (0, 0)], mode="edge")
+            x = jnp.pad(x, [(0, 0), (t_pad, 0), (0, 0), (0, 0), (0, 0)], mode=t_mode)
         else:
             before = t_pad // 2
             after = t_pad - before
-            x = jnp.pad(x, [(0, 0), (before, after), (0, 0), (0, 0), (0, 0)], mode="edge")
+            x = jnp.pad(x, [(0, 0), (before, after), (0, 0), (0, 0), (0, 0)], mode=t_mode)
 
     # (outC, inC, kT, kH, kW) -> (kT, kH, kW, inC, outC)
     rhs = w.transpose(2, 3, 4, 1, 0).astype(x.dtype)
