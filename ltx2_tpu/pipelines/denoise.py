@@ -368,3 +368,184 @@ def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig)
         return video_state.replace(latent=final_v), audio_state.replace(latent=final_a)
 
     return jax.jit(loop)
+
+
+@dataclass(frozen=True)
+class MultiModalLoopConfig:
+    """Static config for the MultiModalGuider AV loop (two-stage stage 1).
+
+    Mirrors MultiModalGuiderParams (guiders.py:211-288): CFG + STG +
+    modality-isolated guidance with std-ratio rescale and step skipping.
+    """
+
+    video_cfg_scale: float = 3.0
+    audio_cfg_scale: float = 7.0
+    stg_scale: float = 0.0
+    stg_blocks: Optional[Tuple[int, ...]] = None
+    rescale_scale: float = 0.0
+    modality_scale: float = 3.0
+    skip_step: int = 0
+
+    @property
+    def need_cfg(self) -> bool:
+        import math
+        return not math.isclose(self.video_cfg_scale, 1.0) or not math.isclose(
+            self.audio_cfg_scale, 1.0
+        )
+
+    @property
+    def need_stg(self) -> bool:
+        import math
+        return not math.isclose(self.stg_scale, 0.0)
+
+    @property
+    def need_mod(self) -> bool:
+        import math
+        return not math.isclose(self.modality_scale, 1.0)
+
+    @property
+    def rows(self) -> int:
+        return 1 + int(self.need_cfg) + int(self.need_stg) + int(self.need_mod)
+
+
+def _build_mm_perturbations(mm: MultiModalLoopConfig) -> Optional[BatchedPerturbationConfig]:
+    """Row-wise perturbations: the STG row skips video self-attn; the
+    modality-isolation row skips both A<->V cross attentions."""
+    from ltx2_tpu.components.perturbations import Perturbation, PerturbationType
+
+    if not (mm.need_stg or mm.need_mod):
+        return None
+    rows = [PerturbationConfig.empty()]  # cond
+    if mm.need_cfg:
+        rows.append(PerturbationConfig.empty())
+    if mm.need_stg:
+        rows.append(
+            PerturbationConfig(
+                perturbations=(
+                    Perturbation(
+                        type=PerturbationType.SKIP_VIDEO_SELF_ATTN,
+                        blocks=mm.stg_blocks,
+                    ),
+                )
+            )
+        )
+    if mm.need_mod:
+        rows.append(
+            PerturbationConfig(
+                perturbations=(
+                    Perturbation(type=PerturbationType.SKIP_A2V_CROSS_ATTN, blocks=None),
+                    Perturbation(type=PerturbationType.SKIP_V2A_CROSS_ATTN, blocks=None),
+                )
+            )
+        )
+    return BatchedPerturbationConfig(perturbations=tuple(rows))
+
+
+def _mm_combine(mm: MultiModalLoopConfig, outs, cfg_scale: float, skip_flag):
+    """MultiModalGuider.calculate (guiders.py:244-273) over batched rows."""
+    idx = 1
+    cond = outs[0:1]
+    pred = cond
+    if mm.need_cfg:
+        uncond = outs[idx : idx + 1]
+        idx += 1
+        pred = pred + (cfg_scale - 1.0) * (cond - uncond)
+    if mm.need_stg:
+        ptb = outs[idx : idx + 1]
+        idx += 1
+        pred = pred + mm.stg_scale * (cond - ptb)
+    if mm.need_mod:
+        mod = outs[idx : idx + 1]
+        idx += 1
+        pred = pred + (mm.modality_scale - 1.0) * (cond - mod)
+    if mm.rescale_scale != 0:
+        cond_std = jnp.sqrt(jnp.var(cond) + 1e-8)
+        pred_std = jnp.sqrt(jnp.var(pred) + 1e-8)
+        factor = mm.rescale_scale * (cond_std / pred_std) + (1 - mm.rescale_scale)
+        pred = pred * factor
+    # Guidance skipped on flagged steps -> plain cond (guiders.py:284-287).
+    return jnp.where(skip_flag > 0, cond, pred)
+
+
+@lru_cache(maxsize=16)
+def make_multimodal_av_denoise_loop(model_cfg: LTXModelConfig, mm: MultiModalLoopConfig):
+    """Joint AV denoise loop under the MultiModalGuider (two_stage.py stage 1).
+
+    Returns fn(params, video_state, audio_state, sigmas,
+               pos_v, neg_v, pos_a, neg_a) -> (video_state, audio_state).
+    """
+    rows = mm.rows
+    perturb = _build_mm_perturbations(mm)
+
+    def loop(params, video_state, audio_state, sigmas, pos_v, neg_v, pos_a, neg_a):
+        num_steps = sigmas.shape[0] - 1
+
+        def stack_ctx(pos, neg):
+            ctxs = [pos]
+            if mm.need_cfg:
+                ctxs.append(neg)
+            if mm.need_stg:
+                ctxs.append(pos)
+            if mm.need_mod:
+                ctxs.append(pos)
+            return jnp.concatenate(ctxs, axis=0)
+
+        v_ctx = stack_ctx(pos_v, neg_v)
+        a_ctx = stack_ctx(pos_a, neg_a)
+        v_positions = _tile_rows(video_state.positions, rows)
+        a_positions = _tile_rows(audio_state.positions, rows)
+        video_pe = _precompute_video_pe(model_cfg, video_state.positions, rows)
+
+        v_mask, v_clean = video_state.denoise_mask, video_state.clean_latent
+        a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
+
+        step_ids = jnp.arange(num_steps)
+        if mm.skip_step > 0:
+            skip_flags = (step_ids % (mm.skip_step + 1) != 0).astype(jnp.float32)
+        else:
+            skip_flags = jnp.zeros((num_steps,), jnp.float32)
+
+        def step_fn(carry, xs):
+            v_latent, a_latent = carry
+            sigma, sigma_next, skip_flag = xs
+
+            from ltx2_tpu.models.transformer.model import x0_model_apply
+
+            v_state = LatentState(
+                latent=_tile_rows(v_latent, rows),
+                denoise_mask=_tile_rows(v_mask, rows),
+                positions=v_positions,
+                clean_latent=_tile_rows(v_clean, rows),
+            )
+            a_state = LatentState(
+                latent=_tile_rows(a_latent, rows),
+                denoise_mask=_tile_rows(a_mask, rows),
+                positions=a_positions,
+                clean_latent=_tile_rows(a_clean, rows),
+            )
+            v_outs, a_outs = x0_model_apply(
+                params, model_cfg,
+                video=modality_from_state(v_state, v_ctx, sigma),
+                audio=modality_from_state(a_state, a_ctx, sigma),
+                perturbations=perturb, video_pe=video_pe,
+            )
+            v_denoised = _mm_combine(mm, v_outs, mm.video_cfg_scale, skip_flag)
+            a_denoised = _mm_combine(mm, a_outs, mm.audio_cfg_scale, skip_flag)
+            v_denoised = post_process_latent(v_denoised, v_mask, v_clean)
+            a_denoised = post_process_latent(a_denoised, a_mask, a_clean)
+
+            new_v = _euler_step(v_latent, v_denoised, sigma, sigma_next)
+            new_a = _euler_step(a_latent, a_denoised, sigma, sigma_next)
+            return (new_v, new_a), None
+
+        xs = (
+            sigmas[:-1].astype(jnp.float32),
+            sigmas[1:].astype(jnp.float32),
+            skip_flags,
+        )
+        (final_v, final_a), _ = jax.lax.scan(
+            step_fn, (video_state.latent, audio_state.latent), xs
+        )
+        return video_state.replace(latent=final_v), audio_state.replace(latent=final_a)
+
+    return jax.jit(loop)

@@ -1,0 +1,292 @@
+"""Distilled two-stage pipeline (no CFG).
+
+Capability parity with reference LTX_2_MLX/pipelines/distilled.py
+(DistilledPipeline, distilled.py:101-506): stage 1 at half resolution with
+the 8 hard-coded distilled sigmas -> 2x learned spatial upscale
+(un-normalize / upscale / re-normalize) -> stage 2 refinement with the
+3-sigma tail, plus the internal audio branch with the channelwise noise
+normalization fix (distilled.py:166-186).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx2_tpu.components import (
+    AudioPatchifier,
+    CFGGuider,
+    DISTILLED_SIGMA_VALUES,
+    GaussianNoiser,
+    STAGE_2_DISTILLED_SIGMA_VALUES,
+    VideoLatentPatchifier,
+)
+from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
+from ltx2_tpu.models.transformer.model import LTXModelConfig, LTXModelType
+from ltx2_tpu.models.upscaler import SpatialUpscalerConfig, spatial_upscaler_apply
+from ltx2_tpu.models.video_vae import (
+    TilingConfig,
+    normalize_latent,
+    un_normalize_latent,
+)
+from ltx2_tpu.pipelines.common import (
+    ImageCondition,
+    apply_conditionings,
+    create_image_conditionings,
+)
+from ltx2_tpu.pipelines.denoise import (
+    DenoiseLoopConfig,
+    make_av_denoise_loop,
+    make_video_denoise_loop,
+)
+from ltx2_tpu.pipelines.one_stage import OneStagePipeline
+from ltx2_tpu.types import AudioLatentShape, VideoLatentShape, VideoPixelShape
+
+
+@dataclass
+class DistilledConfig:
+    """Reference DistilledConfig surface (distilled.py:49-99)."""
+
+    height: int = 704
+    width: int = 1024
+    num_frames: int = 121
+    seed: int = 42
+    fps: float = 24.0
+    dtype: str = "float32"
+    tiling_config: Optional[TilingConfig] = None
+    latent_channels: int = 128
+
+    audio_enabled: bool = False
+    use_internal_audio_branch: bool = True
+    audio_vae_channels: int = 8
+    audio_mel_bins: int = 16
+    audio_sample_rate: int = 16000
+    audio_hop_length: int = 160
+    audio_downsample_factor: int = 4
+
+    def __post_init__(self):
+        if self.num_frames % 8 != 1:
+            raise ValueError(
+                f"num_frames must be 8*k + 1, got {self.num_frames}."
+            )
+        # Two-stage: stage 1 runs at half res, so 64-divisibility required.
+        if self.height % 64 != 0 or self.width % 64 != 0:
+            raise ValueError(
+                f"Resolution ({self.height}x{self.width}) must be divisible "
+                f"by 64 for the distilled two-stage pipeline."
+            )
+
+    def effective_tiling(self) -> Optional[TilingConfig]:
+        latent_frames = (self.num_frames - 1) // 8 + 1
+        if self.tiling_config is not None:
+            return self.tiling_config
+        if latent_frames * (self.height // 32) * (self.width // 32) > 4000:
+            return TilingConfig.default()
+        return None
+
+
+def channelwise_normalize_audio(latent: jnp.ndarray) -> jnp.ndarray:
+    """Length-invariant audio noise normalization (distilled.py:166-186):
+    global zero-mean/unit-std, then per-feature unit-std over tokens."""
+    x = latent.astype(jnp.float32)
+    x = (x - jnp.mean(x)) / (jnp.std(x) + 1e-8)
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    std = jnp.std(x, axis=1, keepdims=True) + 1e-8
+    return ((x - mean) / std).astype(latent.dtype)
+
+
+class DistilledPipeline(OneStagePipeline):
+    """Two-stage distilled generation over functional params."""
+
+    def __init__(
+        self,
+        *args,
+        spatial_upscaler_params=None,
+        spatial_upscaler_cfg: Optional[SpatialUpscalerConfig] = None,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.spatial_upscaler_params = spatial_upscaler_params
+        self.spatial_upscaler_cfg = spatial_upscaler_cfg or SpatialUpscalerConfig()
+
+    def _stats(self):
+        if self.video_decoder_params is not None:
+            return self.video_decoder_params["per_channel_statistics"]
+        if self.video_encoder_params is not None:
+            return self.video_encoder_params["per_channel_statistics"]
+        raise ValueError("per-channel statistics unavailable (no VAE params)")
+
+    def _run_stage(
+        self,
+        pixel_shape: VideoPixelShape,
+        sigmas: np.ndarray,
+        text_encoding,
+        audio_encoding,
+        config: DistilledConfig,
+        images: List[ImageCondition],
+        noise_key,
+        noise_scale: float,
+        internal_audio_active: bool,
+        initial_video_latent=None,
+        initial_audio_latent=None,
+        normalize_audio_noise: bool = False,
+    ):
+        latent_shape = VideoLatentShape.from_pixel_shape(
+            pixel_shape, latent_channels=config.latent_channels
+        )
+        video_tools = VideoLatentTools(
+            patchifier=self.patchifier, target_shape=latent_shape, fps=config.fps
+        )
+        conditionings = create_image_conditionings(
+            images, self._encode_image, pixel_shape.height, pixel_shape.width,
+            jnp.dtype(config.dtype),
+        )
+        video_state = video_tools.create_initial_state(
+            dtype=jnp.dtype(config.dtype), initial_latent=initial_video_latent
+        )
+        video_state = apply_conditionings(video_state, conditionings, video_tools)
+
+        noiser = GaussianNoiser()
+        vkey, akey = jax.random.split(noise_key)
+        video_state = noiser(vkey, video_state, noise_scale=noise_scale)
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(1.0))  # distilled: no CFG
+        sig = jnp.asarray(sigmas, jnp.float32)
+
+        audio_state = None
+        audio_tools = None
+        if internal_audio_active:
+            audio_shape = AudioLatentShape.from_video_pixel_shape(
+                pixel_shape,
+                channels=config.audio_vae_channels,
+                mel_bins=config.audio_mel_bins,
+                sample_rate=config.audio_sample_rate,
+                hop_length=config.audio_hop_length,
+                audio_latent_downsample_factor=config.audio_downsample_factor,
+            )
+            audio_tools = AudioLatentTools(
+                patchifier=self.audio_patchifier, target_shape=audio_shape
+            )
+            audio_state = audio_tools.create_initial_state(
+                dtype=jnp.dtype(config.dtype), initial_latent=initial_audio_latent
+            )
+            audio_state = noiser(akey, audio_state, noise_scale=noise_scale)
+            if normalize_audio_noise:
+                audio_state = audio_state.replace(
+                    latent=channelwise_normalize_audio(audio_state.latent)
+                )
+            loop = make_av_denoise_loop(self.transformer_cfg, loop_cfg)
+            video_state, audio_state = loop(
+                self.transformer_params, video_state, audio_state, sig,
+                text_encoding, text_encoding, audio_encoding, audio_encoding,
+            )
+        else:
+            loop = make_video_denoise_loop(self.transformer_cfg, loop_cfg)
+            video_state = loop(
+                self.transformer_params, video_state, sig, text_encoding, text_encoding
+            )
+
+        video_state = video_tools.clear_conditioning(video_state)
+        video_state = video_tools.unpatchify(video_state)
+        audio_latent = None
+        if audio_state is not None and audio_tools is not None:
+            audio_state = audio_tools.clear_conditioning(audio_state)
+            audio_state = audio_tools.unpatchify(audio_state)
+            audio_latent = audio_state.latent
+        return video_state.latent, audio_latent
+
+    def __call__(
+        self,
+        text_encoding: jnp.ndarray,
+        text_mask: Optional[jnp.ndarray],
+        config: DistilledConfig,
+        images: Optional[List[ImageCondition]] = None,
+        callback: Optional[Callable[[str, int, int], None]] = None,
+        audio_encoding: Optional[jnp.ndarray] = None,
+        skip_decode: bool = False,
+    ) -> Union[np.ndarray, Tuple[np.ndarray, Optional[jnp.ndarray]]]:
+        images = images or []
+        key = jax.random.PRNGKey(config.seed)
+        k1, k2, decode_key = jax.random.split(key, 3)
+
+        internal_audio_active = self.is_av_model and (
+            config.use_internal_audio_branch or config.audio_enabled
+        )
+        if internal_audio_active and audio_encoding is None:
+            audio_encoding = text_encoding
+
+        # ====== STAGE 1: half resolution, 8 distilled sigmas ======
+        stage_1_shape = VideoPixelShape(
+            batch=1, frames=config.num_frames,
+            height=config.height // 2, width=config.width // 2, fps=config.fps,
+        )
+        stage_1_latent, stage_1_audio = self._run_stage(
+            stage_1_shape, np.asarray(DISTILLED_SIGMA_VALUES, np.float32),
+            text_encoding, audio_encoding, config, images, k1, 1.0,
+            internal_audio_active, normalize_audio_noise=True,
+        )
+        if callback:
+            callback("stage1", len(DISTILLED_SIGMA_VALUES) - 1, len(DISTILLED_SIGMA_VALUES) - 1)
+
+        # ====== STAGE 2: 2x spatial upscale + 3-sigma refinement ======
+        final_audio_latent = stage_1_audio
+        if self.spatial_upscaler_params is not None:
+            stats = self._stats()
+            latent_unnorm = un_normalize_latent(stage_1_latent, stats)
+            upscale = jax.jit(
+                lambda p, z: spatial_upscaler_apply(p, self.spatial_upscaler_cfg, z)
+            )
+            upscaled = upscale(self.spatial_upscaler_params, latent_unnorm)
+            upscaled_video_latent = normalize_latent(upscaled, stats).astype(
+                jnp.dtype(config.dtype)
+            )
+
+            stage_2_shape = VideoPixelShape(
+                batch=1, frames=config.num_frames,
+                height=config.height, width=config.width, fps=config.fps,
+            )
+            final_video_latent, stage_2_audio = self._run_stage(
+                stage_2_shape,
+                np.asarray(STAGE_2_DISTILLED_SIGMA_VALUES, np.float32),
+                text_encoding, audio_encoding, config, images, k2,
+                float(STAGE_2_DISTILLED_SIGMA_VALUES[0]),
+                internal_audio_active,
+                initial_video_latent=upscaled_video_latent,
+                initial_audio_latent=stage_1_audio,
+            )
+            if stage_2_audio is not None:
+                final_audio_latent = stage_2_audio
+            if callback:
+                n = len(STAGE_2_DISTILLED_SIGMA_VALUES) - 1
+                callback("stage2", n, n)
+        else:
+            final_video_latent = stage_1_latent
+
+        if skip_decode:
+            if config.audio_enabled:
+                return np.asarray(final_video_latent), final_audio_latent
+            return np.asarray(final_video_latent)
+
+        # Reuse one-stage decode machinery (auto-tiling included).
+        from ltx2_tpu.pipelines.one_stage import OneStageCFGConfig
+
+        decode_cfg = OneStageCFGConfig(
+            height=config.height, width=config.width, num_frames=config.num_frames,
+            tiling_config=config.tiling_config, latent_channels=config.latent_channels,
+        )
+        video = self._decode_video(final_video_latent, decode_cfg, decode_key)
+
+        audio_waveform = None
+        if config.audio_enabled and final_audio_latent is not None:
+            audio_waveform = self._decode_audio(final_audio_latent)
+        if config.audio_enabled:
+            return video, audio_waveform
+        return video
+
+
+def create_distilled_pipeline(**kwargs) -> DistilledPipeline:
+    return DistilledPipeline(**kwargs)

@@ -1,0 +1,185 @@
+"""Tests for distilled / two-stage / text-to-video pipelines on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx2_tpu.loader import LoRAConfig, write_safetensors
+from ltx2_tpu.models.transformer.model import LTXModelType
+from ltx2_tpu.models.upscaler import SpatialUpscalerConfig, init_spatial_upscaler
+from ltx2_tpu.pipelines.denoise import MultiModalLoopConfig
+from ltx2_tpu.pipelines.distilled import (
+    DistilledConfig,
+    DistilledPipeline,
+    channelwise_normalize_audio,
+)
+from ltx2_tpu.pipelines.text_to_video import TextToVideoConfig, TextToVideoPipeline
+from ltx2_tpu.pipelines.two_stage import TwoStageCFGConfig, TwoStagePipeline
+from tests.helpers import cached_params
+from tests.test_dit import tiny_config
+from tests.test_video_vae import TINY_DECODER, tiny_decoder_params
+
+TINY_UPSCALER = SpatialUpscalerConfig(
+    in_channels=8, mid_channels=16, num_blocks_per_stage=1, num_groups=4
+)
+
+
+def tiny_upscaler_params():
+    return jax.jit(lambda k: init_spatial_upscaler(k, TINY_UPSCALER))(
+        jax.random.PRNGKey(3)
+    )
+
+
+def make_pipeline(cls, model_type=LTXModelType.VideoOnly, with_upscaler=True):
+    dit_cfg = tiny_config(in_channels=8, out_channels=8, model_type=model_type)
+    kwargs = dict(
+        transformer_params=cached_params(dit_cfg),
+        transformer_cfg=dit_cfg,
+        video_decoder_params=tiny_decoder_params(),
+        video_decoder_cfg=TINY_DECODER,
+    )
+    if with_upscaler:
+        kwargs.update(
+            spatial_upscaler_params=tiny_upscaler_params(),
+            spatial_upscaler_cfg=TINY_UPSCALER,
+        )
+    return cls(**kwargs), dit_cfg
+
+
+class TestConfigs:
+    def test_distilled_validation(self):
+        with pytest.raises(ValueError, match="divisible by 64"):
+            DistilledConfig(height=96, width=64, num_frames=9)
+        with pytest.raises(ValueError, match="num_frames"):
+            DistilledConfig(height=64, width=64, num_frames=8)
+
+    def test_two_stage_validation(self):
+        with pytest.raises(ValueError, match="divisible by 64"):
+            TwoStageCFGConfig(height=96, width=64, num_frames=9)
+
+    def test_mm_rows(self):
+        mm = MultiModalLoopConfig(video_cfg_scale=3.0, modality_scale=3.0)
+        assert mm.rows == 3  # cond + uncond + mod
+        mm2 = MultiModalLoopConfig(
+            video_cfg_scale=1.0, audio_cfg_scale=1.0, modality_scale=1.0
+        )
+        assert mm2.rows == 1
+
+    def test_channelwise_normalize(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 8)) * 7 + 3
+        out = np.asarray(channelwise_normalize_audio(x))
+        np.testing.assert_allclose(out.std(axis=1), 1.0, atol=1e-3)
+        np.testing.assert_allclose(out.mean(axis=1), 0.0, atol=1e-3)
+
+
+class TestDistilled:
+    def test_video_only_two_stages(self):
+        pipeline, dit_cfg = make_pipeline(DistilledPipeline)
+        config = DistilledConfig(
+            height=64, width=64, num_frames=9, latent_channels=8
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent = pipeline(pos, None, config, skip_decode=True)
+        # Stage 1: 32x32 pixels -> latent 1x1? No: latent = 64/2/32 = 1.
+        # latent channels 8, frames (9-1)/8+1=2, spatial 1x1 -> upscaled 2x2.
+        assert latent.shape == (1, 8, 2, 2, 2)
+
+    def test_no_upscaler_stays_half_res(self):
+        pipeline, dit_cfg = make_pipeline(DistilledPipeline, with_upscaler=False)
+        config = DistilledConfig(height=64, width=64, num_frames=9, latent_channels=8)
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent = pipeline(pos, None, config, skip_decode=True)
+        assert latent.shape == (1, 8, 2, 1, 1)
+
+    def test_av_distilled(self):
+        pipeline, dit_cfg = make_pipeline(
+            DistilledPipeline, model_type=LTXModelType.AudioVideo
+        )
+        config = DistilledConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            audio_enabled=True, audio_vae_channels=2, audio_mel_bins=4,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent, audio_latent = pipeline(pos, None, config, skip_decode=True)
+        assert latent.shape == (1, 8, 2, 2, 2)
+        assert audio_latent is not None
+        assert audio_latent.shape[1] == 2  # audio channels
+
+
+class TestTwoStage:
+    def test_video_only(self):
+        pipeline, dit_cfg = make_pipeline(TwoStagePipeline)
+        config = TwoStageCFGConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            num_inference_steps=2, cfg_scale=2.0,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        latent, audio = pipeline(pos, neg, config, skip_decode=True)
+        assert latent.shape == (1, 8, 2, 2, 2)
+        assert audio is None
+
+    def test_av_multimodal_guider(self):
+        pipeline, dit_cfg = make_pipeline(
+            TwoStagePipeline, model_type=LTXModelType.AudioVideo
+        )
+        config = TwoStageCFGConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            num_inference_steps=2, cfg_scale=2.0, modality_scale=2.0,
+            audio_vae_channels=2, audio_mel_bins=4,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        latent, audio_latent = pipeline(
+            pos, neg, config,
+            positive_audio_encoding=pos, negative_audio_encoding=neg,
+            skip_decode=True,
+        )
+        assert latent.shape == (1, 8, 2, 2, 2)
+        assert audio_latent is not None
+
+    def test_lora_fuse_restore(self, tmp_path):
+        """Weights must be restored after stage 2 (two_stage.py:778-782)."""
+        pipeline, dit_cfg = make_pipeline(TwoStagePipeline)
+        base = np.asarray(
+            pipeline.transformer_params["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        ).copy()
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(2, dit_cfg.video_inner_dim)).astype(np.float32)
+        b = rng.normal(size=(dit_cfg.video_inner_dim, 2)).astype(np.float32)
+        lora_path = str(tmp_path / "lora.safetensors")
+        write_safetensors(
+            lora_path,
+            {
+                "diffusion_model.transformer_blocks.0.attn1.to_q.lora_A.weight": a,
+                "diffusion_model.transformer_blocks.0.attn1.to_q.lora_B.weight": b,
+            },
+        )
+        config = TwoStageCFGConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            num_inference_steps=2, cfg_scale=2.0,
+            distilled_lora_config=LoRAConfig(path=lora_path, strength=1.0),
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        pipeline(pos, neg, config, skip_decode=True)
+        restored = np.asarray(
+            pipeline.transformer_params["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        )
+        np.testing.assert_allclose(restored, base, atol=1e-5)
+
+
+class TestTextToVideo:
+    def test_generation(self):
+        pipeline, dit_cfg = make_pipeline(TextToVideoPipeline, with_upscaler=False)
+        config = TextToVideoConfig(
+            height=64, width=96, num_frames=9, num_inference_steps=2,
+            cfg_scale=3.0, latent_channels=8,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        video, audio = pipeline(pos, neg, config)
+        assert video.dtype == np.uint8
+        assert audio is None
