@@ -161,12 +161,13 @@ def init_video_encoder(key: jax.Array, cfg: VideoEncoderConfig, dtype=jnp.float3
         }
 
     ki = iter(jax.random.split(key, 64))
+    first_channels = cfg.plan[0][1]
     p: Params = {
         "per_channel_statistics": {
             "mean_of_means": jnp.zeros((cfg.latent_channels,), jnp.float32),
             "std_of_means": jnp.ones((cfg.latent_channels,), jnp.float32),
         },
-        "conv_in": conv_params(next(ki), 3 * cfg.patch_size**2, 128),
+        "conv_in": conv_params(next(ki), 3 * cfg.patch_size**2, first_channels),
     }
     down_blocks: List[Params] = []
     for kind, c_in, arg, stride in cfg.plan:
@@ -186,5 +187,7 @@ def init_video_encoder(key: jax.Array, cfg: VideoEncoderConfig, dtype=jnp.float3
             conv_out_channels = arg // math.prod(stride)
             down_blocks.append({"conv": conv_params(next(ki), c_in, conv_out_channels)})
     p["down_blocks"] = down_blocks
-    p["conv_out"] = conv_params(next(ki), 1024, cfg.latent_channels + 1)
+    last = cfg.plan[-1]
+    final_channels = last[1] if last[0] == "res" else last[2]
+    p["conv_out"] = conv_params(next(ki), final_channels, cfg.latent_channels + 1)
     return p

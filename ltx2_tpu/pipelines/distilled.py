@@ -134,6 +134,7 @@ class DistilledPipeline(OneStagePipeline):
         initial_video_latent=None,
         initial_audio_latent=None,
         normalize_audio_noise: bool = False,
+        extra_conditionings=None,
     ):
         latent_shape = VideoLatentShape.from_pixel_shape(
             pixel_shape, latent_channels=config.latent_channels
@@ -145,6 +146,8 @@ class DistilledPipeline(OneStagePipeline):
             images, self._encode_image, pixel_shape.height, pixel_shape.width,
             jnp.dtype(config.dtype),
         )
+        if extra_conditionings:
+            conditionings = conditionings + list(extra_conditionings)
         video_state = video_tools.create_initial_state(
             dtype=jnp.dtype(config.dtype), initial_latent=initial_video_latent
         )

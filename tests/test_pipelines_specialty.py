@@ -1,0 +1,206 @@
+"""Tests for keyframe, retake, ti2vid_hq, a2vid, ic_lora pipelines."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx2_tpu.components import GaussianNoiser, VideoLatentPatchifier
+from ltx2_tpu.conditioning.tools import VideoLatentTools
+from ltx2_tpu.models.transformer.model import LTXModelType
+from ltx2_tpu.pipelines import (
+    A2VidConfig,
+    A2VidPipelineTwoStage,
+    ICLoraConfig,
+    ICLoraPipeline,
+    Keyframe,
+    KeyframeInterpolationConfig,
+    KeyframeInterpolationPipeline,
+    RetakeConfig,
+    RetakePipeline,
+    TemporalRegionMask,
+    TI2VidHQConfig,
+    TI2VidHQPipeline,
+)
+from ltx2_tpu.types import VideoLatentShape
+from tests.helpers import cached_params
+from tests.test_dit import tiny_config
+from tests.test_pipelines_staged import TINY_UPSCALER, tiny_upscaler_params
+from tests.test_video_vae import TINY_DECODER, TINY_ENCODER, tiny_decoder_params
+
+
+def make_pipeline(cls, model_type=LTXModelType.VideoOnly, with_encoder=False, **extra):
+    from ltx2_tpu.models.video_vae import init_video_encoder
+
+    dit_cfg = tiny_config(in_channels=8, out_channels=8, model_type=model_type)
+    kwargs = dict(
+        transformer_params=cached_params(dit_cfg),
+        transformer_cfg=dit_cfg,
+        video_decoder_params=tiny_decoder_params(),
+        video_decoder_cfg=TINY_DECODER,
+    )
+    if cls is not RetakePipeline:  # retake has no upscaling stage
+        kwargs.update(
+            spatial_upscaler_params=tiny_upscaler_params(),
+            spatial_upscaler_cfg=TINY_UPSCALER,
+        )
+    if with_encoder:
+        enc_params = jax.jit(lambda k: init_video_encoder(k, TINY_ENCODER))(
+            jax.random.PRNGKey(5)
+        )
+        kwargs.update(video_encoder_params=enc_params, video_encoder_cfg=TINY_ENCODER)
+    kwargs.update(extra)
+    return cls(**kwargs), dit_cfg
+
+
+class TestTemporalRegionMask:
+    def test_mask_region(self):
+        shape = VideoLatentShape(batch=1, channels=8, frames=4, height=2, width=2)
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = tools.create_initial_state()
+        # 24 fps, 8x temporal: times [0.5, 1.0)s -> pixel frames 12..24 ->
+        # latent frames 1..3.
+        masked = TemporalRegionMask(0.5, 1.0, 24.0).apply_to(state, tools)
+        mask = np.asarray(masked.denoise_mask).reshape(4, 4)
+        assert mask[0].sum() == 0  # frame 0 untouched
+        assert mask[1].sum() == 4 and mask[2].sum() == 4  # frames 1-2 regenerate
+        assert mask[3].sum() == 0
+
+    def test_invalid_times(self):
+        with pytest.raises(ValueError):
+            RetakeConfig(start_time=2.0, end_time=1.0)
+
+
+class TestRetake:
+    def test_masked_regeneration_preserves_outside(self):
+        pipeline, dit_cfg = make_pipeline(RetakePipeline, with_encoder=True)
+        config = RetakeConfig(
+            start_time=0.4, end_time=0.8, num_inference_steps=2,
+            cfg_scale=1.0, latent_channels=8,
+        )
+        # Source video sized for the tiny encoder: (1, 3, 9, 32, 32)
+        # -> latent (1, 8, 5, 4, 4) with the TINY_ENCODER plan.
+        source = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 9, 16, 16)) * 0.1
+        pos = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        latent = pipeline(
+            "", pos, pos, config, source_video=source, fps=24.0, skip_decode=True
+        )
+        assert latent.shape == (1, 8, 5, 4, 4)  # 16px / (2 patch * 2 down) = 4
+        assert np.isfinite(latent).all()
+
+
+class TestKeyframe:
+    def test_keyframe_conditioning_appends(self, tmp_path):
+        from PIL import Image
+
+        img_path = str(tmp_path / "kf.png")
+        Image.fromarray(
+            (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+        ).save(img_path)
+
+        pipeline, dit_cfg = make_pipeline(
+            KeyframeInterpolationPipeline, with_encoder=True
+        )
+        config = KeyframeInterpolationConfig(
+            height=64, width=64, num_frames=9, latent_channels=8
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent = pipeline(
+            pos, None, config,
+            keyframes=[Keyframe(image_path=img_path, frame_index=0)],
+            skip_decode=True,
+        )
+        assert latent.shape == (1, 8, 2, 2, 2)
+        assert np.isfinite(latent).all()
+
+
+class TestTI2VidHQ:
+    def test_res2s_two_stage(self):
+        pipeline, dit_cfg = make_pipeline(TI2VidHQPipeline)
+        config = TI2VidHQConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            num_inference_steps=3, cfg_scale=2.0,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        latent = pipeline(pos, neg, config, skip_decode=True)
+        assert latent.shape == (1, 8, 2, 2, 2)
+        assert np.isfinite(latent).all()
+
+    def test_res2s_av(self):
+        pipeline, dit_cfg = make_pipeline(
+            TI2VidHQPipeline, model_type=LTXModelType.AudioVideo
+        )
+        config = TI2VidHQConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            num_inference_steps=3, cfg_scale=2.0, audio_enabled=True,
+            audio_vae_channels=2, audio_mel_bins=4,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        latent, audio = pipeline(pos, neg, config, skip_decode=True)
+        assert latent.shape == (1, 8, 2, 2, 2)
+        assert audio is not None
+
+
+class TestA2Vid:
+    def test_waveform_passthrough(self):
+        pipeline, dit_cfg = make_pipeline(
+            A2VidPipelineTwoStage, model_type=LTXModelType.AudioVideo
+        )
+        config = A2VidConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            audio_enabled=True, audio_vae_channels=2, audio_mel_bins=4,
+        )
+        waveform = np.random.default_rng(0).normal(size=(2, 1600)).astype(np.float32)
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent, audio = pipeline(
+            pos, None, config, source_waveform=waveform, skip_decode=True
+        )
+        assert latent.shape == (1, 8, 2, 2, 2)
+        np.testing.assert_allclose(np.asarray(audio)[0], waveform)
+
+
+class TestICLora:
+    def test_control_conditioning_stage1_only(self, tmp_path):
+        from ltx2_tpu.conditioning.keyframe import VideoConditionByKeyframeIndex
+        from ltx2_tpu.loader import LoRAConfig, write_safetensors
+
+        pipeline, dit_cfg = make_pipeline(ICLoraPipeline, with_encoder=True)
+        base = np.asarray(
+            pipeline.transformer_params["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        ).copy()
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(2, dit_cfg.video_inner_dim)).astype(np.float32)
+        b = rng.normal(size=(dit_cfg.video_inner_dim, 2)).astype(np.float32)
+        lora_path = str(tmp_path / "ic_lora.safetensors")
+        write_safetensors(
+            lora_path,
+            {
+                "diffusion_model.transformer_blocks.0.attn1.to_q.lora_A.weight": a,
+                "diffusion_model.transformer_blocks.0.attn1.to_q.lora_B.weight": b,
+            },
+        )
+        # Pre-built control conditioning: a half-res latent appended at frame 0.
+        control_latent = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 1, 1, 1))
+        cond = VideoConditionByKeyframeIndex(
+            keyframes=control_latent, frame_idx=0, strength=0.9
+        )
+
+        config = ICLoraConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            ic_lora_config=LoRAConfig(path=lora_path, strength=1.0),
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent = pipeline(
+            pos, None, config, control_conditionings=[cond], skip_decode=True
+        )
+        assert latent.shape == (1, 8, 2, 2, 2)
+        # Weights restored after the run.
+        restored = np.asarray(
+            pipeline.transformer_params["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        )
+        np.testing.assert_allclose(restored, base, atol=1e-5)
