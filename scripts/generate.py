@@ -1,0 +1,618 @@
+#!/usr/bin/env python
+"""LTX-2 TPU generation CLI.
+
+Capability parity with reference scripts/generate.py (2,728 LoC): prompt ->
+Gemma text encoding (all-49-layer hidden states, fp32) -> feature extractor
++ connector -> transformer load (version auto-detected from safetensors
+metadata) -> pipeline dispatch (one-stage / text-to-video / distilled /
+two-stage / keyframe / ti2vid-hq / retake / ic-lora / a2vid) -> VAE decode
+-> ffmpeg H.264 mux (with minterpolate fps upsampling and audio mux).
+
+Weight-free smoke-testing flags mirror the reference (tests/README.md:46-58):
+--placeholder (random-weight models), --no-gemma (dummy embeddings),
+--skip-vae (write latents instead of decoding).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+# This environment's sitecustomize registers a TPU plugin and overrides
+# JAX_PLATFORMS; re-apply the user's choice through jax.config (must happen
+# before any backend initialization).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="LTX-2 TPU video generation")
+    # Prompts
+    p.add_argument("--prompt", type=str, default="A cinematic shot of the ocean at sunset")
+    p.add_argument("--negative-prompt", type=str, default=(
+        "worst quality, inconsistent motion, blurry, jittery, distorted"
+    ))
+    p.add_argument("--enhance-prompt", action="store_true")
+    # Pipeline
+    p.add_argument(
+        "--pipeline",
+        choices=[
+            "one-stage", "text-to-video", "distilled", "two-stage",
+            "keyframe", "ti2vid-hq", "retake", "ic-lora", "a2vid",
+        ],
+        default="distilled",
+    )
+    # Dimensions
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--num-frames", type=int, default=65)
+    p.add_argument("--fps", type=float, default=24.0)
+    p.add_argument("--output-fps", type=float, default=None,
+                   help="mux at this fps via minterpolate if > --fps")
+    # Sampling
+    p.add_argument("--num-inference-steps", type=int, default=30)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cfg-scale", type=float, default=3.0)
+    p.add_argument("--audio-cfg-scale", type=float, default=7.0)
+    p.add_argument("--rescale-scale", type=float, default=0.7)
+    p.add_argument("--modality-scale", type=float, default=3.0)
+    p.add_argument("--stg-scale", type=float, default=0.0)
+    p.add_argument("--stg-blocks", type=str, default=None,
+                   help="comma-separated block indices")
+    p.add_argument("--stg-cutoff", type=float, default=1.0)
+    p.add_argument("--ge-gamma", type=float, default=0.0)
+    p.add_argument("--sampler", choices=["euler", "heun"], default="euler")
+    p.add_argument("--apg-scale", type=float, default=0.0)
+    p.add_argument("--apg-eta", type=float, default=1.0)
+    p.add_argument("--cross-attn-scale", type=float, default=1.0)
+    p.add_argument("--cross-attn-start-block", type=int, default=40)
+    # Checkpoints
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="unified LTX-2 safetensors checkpoint")
+    p.add_argument("--gemma-dir", type=str, default=None)
+    p.add_argument("--spatial-upscaler", type=str, default=None)
+    p.add_argument("--temporal-upscaler", type=str, default=None,
+                   help="enables 2x frame-rate latent upscaling")
+    p.add_argument("--lora", action="append", default=[],
+                   help="path[:strength], repeatable")
+    p.add_argument("--distilled-lora", type=str, default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    # Conditioning
+    p.add_argument("--image", action="append", default=[],
+                   help="path[:frame[:strength]] image condition, repeatable")
+    p.add_argument("--keyframe", action="append", default=[],
+                   help="path:frame[:strength] keyframe, repeatable")
+    p.add_argument("--control-video", type=str, default=None)
+    p.add_argument("--control-type", choices=["raw", "canny"], default="raw")
+    p.add_argument("--video", type=str, default=None, help="source video (retake)")
+    p.add_argument("--retake-start", type=float, default=0.0)
+    p.add_argument("--retake-end", type=float, default=1.0)
+    p.add_argument("--audio-file", type=str, default=None, help="a2vid source audio")
+    # Audio
+    p.add_argument("--audio", action="store_true", help="generate audio")
+    p.add_argument("--no-internal-audio", action="store_true")
+    # Tiling
+    p.add_argument("--tile-size", type=int, default=None)
+    p.add_argument("--tile-overlap", type=int, default=64)
+    p.add_argument("--temporal-tile-size", type=int, default=None)
+    p.add_argument("--temporal-tile-overlap", type=int, default=24)
+    # Embedding cache (reference --embedding flag, generate.py:730)
+    p.add_argument("--embedding", type=str, default=None,
+                   help="npz with cached text embeddings (skips Gemma)")
+    p.add_argument("--save-embedding", type=str, default=None)
+    # Debug / placeholder modes
+    p.add_argument("--placeholder", action="store_true",
+                   help="random-weight models (no checkpoint needed)")
+    p.add_argument("--no-gemma", action="store_true",
+                   help="dummy text embeddings")
+    p.add_argument("--skip-vae", action="store_true",
+                   help="save latents (npz) instead of decoding")
+    p.add_argument("--profile-dir", type=str, default=None)
+    # Output
+    p.add_argument("--output", type=str, default="output.mp4")
+    return p
+
+
+def parse_loras(args):
+    from ltx2_tpu.loader.lora import LoRAConfig
+
+    configs = []
+    for spec in args.lora:
+        if ":" in spec:
+            path, strength = spec.rsplit(":", 1)
+            configs.append(LoRAConfig(path=path, strength=float(strength)))
+        else:
+            configs.append(LoRAConfig(path=spec))
+    return configs
+
+
+def parse_images(args):
+    from ltx2_tpu.pipelines.common import ImageCondition
+
+    conditions = []
+    for spec in args.image:
+        parts = spec.split(":")
+        conditions.append(
+            ImageCondition(
+                image_path=parts[0],
+                frame_index=int(parts[1]) if len(parts) > 1 else 0,
+                strength=float(parts[2]) if len(parts) > 2 else 0.95,
+            )
+        )
+    return conditions
+
+
+def tiling_config(args):
+    from ltx2_tpu.models.video_vae import (
+        SpatialTilingConfig,
+        TemporalTilingConfig,
+        TilingConfig,
+    )
+
+    spatial = temporal = None
+    if args.tile_size:
+        spatial = SpatialTilingConfig(args.tile_size, args.tile_overlap)
+    if args.temporal_tile_size:
+        temporal = TemporalTilingConfig(args.temporal_tile_size, args.temporal_tile_overlap)
+    if spatial or temporal:
+        return TilingConfig(spatial_config=spatial, temporal_config=temporal)
+    return None
+
+
+def encode_prompts(args, ledger, dit_cfg):
+    """Both prompts in one Gemma batch (generate.py:1098-1117), or cached /
+    dummy embeddings. Returns dict with pos/neg video (+audio) encodings."""
+    import jax
+    import jax.numpy as jnp
+
+    from ltx2_tpu.utils.profiling import log, phase
+
+    if args.embedding:
+        data = np.load(args.embedding)
+        return {k: jnp.asarray(v) for k, v in data.items()}
+
+    # Dummy-embedding dims must match what the DiT consumes: raw context at
+    # cross_attention_dim when there is no caption projection (V2), else the
+    # caption_channels the projection expects (V1).
+    v_dim = dit_cfg.caption_channels or dit_cfg.cross_attention_dim
+    a_dim = dit_cfg.caption_channels or dit_cfg.audio_inner_dim
+    if args.no_gemma or args.placeholder:
+        log.info("using dummy text embeddings (--no-gemma/--placeholder)")
+        key = jax.random.PRNGKey(args.seed)
+        ks = jax.random.split(key, 4)
+        seq = 1024
+        return {
+            "positive": jax.random.normal(ks[0], (1, seq, v_dim)) * 0.02,
+            "negative": jax.random.normal(ks[1], (1, seq, v_dim)) * 0.02,
+            "positive_audio": jax.random.normal(ks[2], (1, seq, a_dim)) * 0.02,
+            "negative_audio": jax.random.normal(ks[3], (1, seq, a_dim)) * 0.02,
+        }
+
+    with phase("text_encoding"):
+        from transformers import AutoTokenizer
+
+        from ltx2_tpu.models.text_encoder import (
+            av_text_encoder_apply,
+            gemma3_apply,
+            video_text_encoder_apply,
+        )
+
+        tokenizer = AutoTokenizer.from_pretrained(args.gemma_dir, padding_side="left")
+        prompts = [args.prompt, args.negative_prompt]
+        enc = tokenizer(
+            prompts, return_tensors="np", padding="max_length",
+            truncation=True, max_length=1024,
+        )
+        ids = jnp.asarray(enc["input_ids"])
+        mask = jnp.asarray(enc["attention_mask"])
+
+        gemma_params, gemma_cfg = ledger.gemma()
+        _, hidden = jax.jit(
+            lambda p, i, m: gemma3_apply(p, gemma_cfg, i, attention_mask=m)
+        )(gemma_params, ids, mask)
+
+        te_params, te_cfg = ledger.text_encoder()
+        if te_cfg.v2 or ledger.include_audio:
+            out = jax.jit(
+                lambda p, h, m: av_text_encoder_apply(p, te_cfg, h, m)
+            )(te_params, hidden, mask)
+            result = {
+                "positive": out.video_encoding[0:1],
+                "negative": out.video_encoding[1:2],
+                "positive_audio": out.audio_encoding[0:1],
+                "negative_audio": out.audio_encoding[1:2],
+            }
+        else:
+            out = jax.jit(
+                lambda p, h, m: video_text_encoder_apply(p, te_cfg, h, m)
+            )(te_params, hidden, mask)
+            result = {
+                "positive": out.video_encoding[0:1],
+                "negative": out.video_encoding[1:2],
+            }
+
+    if args.save_embedding:
+        np.savez(args.save_embedding, **{k: np.asarray(v) for k, v in result.items()})
+    return result
+
+
+def build_models(args):
+    """Transformer + VAEs (+audio) from the checkpoint, or random placeholders."""
+    import jax
+    import jax.numpy as jnp
+
+    from ltx2_tpu.utils.profiling import log, phase
+
+    include_audio = args.audio or args.pipeline == "a2vid"
+
+    if args.placeholder or args.checkpoint is None:
+        log.info("placeholder mode: random-weight models")
+        from ltx2_tpu.models.transformer.model import (
+            LTXModelConfig,
+            LTXModelType,
+            init_ltx_model,
+        )
+        from ltx2_tpu.models.video_vae import (
+            VideoDecoderConfig,
+            VideoEncoderConfig,
+            init_video_decoder,
+            init_video_encoder,
+        )
+
+        # V2-style (no caption projection): cross_attention_dim must equal
+        # the video inner dim, since raw context feeds cross-attn directly.
+        dit_cfg = LTXModelConfig(
+            model_type=LTXModelType.AudioVideo if include_audio else LTXModelType.VideoOnly,
+            num_attention_heads=4,
+            attention_head_dim=32,
+            num_layers=4,
+            cross_attention_dim=128,
+            caption_channels=None,
+            compute_dtype=args.dtype,
+        )
+        dit_params = jax.jit(lambda k: init_ltx_model(k, dit_cfg))(jax.random.PRNGKey(0))
+        dec_cfg = VideoDecoderConfig(base_channels=16)
+        dec_params = jax.jit(lambda k: init_video_decoder(k, dec_cfg))(jax.random.PRNGKey(1))
+        enc_cfg = VideoEncoderConfig()
+        enc_params = None  # encoder only needed for image conditioning
+        return dict(
+            transformer_params=dit_params, transformer_cfg=dit_cfg,
+            video_decoder_params=dec_params, video_decoder_cfg=dec_cfg,
+            video_encoder_params=enc_params, video_encoder_cfg=enc_cfg,
+        ), None
+
+    from ltx2_tpu.utils.model_ledger import ModelLedger
+
+    ledger = ModelLedger(
+        checkpoint_path=args.checkpoint,
+        gemma_path=args.gemma_dir,
+        spatial_upscaler_path=args.spatial_upscaler,
+        temporal_upscaler_path=args.temporal_upscaler,
+        loras=parse_loras(args),
+        target_dtype=args.dtype,
+        include_audio=include_audio,
+    )
+    with phase("weight_loading"):
+        dit_params, dit_cfg = ledger.transformer()
+        dec_params, dec_cfg = ledger.video_decoder()
+        enc_params, enc_cfg = ledger.video_encoder()
+        models = dict(
+            transformer_params=dit_params, transformer_cfg=dit_cfg,
+            video_decoder_params=dec_params, video_decoder_cfg=dec_cfg,
+            video_encoder_params=enc_params, video_encoder_cfg=enc_cfg,
+        )
+        if include_audio:
+            a_params, a_cfg = ledger.audio_decoder()
+            voc = ledger.vocoder()
+            models.update(
+                audio_decoder_params=a_params, audio_decoder_cfg=a_cfg,
+                vocoder_params=voc[0], vocoder_cfg=voc[1],
+            )
+    return models, ledger
+
+
+def save_video(frames: np.ndarray, output: str, fps: float, output_fps=None, audio=None,
+               audio_sample_rate: int = 24000):
+    """ffmpeg H.264 mux with optional minterpolate + audio
+    (generate.py:2153-2362). Falls back to GIF + npz when ffmpeg is absent."""
+    import shutil
+
+    if shutil.which("ffmpeg") is None:
+        _save_video_fallback(frames, output, fps, audio, audio_sample_rate)
+        return
+    h, w = frames.shape[1:3]
+    with tempfile.TemporaryDirectory() as td:
+        raw_path = os.path.join(td, "frames.raw")
+        with open(raw_path, "wb") as f:
+            f.write(np.ascontiguousarray(frames).tobytes())
+
+        filters = []
+        if output_fps and output_fps > fps:
+            filters.append(
+                f"minterpolate=fps={output_fps}:mi_mode=mci:mc_mode=aobmc:vsbmc=1"
+            )
+        cmd = [
+            "ffmpeg", "-y", "-v", "error",
+            "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}",
+            "-r", str(fps), "-i", raw_path,
+        ]
+        audio_path = None
+        if audio is not None:
+            audio_np = np.asarray(audio, np.float32)
+            if audio_np.ndim == 3:
+                audio_np = audio_np[0]
+            audio_path = os.path.join(td, "audio.wav")
+            _write_wav(audio_path, audio_np, audio_sample_rate)
+            cmd += ["-i", audio_path]
+        if filters:
+            cmd += ["-vf", ",".join(filters)]
+        cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p", "-crf", "18"]
+        if audio_path:
+            cmd += ["-c:a", "aac", "-shortest"]
+        cmd += [output]
+        subprocess.run(cmd, check=True)
+
+
+def _save_video_fallback(frames: np.ndarray, output: str, fps: float, audio,
+                         audio_sample_rate: int):
+    """No-ffmpeg fallback: animated GIF + raw frames npz (+ wav)."""
+    from PIL import Image
+
+    base = output.rsplit(".", 1)[0]
+    gif_path = base + ".gif"
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(
+        gif_path, save_all=True, append_images=imgs[1:],
+        duration=max(1, int(1000 / fps)), loop=0,
+    )
+    np.savez(base + "_frames.npz", frames=frames, fps=fps)
+    if audio is not None:
+        audio_np = np.asarray(audio, np.float32)
+        if audio_np.ndim == 3:
+            audio_np = audio_np[0]
+        _write_wav(base + ".wav", audio_np, audio_sample_rate)
+    print(f"ffmpeg not found - wrote {gif_path} and {base}_frames.npz")
+
+
+def _write_wav(path: str, audio: np.ndarray, sample_rate: int):
+    import wave
+
+    audio = np.clip(audio, -1, 1)
+    pcm = (audio.T * 32767).astype(np.int16)
+    with wave.open(path, "w") as wf:
+        wf.setnchannels(audio.shape[0])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ltx2_tpu.utils.profiling import log, phase, phase_report, trace
+
+    with trace(args.profile_dir):
+        models, ledger = build_models(args)
+        embeddings = encode_prompts(args, ledger, models["transformer_cfg"])
+
+        pos = embeddings["positive"]
+        neg = embeddings["negative"]
+        pos_a = embeddings.get("positive_audio")
+        neg_a = embeddings.get("negative_audio")
+
+        tiling = tiling_config(args)
+        images = parse_images(args)
+        latent_channels = models["transformer_cfg"].in_channels
+
+        common = dict(
+            height=args.height, width=args.width, num_frames=args.num_frames,
+            seed=args.seed, fps=args.fps, tiling_config=tiling,
+            dtype="float32" if args.dtype == "float32" else "float32",
+            latent_channels=latent_channels,
+            audio_enabled=args.audio,
+            use_internal_audio_branch=not args.no_internal_audio,
+        )
+
+        audio_out = None
+        with phase("generation"):
+            if args.pipeline in ("one-stage", "text-to-video"):
+                from ltx2_tpu.pipelines import OneStageCFGConfig, OneStagePipeline
+
+                guider_override = None
+                if args.apg_scale:
+                    from ltx2_tpu.components import LtxAPGGuider
+
+                    guider_override = LtxAPGGuider(scale=args.apg_scale, eta=args.apg_eta)
+                pipeline = OneStagePipeline(**models)
+                cfg = OneStageCFGConfig(
+                    num_inference_steps=args.num_inference_steps,
+                    cfg_scale=args.cfg_scale,
+                    audio_cfg_scale=args.audio_cfg_scale,
+                    rescale_scale=0.0 if args.pipeline == "text-to-video" else args.rescale_scale,
+                    **common,
+                )
+                temporal_upscaler = None
+                if ledger and args.temporal_upscaler:
+                    import jax
+
+                    from ltx2_tpu.models.upscaler import temporal_upscaler_apply
+
+                    tu_params, tu_cfg = ledger.temporal_upscaler()
+                    temporal_upscaler = jax.jit(
+                        lambda z: temporal_upscaler_apply(tu_params, tu_cfg, z)
+                    )
+                video, audio_out = pipeline(
+                    pos, neg, cfg, images=images,
+                    positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
+                    stg_scale=args.stg_scale,
+                    stg_blocks=[int(b) for b in args.stg_blocks.split(",")] if args.stg_blocks else None,
+                    stg_cutoff=args.stg_cutoff,
+                    guider_override=guider_override,
+                    ge_gamma=args.ge_gamma,
+                    sampler=args.sampler,
+                    temporal_upscaler=temporal_upscaler,
+                    cross_attn_scale=args.cross_attn_scale,
+                    cross_attn_start_block=args.cross_attn_start_block,
+                    skip_decode=args.skip_vae,
+                )
+            elif args.pipeline == "distilled":
+                from ltx2_tpu.pipelines import DistilledConfig, DistilledPipeline
+
+                up = _upscaler_kwargs(args, ledger)
+                pipeline = DistilledPipeline(**models, **up)
+                cfg = DistilledConfig(**common)
+                result = pipeline(pos, None, cfg, images=images,
+                                  audio_encoding=pos_a, skip_decode=args.skip_vae)
+                video, audio_out = result if args.audio else (result, None)
+            elif args.pipeline == "two-stage":
+                from ltx2_tpu.loader.lora import LoRAConfig
+                from ltx2_tpu.pipelines import TwoStageCFGConfig, TwoStagePipeline
+
+                up = _upscaler_kwargs(args, ledger)
+                pipeline = TwoStagePipeline(**models, **up)
+                cfg = TwoStageCFGConfig(
+                    num_inference_steps=args.num_inference_steps,
+                    cfg_scale=args.cfg_scale,
+                    audio_cfg_scale=args.audio_cfg_scale,
+                    guidance_rescale=0.0,
+                    modality_scale=args.modality_scale,
+                    distilled_lora_config=(
+                        LoRAConfig(path=args.distilled_lora) if args.distilled_lora else None
+                    ),
+                    **common,
+                )
+                video, audio_out = pipeline(
+                    pos, neg, cfg, images=images,
+                    positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
+                    skip_decode=args.skip_vae,
+                )
+            elif args.pipeline == "keyframe":
+                from ltx2_tpu.pipelines import (
+                    Keyframe,
+                    KeyframeInterpolationConfig,
+                    KeyframeInterpolationPipeline,
+                )
+
+                up = _upscaler_kwargs(args, ledger)
+                pipeline = KeyframeInterpolationPipeline(**models, **up)
+                keyframes = []
+                for spec in args.keyframe:
+                    parts = spec.split(":")
+                    keyframes.append(
+                        Keyframe(
+                            image_path=parts[0],
+                            frame_index=int(parts[1]) if len(parts) > 1 else 0,
+                            strength=float(parts[2]) if len(parts) > 2 else 0.95,
+                        )
+                    )
+                cfg = KeyframeInterpolationConfig(**common)
+                result = pipeline(pos, None, cfg, keyframes=keyframes,
+                                  audio_encoding=pos_a, skip_decode=args.skip_vae)
+                video, audio_out = result if args.audio else (result, None)
+            elif args.pipeline == "ti2vid-hq":
+                from ltx2_tpu.pipelines import TI2VidHQConfig, TI2VidHQPipeline
+
+                up = _upscaler_kwargs(args, ledger)
+                pipeline = TI2VidHQPipeline(**models, **up)
+                cfg = TI2VidHQConfig(
+                    num_inference_steps=args.num_inference_steps,
+                    cfg_scale=args.cfg_scale,
+                    audio_cfg_scale=args.audio_cfg_scale,
+                    **common,
+                )
+                result = pipeline(
+                    pos, neg, cfg, images=images,
+                    positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
+                    skip_decode=args.skip_vae,
+                )
+                video, audio_out = result if args.audio else (result, None)
+            elif args.pipeline == "retake":
+                from ltx2_tpu.pipelines import RetakeConfig, RetakePipeline
+
+                pipeline = RetakePipeline(**models)
+                cfg = RetakeConfig(
+                    start_time=args.retake_start, end_time=args.retake_end,
+                    seed=args.seed,
+                    num_inference_steps=args.num_inference_steps,
+                    cfg_scale=args.cfg_scale,
+                    latent_channels=latent_channels,
+                    tiling_config=tiling,
+                )
+                video = pipeline(args.video, pos, neg, cfg, skip_decode=args.skip_vae)
+            elif args.pipeline == "ic-lora":
+                from ltx2_tpu.loader.lora import LoRAConfig
+                from ltx2_tpu.pipelines import (
+                    ControlType,
+                    ICLoraConfig,
+                    ICLoraPipeline,
+                    VideoCondition,
+                )
+
+                up = _upscaler_kwargs(args, ledger)
+                pipeline = ICLoraPipeline(**models, **up)
+                cfg = ICLoraConfig(
+                    ic_lora_config=(
+                        LoRAConfig(path=args.lora[0].split(":")[0]) if args.lora else None
+                    ),
+                    **common,
+                )
+                videos = []
+                if args.control_video:
+                    videos.append(
+                        VideoCondition(
+                            video_path=args.control_video,
+                            control_type=ControlType(args.control_type),
+                        )
+                    )
+                result = pipeline(pos, None, cfg, videos=videos,
+                                  audio_encoding=pos_a, skip_decode=args.skip_vae)
+                video, audio_out = result if args.audio else (result, None)
+            elif args.pipeline == "a2vid":
+                from ltx2_tpu.pipelines import A2VidConfig, A2VidPipelineTwoStage
+
+                up = _upscaler_kwargs(args, ledger)
+                pipeline = A2VidPipelineTwoStage(**models, **up)
+                cfg = A2VidConfig(audio_path=args.audio_file or "", **common)
+                result = pipeline(pos, None, cfg, audio_encoding=pos_a,
+                                  skip_decode=args.skip_vae)
+                video, audio_out = result if args.audio else (result, None)
+            else:
+                raise ValueError(f"unknown pipeline {args.pipeline}")
+
+        if args.skip_vae:
+            out = args.output.rsplit(".", 1)[0] + "_latent.npz"
+            np.savez(out, latent=np.asarray(video))
+            log.info("latent saved to %s", out)
+        else:
+            with phase("mux"):
+                save_video(
+                    np.asarray(video), args.output, args.fps,
+                    output_fps=args.output_fps, audio=audio_out,
+                )
+            log.info("video saved to %s", args.output)
+
+    log.info("phase report: %s", json.dumps({k: round(v, 2) for k, v in phase_report().items()}))
+
+
+def _upscaler_kwargs(args, ledger):
+    if ledger is None or args.spatial_upscaler is None:
+        return {}
+    params, cfg = ledger.spatial_upscaler()
+    if params is None:
+        return {}
+    return dict(spatial_upscaler_params=params, spatial_upscaler_cfg=cfg)
+
+
+if __name__ == "__main__":
+    main()
