@@ -8,10 +8,54 @@ for long video-token sequences (ops/pallas/flash_attention.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Flash kernel engages for unmasked self-attention when the sequence is long
+# enough to tile cleanly. Tuned on v5e at 6k tokens: 8 ms/sample vs 17 ms
+# for einsum — and O(T) memory, which is what lets CFG rows batch without
+# materializing the (B, H, T, T) logits (14 GB at batch 2 / 6k tokens).
+FLASH_BLOCK_Q = 512
+FLASH_BLOCK_KV = 1024
+FLASH_MIN_TOKENS = 2048
+
+
+@lru_cache(maxsize=1)
+def _flash_attention():
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    block_sizes = BlockSizes(
+        block_q=FLASH_BLOCK_Q,
+        block_k_major=FLASH_BLOCK_KV,
+        block_k=FLASH_BLOCK_KV,
+        block_b=1,
+    )
+
+    def run(q, k, v, scale):
+        return flash_attention(
+            q, k, v, causal=False, sm_scale=scale, block_sizes=block_sizes
+        )
+
+    return run
+
+
+def _use_flash(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
+    t_q, t_k = q.shape[2], k.shape[2]
+    return (
+        mask is None
+        and jax.default_backend() == "tpu"
+        and t_q == t_k
+        and t_q >= FLASH_MIN_TOKENS
+        and t_q % FLASH_BLOCK_Q == 0
+        and t_k % FLASH_BLOCK_KV == 0
+        and q.shape[-1] % 128 == 0
+    )
 
 
 def sdpa(
@@ -29,11 +73,13 @@ def sdpa(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    # Einsum formulation with fp32 softmax. Benchmarked on v5e at 6k video
-    # tokens: 18 ms vs 345 ms for jax.nn.dot_product_attention and 42 ms for
-    # the stock Pallas flash kernel. The QK dot stores logits in the input
-    # dtype (XLA still accumulates fp32 inside the MXU) — requesting fp32
-    # logit OUTPUT costs 20x in HBM writes at these sizes.
+    if _use_flash(q, k, mask):
+        return _flash_attention()(q, k, v, scale)
+    # Einsum fallback with fp32 softmax (short sequences, masked
+    # cross-attention, CPU). Benchmarked on v5e at 6k tokens: 18 ms vs
+    # 345 ms for jax.nn.dot_product_attention. The QK dot stores logits in
+    # the input dtype (XLA still accumulates fp32 inside the MXU) —
+    # requesting fp32 logit OUTPUT costs 20x in HBM writes at these sizes.
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     logits = logits.astype(jnp.float32)
     if mask is not None:
