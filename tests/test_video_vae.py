@@ -302,3 +302,81 @@ class TestWeightsLoading:
             ("compress_all", 2, True),
             ("res_x", 3),
         )
+
+
+class TestFullVAEBlocks:
+    """Non-'simple' VAE path building blocks (resnet.py equivalents)."""
+
+    def test_resnet_block_pixel_norm(self):
+        from ltx2_tpu.models.video_vae.resnet import (
+            ResnetBlock3DConfig,
+            init_resnet_block_3d,
+            resnet_block_3d_apply,
+        )
+
+        cfg = ResnetBlock3DConfig(in_channels=8, groups=4)
+        params = jax.jit(lambda k: init_resnet_block_3d(k, cfg))(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 4, 4, 8))
+        out = jax.jit(lambda p, x: resnet_block_3d_apply(p, cfg, x))(params, x)
+        assert out.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_resnet_block_channel_change_and_timestep(self):
+        from ltx2_tpu.models.video_vae.resnet import (
+            NormLayerType,
+            ResnetBlock3DConfig,
+            init_resnet_block_3d,
+            resnet_block_3d_apply,
+        )
+
+        # Channel change (shortcut projection), no conditioning:
+        cfg = ResnetBlock3DConfig(
+            in_channels=8, out_channels=16, groups=4,
+            norm_layer=NormLayerType.GROUP_NORM,
+        )
+        params = jax.jit(lambda k: init_resnet_block_3d(k, cfg))(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 4, 4, 8))
+        out = jax.jit(lambda p, x: resnet_block_3d_apply(p, cfg, x))(params, x)
+        assert out.shape == (1, 2, 4, 4, 16)
+
+        # Timestep conditioning (in == out, as used by the decoder):
+        cfg_t = ResnetBlock3DConfig(
+            in_channels=8, groups=4, timestep_conditioning=True,
+        )
+        params_t = jax.jit(lambda k: init_resnet_block_3d(k, cfg_t))(jax.random.PRNGKey(3))
+        t = jax.random.normal(jax.random.PRNGKey(2), (1, 4 * 8))
+        out_t = jax.jit(lambda p, x, t: resnet_block_3d_apply(p, cfg_t, x, timestep=t))(
+            params_t, x, t
+        )
+        assert out_t.shape == x.shape
+
+    def test_dual_conv3d_separable(self):
+        from ltx2_tpu.models.video_vae.resnet import dual_conv3d
+
+        rng = np.random.default_rng(0)
+        p = {
+            "conv1": {
+                "weight": jnp.asarray(rng.normal(size=(6, 4, 3, 3)).astype(np.float32) * 0.1),
+                "bias": jnp.zeros((6,)),
+            },
+            "conv2": {
+                "weight": jnp.asarray(rng.normal(size=(5, 6, 3)).astype(np.float32) * 0.1),
+                "bias": jnp.zeros((5,)),
+            },
+        }
+        x = jnp.asarray(rng.normal(size=(1, 4, 6, 6, 4)).astype(np.float32))
+        out = jax.jit(lambda p, x: dual_conv3d(p, x))(p, x)
+        assert out.shape == (1, 4, 6, 6, 5)
+
+    def test_unet_mid_block(self):
+        from ltx2_tpu.models.video_vae.resnet import (
+            UNetMidBlock3DConfig,
+            init_unet_mid_block_3d,
+            unet_mid_block_3d_apply,
+        )
+
+        cfg = UNetMidBlock3DConfig(in_channels=8, num_layers=2, resnet_groups=4)
+        params = jax.jit(lambda k: init_unet_mid_block_3d(k, cfg))(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 4, 4, 8))
+        out = jax.jit(lambda p, x: unet_mid_block_3d_apply(p, cfg, x))(params, x)
+        assert out.shape == x.shape
