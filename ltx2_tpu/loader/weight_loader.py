@@ -86,8 +86,10 @@ def _dequantize(
     f: SafetensorsFile, key: str, arr: np.ndarray, fp8_scales: Dict[str, str]
 ) -> np.ndarray:
     if key in fp8_scales:
+        from ltx2_tpu.loader.native import fp8_e4m3_dequant
+
         scale = float(np.asarray(f.get(fp8_scales[key])).reshape(-1)[0])
-        return arr.astype(np.float32) * scale
+        return fp8_e4m3_dequant(arr, scale, target="float32")
     return arr
 
 
@@ -119,12 +121,26 @@ def load_flat_diffusion_weights(
             continue
         arr = _dequantize(f, key, f.get(key), fp8_scales)
         if any(marker in tree_key for marker in fp32_keys):
-            arr = np.asarray(arr, dtype=np.float32)
+            import ml_dtypes
+
+            if arr.dtype == ml_dtypes.bfloat16:
+                from ltx2_tpu.loader.native import bf16_to_f32
+
+                arr = bf16_to_f32(arr)
+            else:
+                arr = np.asarray(arr, dtype=np.float32)
         else:
             import ml_dtypes
 
-            np_target = ml_dtypes.bfloat16 if target_dtype == "bfloat16" else tdt
-            arr = np.asarray(arr).astype(np_target)
+            if target_dtype == "bfloat16":
+                if arr.dtype == ml_dtypes.bfloat16:
+                    arr = np.asarray(arr)
+                else:
+                    from ltx2_tpu.loader.native import f32_to_bf16
+
+                    arr = f32_to_bf16(np.asarray(arr, np.float32))
+            else:
+                arr = np.asarray(arr).astype(tdt)
         out[tree_key] = arr
     return out
 

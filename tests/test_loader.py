@@ -248,3 +248,49 @@ class TestRegistry:
             t.join()
         assert not errors
         assert len(reg) == 16
+
+
+class TestNativeConvert:
+    """Native C++ dtype kernels must match numpy/ml_dtypes semantics."""
+
+    def test_available(self):
+        from ltx2_tpu.loader.native import ensure_built, native_available
+
+        assert ensure_built()
+        assert native_available()
+
+    def test_bf16_to_f32(self):
+        from ltx2_tpu.loader.native import bf16_to_f32
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1024,)).astype(np.float32).astype(ml_dtypes.bfloat16)
+        got = bf16_to_f32(x)
+        np.testing.assert_array_equal(got, x.astype(np.float32))
+
+    def test_f32_to_bf16_rne(self):
+        from ltx2_tpu.loader.native import f32_to_bf16
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(4096,)).astype(np.float32) * 100
+        got = f32_to_bf16(x)
+        expected = x.astype(ml_dtypes.bfloat16)
+        np.testing.assert_array_equal(got.view(np.uint16), expected.view(np.uint16))
+
+    def test_fp8_dequant(self):
+        from ltx2_tpu.loader.native import fp8_e4m3_dequant
+
+        x = np.arange(256, dtype=np.uint8).view(ml_dtypes.float8_e4m3fn)
+        got = fp8_e4m3_dequant(x, 0.5, target="float32")
+        expected = x.astype(np.float32) * 0.5
+        np.testing.assert_allclose(
+            got[~np.isnan(expected)], expected[~np.isnan(expected)], rtol=1e-6
+        )
+        assert np.isnan(got[np.isnan(expected)]).all()
+
+    def test_fp8_dequant_bf16(self):
+        from ltx2_tpu.loader.native import fp8_e4m3_dequant
+
+        x = np.linspace(-4, 4, 64, dtype=np.float32).astype(ml_dtypes.float8_e4m3fn)
+        got = fp8_e4m3_dequant(x, 2.0, target="bfloat16")
+        expected = (x.astype(np.float32) * 2.0).astype(ml_dtypes.bfloat16)
+        np.testing.assert_array_equal(got.view(np.uint16), expected.view(np.uint16))
