@@ -98,11 +98,15 @@ def load_flat_diffusion_weights(
     include_audio: bool = False,
     target_dtype: str = "bfloat16",
     fp32_keys: Tuple[str, ...] = ("scale_shift_table", "adaln", "norm"),
+    keep_fp8: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Stream `model.diffusion_model.*` tensors -> flat {tree-key: np array}.
 
     AdaLN tables and norm weights stay fp32 (parity hazard #1, SURVEY.md);
-    matmul weights go to `target_dtype`.
+    matmul weights go to `target_dtype`. With keep_fp8, fp8-E4M3 weights
+    stay quantized and their per-tensor scales land beside them as
+    `<name>_scale` leaves — the DiT dequantizes at use (ops/common.linear),
+    halving weight HBM (serving mode).
     """
     f = SafetensorsFile(path)
     fp8_scales = {
@@ -118,6 +122,12 @@ def load_flat_diffusion_weights(
         short = key[len(DIFFUSION_PREFIX):]
         tree_key = convert_checkpoint_key(short, include_audio=include_audio)
         if tree_key is None:
+            continue
+        if keep_fp8 and key in fp8_scales:
+            out[tree_key] = np.asarray(f.get(key))
+            out[tree_key + "_scale"] = np.asarray(
+                np.asarray(f.get(fp8_scales[key])).reshape(()), np.float32
+            )
             continue
         arr = _dequantize(f, key, f.get(key), fp8_scales)
         if any(marker in tree_key for marker in fp32_keys):
@@ -202,12 +212,14 @@ def load_transformer_params(
     target_dtype: str = "bfloat16",
     num_layers: Optional[int] = None,
     device_put: Optional[Callable[[str, np.ndarray], jnp.ndarray]] = None,
+    keep_fp8: bool = False,
 ) -> Params:
     """Full pipeline: stream safetensors -> key rewrite -> fp8 dequant ->
     stacked param tree on device (load_transformer_weights parity,
     weight_converter.py:318-446)."""
     flat = load_flat_diffusion_weights(
-        path, include_audio=include_audio, target_dtype=target_dtype
+        path, include_audio=include_audio, target_dtype=target_dtype,
+        keep_fp8=keep_fp8,
     )
     return structure_diffusion_weights(flat, num_layers=num_layers, device_put=device_put)
 

@@ -17,8 +17,19 @@ Params = Dict[str, object]
 
 
 def linear(p: Params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
-    """y = x @ W^T + b with W stored [out_features, in_features]."""
+    """y = x @ W^T + b with W stored [out_features, in_features].
+
+    fp8 serving: when the param dict carries a per-tensor 'weight_scale'
+    (fp8-E4M3 checkpoints kept quantized in HBM), the weight dequantizes at
+    use — w_eff = cast(w) * scale. Halves weight HBM and read bandwidth;
+    XLA fuses the dequant into the matmul operand load.
+    """
     w = p["weight"]
+    scale = p.get("weight_scale")
+    if scale is not None or w.dtype != x.dtype and jnp.issubdtype(w.dtype, jnp.floating):
+        w = w.astype(x.dtype)
+        if scale is not None:
+            w = w * scale.astype(x.dtype)
     y = jax.lax.dot_general(
         x,
         w,

@@ -294,3 +294,64 @@ class TestNativeConvert:
         got = fp8_e4m3_dequant(x, 2.0, target="bfloat16")
         expected = (x.astype(np.float32) * 2.0).astype(ml_dtypes.bfloat16)
         np.testing.assert_array_equal(got.view(np.uint16), expected.view(np.uint16))
+
+
+class TestFP8Serving:
+    """fp8 weights kept quantized in HBM, dequantized at use."""
+
+    def test_quantize_forward_close(self):
+        from ltx2_tpu.loader.fp8 import quantize_params_fp8
+        from tests.test_dit import make_video_modality, tiny_config
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        qparams = quantize_params_fp8(params)
+        # Eligible weights got quantized + scales added.
+        assert (
+            qparams["transformer_blocks"]["attn1"]["to_q"]["weight"].dtype
+            == jnp.float8_e4m3fn
+        )
+        assert "weight_scale" in qparams["transformer_blocks"]["attn1"]["to_q"]
+        # AdaLN tables untouched.
+        assert qparams["transformer_blocks"]["scale_shift_table"].dtype == jnp.float32
+
+        video = make_video_modality(cfg)
+        fn = jitted_forward(cfg)
+        base = np.asarray(fn(params, video))
+        quant = np.asarray(fn(qparams, video))
+        # fp8 weights: outputs correlate strongly but are not exact.
+        corr = np.corrcoef(base.ravel(), quant.ravel())[0, 1]
+        assert corr > 0.99, corr
+
+    def test_keep_fp8_checkpoint_load(self, tmp_path):
+        from tests.test_dit import make_video_modality, tiny_config
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        # Build an fp8 checkpoint: quantize to_q of every block.
+        ckpt = params_to_checkpoint(params)
+        fp8_ckpt = {}
+        for key, arr in ckpt.items():
+            if key.endswith("attn1.to_q.weight"):
+                amax = np.abs(arr).max() or 1.0
+                scale = amax / 448.0
+                fp8_ckpt[key] = (arr / scale).astype(ml_dtypes.float8_e4m3fn)
+                fp8_ckpt[key.replace(".weight", ".weight_scale")] = np.asarray(
+                    scale, np.float32
+                )
+            else:
+                fp8_ckpt[key] = arr
+        path = str(tmp_path / "fp8_model.safetensors")
+        write_safetensors(path, fp8_ckpt)
+
+        loaded = load_transformer_params(path, target_dtype="float32", keep_fp8=True)
+        assert (
+            loaded["transformer_blocks"]["attn1"]["to_q"]["weight"].dtype
+            == jnp.float8_e4m3fn
+        )
+        video = make_video_modality(cfg)
+        fn = jitted_forward(cfg)
+        base = np.asarray(fn(params, video))
+        quant = np.asarray(fn(loaded, video))
+        corr = np.corrcoef(base.ravel(), quant.ravel())[0, 1]
+        assert corr > 0.99, corr
