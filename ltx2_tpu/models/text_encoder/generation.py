@@ -1,0 +1,295 @@
+"""Greedy text generation for the Gemma-3 encoder (prompt enhancement).
+
+Capability parity with the reference's Gemma-based prompt expansion
+(LTX_2_MLX/utils/prompt_enhancement.py + generate.py:325-379): the same
+Gemma-3 weights used for text encoding also GENERATE the enhanced prompt.
+
+TPU-first design: prefill and the whole decode loop are ONE jitted program.
+- Prefill: the standard 48-layer lax.scan forward, additionally collecting
+  the RoPE'd K / V of every layer as scan ys -> KV caches shaped
+  (L, B, cache_len, KV_heads, head_dim), written once.
+- Decode: lax.scan over `max_new_tokens` steps; each step runs an inner
+  lax.scan over layers whose xs are the per-layer cache slices, updated in
+  place with lax.dynamic_update_slice and re-stacked as ys. No Python loop,
+  no per-step retracing; one compile per (S_pad, max_new_tokens) bucket.
+- Greedy argmax with EOS latching: once a row emits EOS, it keeps emitting
+  `pad_id` (fixed-length scan; the host truncates at EOS).
+
+The sliding/full layer split (40 window-1024 layers + 8 full-attention
+layers, reference gemma3.py:29-55) is honored in decode: position j is
+visible iff j <= pos AND valid AND (full-layer OR pos - j < window).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ltx2_tpu.models.text_encoder.gemma3 import (
+    Gemma3Config,
+    _mlp,
+    apply_rotary_pos_emb,
+    gemma_rms_norm,
+    rope_tables,
+)
+from ltx2_tpu.ops.common import Params, linear
+
+_NEG = -1e30
+
+
+def _project_qkv(p: Params, cfg: Gemma3Config, x: jnp.ndarray):
+    """x (B,S,D_model) -> q (B,H,S,D), k/v (B,KV,S,D), normed, pre-RoPE."""
+    b, s, _ = x.shape
+    h, kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = linear(p["q_proj"], x).reshape(b, s, h, d)
+    k = linear(p["k_proj"], x).reshape(b, s, kv, d)
+    v = linear(p["v_proj"], x).reshape(b, s, kv, d)
+    q = gemma_rms_norm(q, p["q_norm"]["weight"], cfg.rms_norm_eps)
+    k = gemma_rms_norm(k, p["k_norm"]["weight"], cfg.rms_norm_eps)
+    return q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+
+
+def _layer_prefill(
+    p: Params,
+    cfg: Gemma3Config,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+):
+    """One layer forward returning (out, k_rope, v) for the cache.
+
+    k/v are cached per KV head (GQA repeat happens at use)."""
+    residual = x
+    hdn = gemma_rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    q, k, v = _project_qkv(p["self_attn"], cfg, hdn)
+    q, k = apply_rotary_pos_emb(q, k, cos, sin)
+
+    groups = cfg.num_attention_heads // cfg.num_key_value_heads
+    kr = jnp.repeat(k, groups, axis=1) if groups > 1 else k
+    vr = jnp.repeat(v, groups, axis=1) if groups > 1 else v
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * (cfg.head_dim**-0.5)
+    weights = jax.nn.softmax((logits + mask).astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(q.dtype), vr)
+    b, _h, s, _d = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    out = linear(p["self_attn"]["o_proj"], out)
+    out = gemma_rms_norm(out, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+    x = residual + out
+
+    residual = x
+    hdn = gemma_rms_norm(x, p["pre_feedforward_layernorm"]["weight"], cfg.rms_norm_eps)
+    hdn = _mlp(p["mlp"], hdn)
+    hdn = gemma_rms_norm(hdn, p["post_feedforward_layernorm"]["weight"], cfg.rms_norm_eps)
+    # Cache layout (B, S, KV, D)
+    return residual + hdn, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+
+
+def _logits(params: Params, cfg: Gemma3Config, x_last: jnp.ndarray) -> jnp.ndarray:
+    """Final norm -> tied-embedding LM head (B, vocab)."""
+    h = gemma_rms_norm(x_last, params["norm"]["weight"], cfg.rms_norm_eps)
+    w = params["embed_tokens"]["weight"].astype(h.dtype)
+    return jnp.einsum("bd,vd->bv", h, w)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id", "pad_id"))
+def gemma3_greedy_generate(
+    params: Params,
+    cfg: Gemma3Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int = 0,
+) -> jnp.ndarray:
+    """Greedy decode -> (B, max_new_tokens) token ids (pad_id after EOS).
+
+    input_ids / attention_mask are (B, S) RIGHT-padded; generation continues
+    from each row's last valid position... all rows must share the same
+    prompt length for the single-position decode (pad to a common length
+    with the mask; B>1 with ragged prompts should left-pad upstream).
+    """
+    b, s = input_ids.shape
+    dtype = cfg.dtype
+    h_heads, kv_heads, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    groups = h_heads // kv_heads
+    cache_len = s + max_new_tokens
+
+    is_full = jnp.asarray(
+        [1.0 if t == "full_attention" else 0.0 for t in cfg.layer_types], jnp.float32
+    )
+
+    # RoPE tables for the whole cache horizon, both frequency variants.
+    all_pos = jnp.arange(cache_len, dtype=jnp.int32)
+    cos_s_all, sin_s_all = rope_tables(
+        all_pos, d, cfg.sliding_rope_theta, cfg.sliding_rope_scaling_factor
+    )
+    cos_f_all, sin_f_all = rope_tables(
+        all_pos, d, cfg.full_rope_theta, cfg.full_rope_scaling_factor
+    )
+
+    # ---- Prefill ---------------------------------------------------------
+    x = params["embed_tokens"]["weight"][input_ids].astype(dtype)
+    x = x * jnp.asarray(cfg.hidden_size**0.5, dtype)
+
+    row = jnp.arange(s)[:, None]
+    col = jnp.arange(s)[None, :]
+    causal = col <= row
+    pad_ok = attention_mask.astype(bool)[:, None, None, :]
+    full_bool = causal[None, None] & pad_ok
+    sliding_bool = full_bool & ((row - col) < cfg.sliding_window)[None, None]
+    zero = jnp.zeros((), dtype)
+    neg = jnp.asarray(_NEG, dtype)
+    full_mask = jnp.where(full_bool, zero, neg)
+    sliding_mask = jnp.where(sliding_bool, zero, neg)
+
+    def prefill_step(carry, xs):
+        layer_params, full_flag = xs
+        cos = jnp.where(full_flag > 0, cos_f_all[:s], cos_s_all[:s])
+        sin = jnp.where(full_flag > 0, sin_f_all[:s], sin_s_all[:s])
+        mask = jnp.where(full_flag > 0, full_mask, sliding_mask)
+        out, k, v = _layer_prefill(layer_params, cfg, carry, mask, cos, sin)
+        return out, (k, v)
+
+    final, (pk, pv) = jax.lax.scan(prefill_step, x, (params["layers"], is_full))
+
+    n_layers = cfg.num_hidden_layers
+    cache_k = jnp.zeros((n_layers, b, cache_len, kv_heads, d), dtype)
+    cache_v = jnp.zeros((n_layers, b, cache_len, kv_heads, d), dtype)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, pk, (0, 0, 0, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, pv, (0, 0, 0, 0, 0))
+
+    # Validity over the cache horizon: prompt mask, then generated positions
+    # flipped on as they are written.
+    valid = jnp.concatenate(
+        [attention_mask.astype(bool), jnp.zeros((b, max_new_tokens), bool)], axis=1
+    )
+
+    first_tok = jnp.argmax(_logits(params, cfg, final[:, -1, :]), axis=-1).astype(
+        input_ids.dtype
+    )
+
+    # ---- Decode ----------------------------------------------------------
+    def decode_step(carry, _):
+        tok, pos, ck_all, cv_all, valid_c, done = carry
+        h_tok = params["embed_tokens"]["weight"][tok[:, None]].astype(dtype)
+        h_tok = h_tok * jnp.asarray(cfg.hidden_size**0.5, dtype)
+
+        valid_c = jax.lax.dynamic_update_slice(
+            valid_c, jnp.ones((b, 1), bool), (0, pos)
+        )
+
+        def layer_step(h_carry, xs):
+            layer_params, full_flag, ck, cv = xs
+            residual = h_carry
+            hdn = gemma_rms_norm(
+                h_carry, layer_params["input_layernorm"]["weight"], cfg.rms_norm_eps
+            )
+            q, k, v = _project_qkv(layer_params["self_attn"], cfg, hdn)
+            cos = jax.lax.dynamic_slice_in_dim(
+                jnp.where(full_flag > 0, cos_f_all, cos_s_all), pos, 1, axis=0
+            )
+            sin = jax.lax.dynamic_slice_in_dim(
+                jnp.where(full_flag > 0, sin_f_all, sin_s_all), pos, 1, axis=0
+            )
+            q, k = apply_rotary_pos_emb(q, k, cos, sin)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.transpose(0, 2, 1, 3), (0, pos, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.transpose(0, 2, 1, 3), (0, pos, 0, 0)
+            )
+
+            j = jnp.arange(cache_len)
+            win_ok = jnp.where(
+                full_flag > 0, jnp.ones((cache_len,), bool), (pos - j) < cfg.sliding_window
+            )
+            allow = (j[None, :] <= pos) & win_ok[None, :] & valid_c  # (B, cache_len)
+
+            qg = q[:, :, 0, :].reshape(b, kv_heads, groups, d)
+            logits = jnp.einsum("bkgd,btkd->bkgt", qg, ck) * (d**-0.5)
+            logits = jnp.where(allow[:, None, None, :], logits, jnp.asarray(_NEG, dtype))
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+            attn = jnp.einsum("bkgt,btkd->bkgd", weights, cv)
+            attn = attn.reshape(b, 1, h_heads * d)
+            out = linear(layer_params["self_attn"]["o_proj"], attn)
+            out = gemma_rms_norm(
+                out, layer_params["post_attention_layernorm"]["weight"], cfg.rms_norm_eps
+            )
+            x2 = residual + out
+
+            residual2 = x2
+            hdn2 = gemma_rms_norm(
+                x2, layer_params["pre_feedforward_layernorm"]["weight"], cfg.rms_norm_eps
+            )
+            hdn2 = _mlp(layer_params["mlp"], hdn2)
+            hdn2 = gemma_rms_norm(
+                hdn2,
+                layer_params["post_feedforward_layernorm"]["weight"],
+                cfg.rms_norm_eps,
+            )
+            return residual2 + hdn2, (ck, cv)
+
+        h_out, (ck_all, cv_all) = jax.lax.scan(
+            layer_step, h_tok, (params["layers"], is_full, ck_all, cv_all)
+        )
+        nxt = jnp.argmax(_logits(params, cfg, h_out[:, 0, :]), axis=-1).astype(tok.dtype)
+        emitted = jnp.where(done, jnp.asarray(pad_id, tok.dtype), tok)
+        done = done | (tok == eos_id)
+        nxt = jnp.where(done, jnp.asarray(pad_id, tok.dtype), nxt)
+        return (nxt, pos + 1, ck_all, cv_all, valid_c, done), emitted
+
+    init = (
+        first_tok,
+        jnp.asarray(s, jnp.int32),
+        cache_k,
+        cache_v,
+        valid,
+        jnp.zeros((b,), bool),
+    )
+    _final_carry, tokens = jax.lax.scan(decode_step, init, None, length=max_new_tokens)
+    return tokens.transpose(1, 0)  # (B, max_new_tokens)
+
+
+def generate_text(
+    params: Params,
+    cfg: Gemma3Config,
+    tokenizer,
+    prompt: str,
+    max_new_tokens: int = 256,
+    pad_multiple: int = 64,
+) -> str:
+    """Host convenience: tokenize -> jitted greedy decode -> detokenize.
+
+    Pads the prompt to a multiple of `pad_multiple` so repeated calls share
+    compiled programs (one compile per length bucket)."""
+    import numpy as np
+
+    ids = tokenizer(prompt, return_tensors="np")
+    input_ids = np.asarray(ids["input_ids"], np.int32)
+    s = input_ids.shape[1]
+    s_pad = ((s + pad_multiple - 1) // pad_multiple) * pad_multiple
+    pad = s_pad - s
+    # LEFT-pad so "continue from the last position" is the true last token.
+    input_ids = np.pad(input_ids, ((0, 0), (pad, 0)))
+    mask = np.pad(np.ones((1, s), np.int32), ((0, 0), (pad, 0)))
+
+    eos_id = int(getattr(tokenizer, "eos_token_id", 1) or 1)
+    tokens = gemma3_greedy_generate(
+        params,
+        cfg,
+        jnp.asarray(input_ids),
+        jnp.asarray(mask),
+        max_new_tokens=max_new_tokens,
+        eos_id=eos_id,
+        pad_id=0,
+    )
+    out = np.asarray(tokens)[0]
+    if eos_id in out:
+        out = out[: list(out).index(eos_id)]
+    out = out[out != 0]
+    return tokenizer.decode(out, skip_special_tokens=True)

@@ -34,6 +34,7 @@ class ModelLedger:
     loras: List[LoRAConfig] = field(default_factory=list)
     target_dtype: str = "bfloat16"
     include_audio: bool = False
+    keep_fp8: bool = False  # serving mode: fp8 weights stay quantized in HBM
     _cache: Dict[str, object] = field(default_factory=dict, repr=False)
 
     # -- helpers -----------------------------------------------------------
@@ -70,11 +71,16 @@ class ModelLedger:
                 rope_type=LTXRopeType.SPLIT,
                 compute_dtype=self.target_dtype,
             )
+            # LoRA fusion mutates matmul weights, so it is incompatible with
+            # keep_fp8 (would need dequant->fuse->requant); fall back to the
+            # dequantized load when LoRAs are present.
+            keep_fp8 = self.keep_fp8 and not self.loras
             params = load_transformer_params(
                 self.checkpoint_path,
                 include_audio=self.include_audio,
                 target_dtype=self.target_dtype,
                 num_layers=cfg.num_layers,
+                keep_fp8=keep_fp8,
             )
             if self.loras:
                 params = fuse_lora_into_params(params, self.loras)
@@ -227,6 +233,7 @@ class ModelLedger:
             loras=list(loras),
             target_dtype=self.target_dtype,
             include_audio=self.include_audio,
+            keep_fp8=self.keep_fp8,
         )
 
 
