@@ -31,6 +31,10 @@ from ltx2_tpu.models.text_encoder.gemma3 import (
     init_gemma3,
     load_gemma3_params,
 )
+from ltx2_tpu.models.text_encoder.generation import (
+    gemma3_greedy_generate,
+    generate_text,
+)
 
 __all__ = [
     "ConnectorConfig",
@@ -58,4 +62,6 @@ __all__ = [
     "gemma3_apply",
     "init_gemma3",
     "load_gemma3_params",
+    "gemma3_greedy_generate",
+    "generate_text",
 ]

@@ -209,7 +209,28 @@ def encode_prompts(args, ledger, dit_cfg):
         )
 
         tokenizer = AutoTokenizer.from_pretrained(args.gemma_dir, padding_side="left")
-        prompts = [args.prompt, args.negative_prompt]
+
+        prompt = args.prompt
+        if args.enhance_prompt:
+            from ltx2_tpu.models.text_encoder.generation import generate_text
+            from ltx2_tpu.utils.prompt_enhancement import (
+                I2V_SYSTEM_PROMPT,
+                T2V_SYSTEM_PROMPT,
+                enhance_prompt,
+            )
+
+            gemma_params, gemma_cfg = ledger.gemma()
+            system = I2V_SYSTEM_PROMPT if getattr(args, "image", None) else T2V_SYSTEM_PROMPT
+            prompt = enhance_prompt(
+                prompt,
+                lambda text, n: generate_text(
+                    gemma_params, gemma_cfg, tokenizer, text, max_new_tokens=n
+                ),
+                system_prompt=system,
+            )
+            log.info("enhanced prompt: %s", prompt)
+
+        prompts = [prompt, args.negative_prompt]
         enc = tokenizer(
             prompts, return_tensors="np", padding="max_length",
             truncation=True, max_length=1024,
