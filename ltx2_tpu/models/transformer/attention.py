@@ -30,6 +30,10 @@ class AttentionConfig:
     norm_eps: float = 1e-6
     rope_type: LTXRopeType = LTXRopeType.SPLIT
     apply_gated_attention: bool = False
+    # Sequence parallelism (only meaningful under shard_map): mesh axis name
+    # along which the token dim is sharded. Self-attention goes through ring
+    # attention; cross-modal attention all-gathers its K/V (gather_context).
+    sequence_axis: Optional[str] = None
 
     @property
     def inner_dim(self) -> int:
@@ -44,8 +48,17 @@ def attention_apply(
     mask: Optional[jnp.ndarray] = None,
     pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     k_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    gather_context: bool = False,
 ) -> jnp.ndarray:
-    """Attention forward over (B, T, D) tokens."""
+    """Attention forward over (B, T, D) tokens.
+
+    With cfg.sequence_axis set (token axis sharded under shard_map):
+    - self-attention (context is None, no mask) runs ring attention;
+    - cross-modal attention passes gather_context=True so the token-sharded
+      K/V are all-gathered to full length (queries stay local);
+    - text cross-attention passes gather_context=False — its context is
+      replicated, nothing to do.
+    """
     q = linear(p["to_q"], x)
     ctx = x if context is None else context
     k = linear(p["to_k"], ctx)
@@ -58,7 +71,24 @@ def attention_apply(
         q = apply_rotary_emb(q, pe, cfg.rope_type)
         k = apply_rotary_emb(k, pe if k_pe is None else k_pe, cfg.rope_type)
 
-    out = sdpa_tokens(q, k, v, cfg.heads, cfg.dim_head, mask=mask)
+    axis = cfg.sequence_axis
+    if axis is not None and context is None and mask is None:
+        from ltx2_tpu.parallel.ring_attention import ring_attention_local
+
+        b, t, _ = q.shape
+
+        def heads_major(z):
+            return z.reshape(b, t, cfg.heads, cfg.dim_head).transpose(0, 2, 1, 3)
+
+        out = ring_attention_local(
+            heads_major(q), heads_major(k), heads_major(v), axis_name=axis
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.inner_dim)
+    else:
+        if axis is not None and gather_context:
+            k = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+        out = sdpa_tokens(q, k, v, cfg.heads, cfg.dim_head, mask=mask)
 
     if cfg.apply_gated_attention:
         gate_logits = linear(p["to_gate_logits"], x)  # (B, T, H)

@@ -49,6 +49,10 @@ class StreamConfig:
     context_dim: int
     cross_attention_adaln: bool = False
     apply_gated_attention: bool = False
+    # Mesh axis the token dim is sharded over (sequence parallelism under
+    # shard_map); None = single-shard tokens. Self-attn -> ring attention,
+    # A2V/V2A -> K/V all-gather, text cross-attn unaffected (replicated ctx).
+    sequence_axis: Optional[str] = None
 
 
 @jax.tree_util.register_dataclass
@@ -180,8 +184,11 @@ def av_block_apply(
             norm_eps=norm_eps,
             rope_type=rope_type,
             apply_gated_attention=video_cfg.apply_gated_attention,
+            sequence_axis=video_cfg.sequence_axis,
         )
-        v_attn2 = dataclasses.replace(v_attn1, context_dim=video_cfg.context_dim)
+        v_attn2 = dataclasses.replace(
+            v_attn1, context_dim=video_cfg.context_dim, sequence_axis=None
+        )
         shift_msa, scale_msa, gate_msa = _ada_values(
             p["scale_shift_table"], video.timesteps, 0, 3
         )
@@ -205,8 +212,11 @@ def av_block_apply(
             norm_eps=norm_eps,
             rope_type=rope_type,
             apply_gated_attention=audio_cfg.apply_gated_attention,
+            sequence_axis=audio_cfg.sequence_axis,
         )
-        a_attn2 = dataclasses.replace(a_attn1, context_dim=audio_cfg.context_dim)
+        a_attn2 = dataclasses.replace(
+            a_attn1, context_dim=audio_cfg.context_dim, sequence_axis=None
+        )
         ashift, ascale, agate = _ada_values(
             p["audio_scale_shift_table"], audio.timesteps, 0, 3
         )
@@ -229,6 +239,7 @@ def av_block_apply(
             norm_eps=norm_eps,
             rope_type=rope_type,
             apply_gated_attention=video_cfg.apply_gated_attention,
+            sequence_axis=audio_cfg.sequence_axis,  # KV side (audio tokens)
         )
         v2a_cfg = AttentionConfig(
             query_dim=audio_cfg.dim,
@@ -238,6 +249,7 @@ def av_block_apply(
             norm_eps=norm_eps,
             rope_type=rope_type,
             apply_gated_attention=audio_cfg.apply_gated_attention,
+            sequence_axis=video_cfg.sequence_axis,  # KV side (video tokens)
         )
         vx_norm = rms_norm(vx, None, norm_eps)
         ax_norm = rms_norm(ax, None, norm_eps)
@@ -272,6 +284,7 @@ def av_block_apply(
         a2v_out = attention_apply(
             p["audio_to_video_attn"], a2v_cfg, vq,
             context=akv, pe=video.cross_pe, k_pe=audio.cross_pe,
+            gather_context=a2v_cfg.sequence_axis is not None,
         )
         vx = _gated_residual(vx, a2v_out, gate_a2v, perturb.get("a2v"))
 
@@ -281,6 +294,7 @@ def av_block_apply(
         v2a_out = attention_apply(
             p["video_to_audio_attn"], v2a_cfg, aq,
             context=vkv, pe=audio.cross_pe, k_pe=video.cross_pe,
+            gather_context=v2a_cfg.sequence_axis is not None,
         )
         ax = _gated_residual(ax, v2a_out, gate_v2a, perturb.get("v2a"))
 

@@ -91,6 +91,10 @@ class LTXModelConfig:
     apply_gated_attention: bool = False  # V2
     use_rope_double_precision: bool = False  # V2.3 f64 freq grid
     remat: bool = True  # jax.checkpoint each block in the scan
+    # Sequence parallelism: mesh axis the token dim is sharded over when the
+    # model runs under shard_map (see parallel/sequence_parallel.py). None =
+    # standard single-shard token axis.
+    sequence_axis: Optional[str] = None
     # Audio stream constants (model.py:428-434)
     audio_heads: int = 32
     audio_head_dim: int = 64
@@ -122,6 +126,7 @@ class LTXModelConfig:
             context_dim=self.cross_attention_dim,
             cross_attention_adaln=self.cross_attention_adaln,
             apply_gated_attention=self.apply_gated_attention,
+            sequence_axis=self.sequence_axis,
         )
 
     def audio_stream_config(self) -> StreamConfig:
@@ -134,6 +139,7 @@ class LTXModelConfig:
             context_dim=self.audio_inner_dim,
             cross_attention_adaln=self.cross_attention_adaln,
             apply_gated_attention=self.apply_gated_attention,
+            sequence_axis=self.sequence_axis,
         )
 
 

@@ -1,0 +1,96 @@
+"""Ring attention: sequence-parallel self-attention over a mesh axis.
+
+The reference is single-device and has no sequence parallelism (SURVEY.md
+§2.12) — this is new TPU-first design for long clips, where the video token
+count (F·H·W ≈ 6k at 768×512×121f, ~50k at 4K) outgrows one chip's HBM or
+compute.
+
+Mechanics: Q, K, V are sharded along the token axis across the `seq` mesh
+axis. Each device keeps its Q shard resident and streams every K/V shard
+past it around the ring with `jax.lax.ppermute` (neighbor exchange rides
+ICI). Attention is accumulated block-online — running max `m`, normalizer
+`l`, and un-normalized output `o` in fp32, rescaled as new blocks arrive —
+so the full (T, T) score matrix never materializes and per-device memory is
+O(T_local · T_local) per step. Compute and communication overlap naturally:
+XLA schedules the next ppermute alongside the current block's matmuls.
+
+This targets the DiT's UNMASKED bidirectional self-attention (attention
+order is irrelevant to the online softmax). Text cross-attention does not
+need it: the ≤1024-token context replicates cheaply and each device attends
+its local queries against the full context with zero communication.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def ring_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Per-device body (call inside shard_map). q/k/v: (B, H, T_local, D).
+
+    Runs `n = mesh size along axis_name` accumulation steps, rotating the
+    K/V shard one neighbor per step."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = jax.lax.psum(1, axis_name)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    b, h, t, d = q.shape
+    # Accumulators must be marked device-varying over the ring axis so the
+    # fori_loop carry types line up (shard_map vma tracking).
+    def varying(x):
+        return jax.lax.pcast(x, (axis_name,), to="varying")
+
+    m0 = varying(jnp.full((b, h, t), -jnp.inf, jnp.float32))
+    l0 = varying(jnp.zeros((b, h, t), jnp.float32))
+    o0 = varying(jnp.zeros((b, h, t, d), jnp.float32))
+
+    def body(_, carry):
+        k_blk, v_blk, m, l, o = carry
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_blk).astype(jnp.float32) * scale
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        o = o * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk
+        ).astype(jnp.float32)
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return k_blk, v_blk, m_new, l, o
+
+    _, _, _, l, o = jax.lax.fori_loop(0, n, body, (k, v, m0, l0, o0))
+    return (o / l[..., None]).astype(q.dtype)
+
+
+def ring_sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "seq",
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Sequence-parallel SDPA over (B, H, T, D) with T sharded on `axis_name`.
+
+    Other mesh axes are untouched (specs name only the seq axis), so this
+    composes with data/tensor parallelism on the same mesh."""
+    spec = P(None, None, axis_name, None)
+    fn = jax.shard_map(
+        partial(ring_attention_local, axis_name=axis_name, scale=scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)

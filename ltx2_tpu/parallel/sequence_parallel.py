@@ -1,0 +1,83 @@
+"""Sequence-parallel DiT execution: the whole forward under shard_map.
+
+The DiT is token-parallel almost everywhere — patchify projection, AdaLN,
+FFN, norms, and output projection are pointwise over tokens. The only
+cross-token ops are:
+- self-attention          -> ring attention (parallel/ring_attention.py)
+- A2V / V2A cross-modal   -> K/V all-gather (the other modality's tokens)
+- text cross-attention    -> nothing (the <=1024-token context replicates)
+
+So sequence parallelism = shard every per-token tensor (latent, positions,
+per-token timesteps) along a `seq` mesh axis, replicate weights and context,
+and run the standard `ltx_model_apply` inside shard_map with
+cfg.sequence_axis set. Per-device HBM and FLOPs scale ~1/n_seq; the ring
+ppermute traffic rides ICI.
+
+This composes with data parallelism (batch axis on 'data') on the same
+mesh; tensor parallelism composes at the mesh level but the TP sharding
+rules (sharding.py) apply to jit+GSPMD execution, not inside shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ltx2_tpu.models.transformer.model import (
+    LTXModelConfig,
+    Modality,
+    ltx_model_apply,
+    x0_model_apply,
+)
+from ltx2_tpu.parallel.mesh import SEQ_AXIS
+
+
+def modality_specs(m: Modality, axis: str) -> Modality:
+    """PartitionSpec pytree matching a Modality: token dims sharded on `axis`,
+    everything else replicated."""
+    return Modality(
+        latent=P(None, axis, None),
+        context=P(),
+        context_mask=None if m.context_mask is None else P(),
+        timesteps=P() if m.timesteps.ndim == 1 else P(None, axis),
+        positions=P(None, None, axis, None),
+        sigma=None if m.sigma is None else P(),
+    )
+
+
+def make_sequence_parallel_forward(
+    mesh: Mesh,
+    cfg: LTXModelConfig,
+    axis: str = SEQ_AXIS,
+    x0: bool = True,
+):
+    """Build a jitted token-sharded forward: (params, video[, audio]) -> out.
+
+    Tokens per modality must divide the mesh's `axis` size. Params and text
+    context are replicated; latent/positions/per-token-timesteps are sharded.
+    """
+    sp_cfg = dataclasses.replace(cfg, sequence_axis=axis)
+    apply_fn = x0_model_apply if x0 else ltx_model_apply
+
+    def forward(params, video: Optional[Modality], audio: Optional[Modality]):
+        return apply_fn(params, sp_cfg, video=video, audio=audio)
+
+    def run(params, video: Optional[Modality] = None, audio: Optional[Modality] = None):
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+        v_specs = None if video is None else modality_specs(video, axis)
+        a_specs = None if audio is None else modality_specs(audio, axis)
+        out_specs = P(None, axis, None)
+        if video is not None and audio is not None:
+            out_specs = (out_specs, out_specs)
+        fn = jax.shard_map(
+            forward,
+            mesh=mesh,
+            in_specs=(param_specs, v_specs, a_specs),
+            out_specs=out_specs,
+        )
+        return jax.jit(fn)(params, video, audio)
+
+    return run

@@ -103,3 +103,103 @@ class TestShardedForward:
         expected = np.asarray(loop(params, state, sigmas, ctx, ctx).latent)
         out = loop(sharded_params, state, sigmas, ctx, ctx)
         np.testing.assert_allclose(np.asarray(out.latent), expected, atol=5e-4)
+
+
+class TestRingAttention:
+    """Sequence-parallel attention must match single-device softmax attention."""
+
+    def test_matches_sdpa_fp32(self):
+        from ltx2_tpu.ops.attention import sdpa
+        from ltx2_tpu.parallel.ring_attention import ring_sdpa
+
+        mesh = create_mesh(data=1, model=1, seq=8)
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        b, h, t, d = 2, 4, 256, 64
+        q = jax.random.normal(kq, (b, h, t, d), jnp.float32)
+        k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+        v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+
+        expected = np.asarray(jax.jit(sdpa)(q, k, v))
+        got = np.asarray(
+            jax.jit(lambda a, b2, c: ring_sdpa(a, b2, c, mesh=mesh))(q, k, v)
+        )
+        np.testing.assert_allclose(got, expected, atol=2e-5)
+
+    def test_matches_sdpa_bf16(self):
+        from ltx2_tpu.ops.attention import sdpa
+        from ltx2_tpu.parallel.ring_attention import ring_sdpa
+
+        mesh = create_mesh(data=1, model=1, seq=8)
+        key = jax.random.PRNGKey(1)
+        kq, kk, kv = jax.random.split(key, 3)
+        b, h, t, d = 1, 2, 128, 32
+        q = jax.random.normal(kq, (b, h, t, d)).astype(jnp.bfloat16)
+        k = jax.random.normal(kk, (b, h, t, d)).astype(jnp.bfloat16)
+        v = jax.random.normal(kv, (b, h, t, d)).astype(jnp.bfloat16)
+
+        expected = np.asarray(jax.jit(sdpa)(q, k, v)).astype(np.float32)
+        got = np.asarray(
+            jax.jit(lambda a, b2, c: ring_sdpa(a, b2, c, mesh=mesh))(q, k, v)
+        ).astype(np.float32)
+        np.testing.assert_allclose(got, expected, atol=3e-2)
+
+    def test_composes_with_data_axis(self):
+        """seq axis only: batch stays replicated/data-sharded independently."""
+        from ltx2_tpu.ops.attention import sdpa
+        from ltx2_tpu.parallel.ring_attention import ring_sdpa
+
+        mesh = create_mesh(data=2, model=1, seq=4)
+        key = jax.random.PRNGKey(2)
+        kq, kk, kv = jax.random.split(key, 3)
+        b, h, t, d = 2, 2, 64, 16
+        q = jax.random.normal(kq, (b, h, t, d), jnp.float32)
+        k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+        v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+
+        expected = np.asarray(jax.jit(sdpa)(q, k, v))
+        got = np.asarray(
+            jax.jit(lambda a, b2, c: ring_sdpa(a, b2, c, mesh=mesh))(q, k, v)
+        )
+        np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+class TestSequenceParallel:
+    """Full DiT forward with tokens sharded over the seq axis must match the
+    unsharded forward (ring self-attn + replicated-context cross-attn)."""
+
+    def test_video_forward_matches(self):
+        from ltx2_tpu.models.transformer.model import x0_model_apply
+        from ltx2_tpu.parallel.sequence_parallel import make_sequence_parallel_forward
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        # 2*4*4 = 32 tokens over 8 seq shards -> 4 tokens per device.
+        video = make_video_modality(cfg, batch=2, frames=2, height=4, width=4)
+
+        expected = np.asarray(
+            jax.jit(lambda p, v: x0_model_apply(p, cfg, video=v))(params, video)
+        )
+        mesh = create_mesh(data=1, model=1, seq=8)
+        sp = make_sequence_parallel_forward(mesh, cfg)
+        got = np.asarray(sp(params, video))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+    def test_av_forward_matches(self):
+        from ltx2_tpu.models.transformer.model import LTXModelType, x0_model_apply
+        from ltx2_tpu.parallel.sequence_parallel import make_sequence_parallel_forward
+        from tests.test_dit import make_audio_modality
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg, batch=1, frames=2, height=2, width=4)  # 16 tok
+        audio = make_audio_modality(cfg, batch=1, frames=8)  # 8 tok -> 2/device
+
+        v_ref, a_ref = jax.jit(
+            lambda p, v, a: x0_model_apply(p, cfg, video=v, audio=a)
+        )(params, video, audio)
+        mesh = create_mesh(data=1, model=1, seq=4, devices=jax.devices()[:4])
+        sp = make_sequence_parallel_forward(mesh, cfg)
+        v_got, a_got = sp(params, video, audio)
+        np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a_got), np.asarray(a_ref), atol=2e-4)
