@@ -49,6 +49,7 @@ def attention_apply(
     pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     k_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     gather_context: bool = False,
+    cached_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Attention forward over (B, T, D) tokens.
 
@@ -58,18 +59,26 @@ def attention_apply(
       K/V are all-gathered to full length (queries stay local);
     - text cross-attention passes gather_context=False — its context is
       replicated, nothing to do.
+
+    cached_kv: precomputed (k, v) — already projected and k-normed — for
+    step-invariant contexts (V1 text cross-attn KV caching across the
+    denoise loop; see model.precompute_text_kv).
     """
     q = linear(p["to_q"], x)
-    ctx = x if context is None else context
-    k = linear(p["to_k"], ctx)
-    v = linear(p["to_v"], ctx)
-
     q = rms_norm(q, p["q_norm"]["weight"], cfg.norm_eps)
-    k = rms_norm(k, p["k_norm"]["weight"], cfg.norm_eps)
+
+    if cached_kv is not None:
+        k, v = cached_kv
+    else:
+        ctx = x if context is None else context
+        k = linear(p["to_k"], ctx)
+        v = linear(p["to_v"], ctx)
+        k = rms_norm(k, p["k_norm"]["weight"], cfg.norm_eps)
 
     if pe is not None:
         q = apply_rotary_emb(q, pe, cfg.rope_type)
-        k = apply_rotary_emb(k, pe if k_pe is None else k_pe, cfg.rope_type)
+        if cached_kv is None:
+            k = apply_rotary_emb(k, pe if k_pe is None else k_pe, cfg.rope_type)
 
     axis = cfg.sequence_axis
     if axis is not None and context is None and mask is None:

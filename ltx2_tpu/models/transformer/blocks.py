@@ -122,10 +122,15 @@ def _text_cross_attention(
     x: jnp.ndarray,
     args: StreamArgs,
     norm_eps: float,
+    cached_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Text cross-attention; V2 modulates Q (AdaLN idx 6-9) and KV (prompt
-    tables) and gates the output (transformer.py:427-455)."""
+    tables) and gates the output (transformer.py:427-455).
+
+    cached_kv: step-invariant precomputed text K/V — V1 ONLY (V2's KV
+    modulation depends on sigma, so its K/V change every step)."""
     if cfg.cross_attention_adaln:
+        assert cached_kv is None, "text KV caching is incompatible with V2 KV modulation"
         shift_q, scale_q, gate = _ada_values(p[table_key], args.timesteps, 6, 9)
         kv_mod = p[prompt_table_key][None, None].astype(jnp.float32) + args.prompt_timestep.astype(
             jnp.float32
@@ -146,6 +151,7 @@ def _text_cross_attention(
         rms_norm(x, None, norm_eps),
         context=args.context,
         mask=args.context_mask,
+        cached_kv=cached_kv,
     )
     return out
 
@@ -160,6 +166,8 @@ def av_block_apply(
     norm_eps: float = 1e-6,
     perturb: Optional[PerturbMasks] = None,
     ca_scale: Optional[jnp.ndarray] = None,
+    video_text_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    audio_text_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[Optional[StreamArgs], Optional[StreamArgs]]:
     """One AV transformer block (transformer.py:457-648).
 
@@ -167,6 +175,8 @@ def av_block_apply(
     shape (B,); 1 keeps the attention residual, 0 removes it.
     ca_scale: optional scalar/array multiplier on the text cross-attn output
     (the `_cross_attn_scale` late-block hook, transformer.py:525-528).
+    video_text_kv/audio_text_kv: this block's precomputed text cross-attn
+    (k, v) pairs (V1 KV caching across denoise steps).
     """
     perturb = perturb or {}
     run_v = video is not None and video_cfg is not None
@@ -198,7 +208,7 @@ def av_block_apply(
 
         cross_out = _text_cross_attention(
             p, "attn2", "scale_shift_table", "prompt_scale_shift_table",
-            video_cfg, v_attn2, vx, video, norm_eps,
+            video_cfg, v_attn2, vx, video, norm_eps, cached_kv=video_text_kv,
         )
         if ca_scale is not None:
             cross_out = cross_out * ca_scale.astype(cross_out.dtype)
@@ -226,7 +236,7 @@ def av_block_apply(
 
         cross_out = _text_cross_attention(
             p, "audio_attn2", "audio_scale_shift_table", "audio_prompt_scale_shift_table",
-            audio_cfg, a_attn2, ax, audio, norm_eps,
+            audio_cfg, a_attn2, ax, audio, norm_eps, cached_kv=audio_text_kv,
         )
         ax = (ax.astype(jnp.float32) + cross_out.astype(jnp.float32)).astype(ax.dtype)
 

@@ -346,6 +346,72 @@ def _process_output(
     return linear(proj_params, out.astype(x.dtype))
 
 
+def _stacked_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a layer-stacked linear: x (B,S,C) x weight (L,O,C) -> (L,B,S,O).
+
+    Handles fp8-serving weight_scale leaves like ops.common.linear."""
+    w = p["weight"]
+    scale = p.get("weight_scale")
+    if scale is not None or w.dtype != x.dtype:
+        w = w.astype(x.dtype)
+        if scale is not None:
+            w = w * scale.reshape(scale.shape[0], 1, 1).astype(x.dtype)
+    out = jnp.einsum("bsc,loc->lbso", x, w)
+    b = p.get("bias")
+    if b is not None:
+        out = out + b[:, None, None, :].astype(out.dtype)
+    return out
+
+
+def precompute_text_kv(
+    params: Params,
+    cfg: LTXModelConfig,
+    video_context: Optional[jnp.ndarray] = None,
+    audio_context: Optional[jnp.ndarray] = None,
+) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Precompute per-layer text cross-attention K/V for ALL blocks at once.
+
+    V1 ONLY: the text context is constant across denoise steps and V1 has no
+    KV modulation, so K/V = f(context, weights) can be computed once per
+    generation and threaded through the block scan — removing ~4% of
+    per-step FLOPs and the K/V projection weight reads. (V2's prompt-table
+    KV modulation depends on sigma; caching would change results.)
+
+    Returns {"video": (k, v), "audio": (k, v)} with arrays (L, B, S, inner).
+    Memory: L*B*S*inner*2 per modality — e.g. 48*2*1024*4096*2 bf16 = 1.6 GB
+    at CFG batch 2; enable only when HBM allows.
+    """
+    if cfg.cross_attention_adaln:
+        raise ValueError("text KV caching is V1-only (V2 modulates KV per step)")
+    from ltx2_tpu.core import rms_norm
+
+    blocks = params["transformer_blocks"]
+    out: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+    def stream_kv(context, caption_key, attn_key, inner_dim):
+        ctx = context.astype(cfg.dtype)
+        if caption_key in params and params[caption_key] is not None:
+            ctx = _caption_projection_apply(params[caption_key], ctx)
+        ctx = ctx.reshape(ctx.shape[0], -1, inner_dim)
+        attn = blocks[attn_key]
+        k = _stacked_linear(attn["to_k"], ctx)
+        v = _stacked_linear(attn["to_v"], ctx)
+        k_w = attn["k_norm"]["weight"]  # (L, inner)
+        k = rms_norm(k, k_w[:, None, None, :], cfg.norm_eps)
+        return k, v
+
+    if video_context is not None:
+        out["video"] = stream_kv(
+            video_context, "caption_projection", "attn2", cfg.video_inner_dim
+        )
+    if audio_context is not None:
+        out["audio"] = stream_kv(
+            audio_context, "audio_caption_projection", "audio_attn2",
+            cfg.audio_inner_dim,
+        )
+    return out
+
+
 def ltx_model_apply(
     params: Params,
     cfg: LTXModelConfig,
@@ -355,11 +421,14 @@ def ltx_model_apply(
     ca_scales: Optional[jnp.ndarray] = None,
     video_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     audio_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    text_kv: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None,
 ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Forward pass -> VELOCITY per enabled modality (model.py:776-881).
 
     ca_scales: optional (L,) per-block text cross-attn output scaling (the
     late-block hook). video_pe/audio_pe: optional precomputed RoPE tables.
+    text_kv: optional precomputed per-layer text cross-attn K/V (see
+    precompute_text_kv; V1 only).
     """
     run_video = cfg.model_type.is_video_enabled() and video is not None
     run_audio = cfg.model_type.is_audio_enabled() and audio is not None
@@ -409,15 +478,28 @@ def ltx_model_apply(
     video_cfg = cfg.video_stream_config() if run_video else None
     audio_cfg = cfg.audio_stream_config() if run_audio else None
 
+    # Per-layer scan inputs; precomputed text K/V (V1 caching) rides along
+    # as extra (L, B, S, inner) xs when provided.
+    text_kv = text_kv or {}
+    xs = {
+        "p": params["transformer_blocks"],
+        "masks": pmasks,
+        "ca_scale": ca_scales,
+    }
+    if "video" in text_kv:
+        xs["vkv"] = text_kv["video"]
+    if "audio" in text_kv:
+        xs["akv"] = text_kv["audio"]
+
     def block_step(carry, xs):
         vx, ax = carry
-        block_params, masks, ca_scale = xs
         v_in = video_args.replace(x=vx) if run_video else None
         a_in = audio_args.replace(x=ax) if run_audio else None
         v_out, a_out = av_block_apply(
-            block_params, v_in, a_in, video_cfg, audio_cfg,
+            xs["p"], v_in, a_in, video_cfg, audio_cfg,
             rope_type=cfg.rope_type, norm_eps=cfg.norm_eps,
-            perturb=masks, ca_scale=ca_scale,
+            perturb=xs["masks"], ca_scale=xs["ca_scale"],
+            video_text_kv=xs.get("vkv"), audio_text_kv=xs.get("akv"),
         )
         return (
             v_out.x if run_video else vx,
@@ -431,9 +513,7 @@ def ltx_model_apply(
         video_args.x if run_video else jnp.zeros((batch, 0, 1), cfg.dtype),
         audio_args.x if run_audio else jnp.zeros((batch, 0, 1), cfg.dtype),
     )
-    (vx, ax), _ = jax.lax.scan(
-        block_step, init_carry, (params["transformer_blocks"], pmasks, ca_scales)
-    )
+    (vx, ax), _ = jax.lax.scan(block_step, init_carry, xs)
 
     video_out = None
     if run_video:

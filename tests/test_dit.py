@@ -20,6 +20,7 @@ from ltx2_tpu.models.transformer.model import (
     LTXModelConfig,
     LTXModelType,
     Modality,
+    x0_model_apply,
 )
 from ltx2_tpu.ops.rope import create_position_grid
 from tests.helpers import cached_params, jitted_forward
@@ -236,3 +237,54 @@ class TestPerturbations:
         out = jitted_forward(cfg, mixed)(params, video)
         np.testing.assert_allclose(np.asarray(out[1]), np.asarray(base[1]), atol=1e-5)
         assert not np.allclose(np.asarray(out[0]), np.asarray(base[0]))
+
+
+class TestTextKVCache:
+    """V1 text cross-attn K/V caching: precomputed K/V must reproduce the
+    uncached forward exactly (same math, hoisted out of the step)."""
+
+    def test_video_forward_matches(self):
+        from ltx2_tpu.models.transformer.model import precompute_text_kv
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)
+        base = jitted_forward(cfg, x0=True)(params, video)
+        kv = jax.jit(lambda p, c: precompute_text_kv(p, cfg, video_context=c))(
+            params, video.context
+        )
+        cached = jax.jit(
+            lambda p, v, kv: x0_model_apply(p, cfg, video=v, text_kv=kv)
+        )(params, video, kv)
+        np.testing.assert_allclose(np.asarray(cached), np.asarray(base), atol=1e-5)
+
+    def test_av_forward_matches(self):
+        from ltx2_tpu.models.transformer.model import precompute_text_kv
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)
+        audio = make_audio_modality(cfg)
+        bv, ba = jax.jit(
+            lambda p, v, a: x0_model_apply(p, cfg, video=v, audio=a)
+        )(params, video, audio)
+        kv = jax.jit(
+            lambda p, vc, ac: precompute_text_kv(
+                p, cfg, video_context=vc, audio_context=ac
+            )
+        )(params, video.context, audio.context)
+        cv, ca = jax.jit(
+            lambda p, v, a, kv: x0_model_apply(p, cfg, video=v, audio=a, text_kv=kv)
+        )(params, video, audio, kv)
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(bv), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ca), np.asarray(ba), atol=1e-5)
+
+    def test_v2_raises(self):
+        from ltx2_tpu.models.transformer.model import precompute_text_kv
+
+        cfg = tiny_config(
+            caption_channels=None, cross_attention_dim=32, cross_attention_adaln=True
+        )
+        params = cached_params(cfg)
+        with pytest.raises(ValueError):
+            precompute_text_kv(params, cfg, video_context=jnp.zeros((1, 5, 32)))

@@ -259,3 +259,36 @@ class TestOneStageEndToEnd:
         pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
         latent, _ = pipeline(pos, pos, config, skip_decode=True)
         assert latent.shape == (1, 8, 2, 2, 3)
+
+
+class TestTextKVCacheLoop:
+    """The denoise loop with cache_text_kv=True must match the uncached loop
+    bit-for-bit in structure (same math, hoisted)."""
+
+    def test_video_loop_matches(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+        from tests.helpers import cached_params
+        from tests.test_dit import tiny_config
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        shape = VideoLatentShape(batch=1, channels=cfg.in_channels, frames=2, height=2, width=3)
+        tools = VideoLatentTools(patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0)
+        state = GaussianNoiser()(jax.random.PRNGKey(0), tools.create_initial_state(), 1.0)
+        sigmas = jnp.asarray([1.0, 0.6, 0.2, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+
+        base_loop = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(3.0)))
+        cached_loop = make_video_denoise_loop(
+            cfg, DenoiseLoopConfig(guider=CFGGuider(3.0), cache_text_kv=True)
+        )
+        base = np.asarray(base_loop(params, state, sigmas, ctx, ctx).latent)
+        got = np.asarray(cached_loop(params, state, sigmas, ctx, ctx).latent)
+        np.testing.assert_allclose(got, base, atol=1e-5)
