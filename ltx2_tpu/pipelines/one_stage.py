@@ -196,6 +196,7 @@ class OneStagePipeline:
         cross_attn_scale: float = 1.0,
         cross_attn_start_block: int = 40,
         skip_decode: bool = False,
+        cache_text_kv: bool = False,
     ) -> Tuple[np.ndarray, Optional[jnp.ndarray]]:
         images = images or []
         internal_audio_active = self.is_av_model and (
@@ -259,6 +260,7 @@ class OneStagePipeline:
             sampler=sampler,
             cross_attn_scale=cross_attn_scale,
             cross_attn_start_block=cross_attn_start_block,
+            cache_text_kv=cache_text_kv,
         )
 
         audio_state = None

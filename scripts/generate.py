@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path[:strength], repeatable")
     p.add_argument("--distilled-lora", type=str, default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    # Serving optimizations
+    p.add_argument("--fp8-serving", action="store_true",
+                   help="keep fp8 checkpoint weights quantized in HBM "
+                        "(dequant at use; fits 48-block 19B on a 16GB chip)")
+    p.add_argument("--cache-text-kv", action="store_true",
+                   help="precompute text cross-attn K/V once per generation "
+                        "(V1 checkpoints only; ~4%% step FLOPs saved)")
     # Conditioning
     p.add_argument("--image", action="append", default=[],
                    help="path[:frame[:strength]] image condition, repeatable")
@@ -323,6 +330,7 @@ def build_models(args):
         loras=parse_loras(args),
         target_dtype=args.dtype,
         include_audio=include_audio,
+        keep_fp8=args.fp8_serving,
     )
     with phase("weight_loading"):
         dit_params, dit_cfg = ledger.transformer()
@@ -486,6 +494,7 @@ def main(argv=None):
                     cross_attn_scale=args.cross_attn_scale,
                     cross_attn_start_block=args.cross_attn_start_block,
                     skip_decode=args.skip_vae,
+                    cache_text_kv=args.cache_text_kv,
                 )
             elif args.pipeline == "distilled":
                 from ltx2_tpu.pipelines import DistilledConfig, DistilledPipeline
