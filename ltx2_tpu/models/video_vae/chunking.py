@@ -30,6 +30,14 @@ def _jitted_decoder(cfg: VideoDecoderConfig, timestep, causal: bool):
     )
 
 
+@jax.jit
+def _to_uint8_frames(video: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] (B,3,T,H,W) -> uint8 (T,H,W,3) ON DEVICE — one dispatch and a
+    4x smaller host transfer than shipping fp32 frames."""
+    video = jnp.clip((video + 1) / 2, 0, 1) * 255
+    return video.astype(jnp.uint8)[0].transpose(1, 2, 3, 0)
+
+
 def latent_t_to_pixel_t(lt: int, num_temporal_upsamples: int = 3) -> int:
     """Latent frames -> pixel frames through the temporal upsample stages
     (each doubles then trims one: t -> 2t - 1)."""
@@ -98,6 +106,4 @@ def decode_latent(
             )
         video = video[:, :, :total_pixel_frames]
 
-    video = jnp.clip((video + 1) / 2, 0, 1) * 255
-    video = video.astype(jnp.uint8)[0].transpose(1, 2, 3, 0)
-    return np.asarray(video)
+    return np.asarray(_to_uint8_frames(video))
