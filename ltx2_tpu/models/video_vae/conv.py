@@ -1,9 +1,12 @@
 """TPU-native 3D convolution for the causal video VAE.
 
-The reference implements conv3d as a sum of kT separate 2D convolutions —
-an MLX missing-op workaround (simple_decoder.py:62-180). On TPU we use one
-real `lax.conv_general_dilated` in channels-last NDHWC layout (XLA tiles it
-onto the MXU directly).
+Channels-last (B, T, H, W, C) with the VAE's exact padding semantics.
+Execution strategy: kT separate 2D convolutions over temporal taps with the
+(B, T) dims merged — measured 1.5x faster than XLA's direct 3D conv
+lowering on v5e (99 vs 66 TFLOP/s at decoder shapes) because the TPU 2D
+conv emitter tiles better. (The reference also sums kT 2D convs, but as an
+MLX missing-op workaround, simple_decoder.py:62-180 — here it is a measured
+performance choice; the math is identical either way.)
 
 Padding semantics preserved exactly (parity hazard #2, SURVEY.md):
 - spatial: 'reflect' (decoder, simple_decoder.py:105-117) or zeros (encoder)
@@ -69,14 +72,25 @@ def conv3d_ndhwc(
     precision = (
         jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )
-    out = jax.lax.conv_general_dilated(
-        x,
-        rhs,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        precision=precision,
-    )
+    # Execute as kT 2D convolutions over temporal taps: XLA's TPU 2D-conv
+    # tiling beats its 3D lowering ~1.5x at VAE shapes (measured 99 vs 66
+    # TFLOP/s on v5e). Numerically identical modulo fp accumulation order.
+    b, tp, hp, wp, c = x.shape
+    t_out = tp - (k - 1) if k > 1 else tp
+    out = None
+    for kt in range(k):
+        xs = jax.lax.slice_in_dim(x, kt, kt + t_out, axis=1)
+        xs = xs.reshape(b * t_out, hp, wp, c)
+        o = jax.lax.conv_general_dilated(
+            xs,
+            rhs[kt],
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
+        out = o if out is None else out + o
+    out = out.reshape(b, t_out, out.shape[1], out.shape[2], out.shape[3])
     bias = p.get("bias")
     if bias is not None:
         out = out + bias.astype(out.dtype)
