@@ -56,11 +56,14 @@ def decode_latent(
     temporal_chunk_size: int = 0,
     temporal_overlap: int = 2,
     causal: bool = False,
+    to_host: bool = True,
 ) -> np.ndarray:
     """Decode latent -> uint8 (T, H, W, 3) frames.
 
     temporal_chunk_size=0 (TPU default) decodes in a single fused pass;
     set e.g. 7 to bound memory on long clips (reference default).
+    to_host=False returns the uint8 frames as a device array (serving setups
+    that mux/stream elsewhere avoid the host round-trip).
     """
     if latent.ndim == 4:
         latent = latent[None]
@@ -106,4 +109,5 @@ def decode_latent(
             )
         video = video[:, :, :total_pixel_frames]
 
-    return np.asarray(_to_uint8_frames(video))
+    frames = _to_uint8_frames(video)
+    return np.asarray(frames) if to_host else frames
