@@ -61,8 +61,12 @@ def quantize_params_fp8(params: Params, path: str = "") -> Params:
             and value.ndim >= 2
             and not any(m in sub_path for m in _SKIP_MARKERS)
         ):
-            stacked = sub_path.startswith("transformer_blocks") and value.ndim >= 3
-            q, scale = quantize_tensor_fp8(value, per_leading_axis=stacked)
+            # In transformer param trees a >=3-dim `weight` is a LAYER-STACKED
+            # linear (DiT transformer_blocks, Gemma layers): one scale per
+            # layer, matching the reference's per-block per-tensor scales.
+            # (Do not apply this util to conv trees — conv kernels are 5-dim
+            # and their consumers don't dequantize.)
+            q, scale = quantize_tensor_fp8(value, per_leading_axis=value.ndim >= 3)
             out[key] = q
             out["weight_scale"] = scale
         else:

@@ -300,10 +300,20 @@ def init_gemma3(key: jax.Array, cfg: Gemma3Config, dtype=None) -> Params:
 
 
 def load_gemma3_params(
-    weights_dir: str, cfg: Gemma3Config, target_dtype: str = "float32"
+    weights_dir: str,
+    cfg: Gemma3Config,
+    target_dtype: str = "float32",
+    quantize_fp8: bool = False,
 ) -> Params:
     """Load HF Gemma-3 shards (language_model.model.* keys,
-    gemma3.py:410-511) into the stacked-layer param tree."""
+    gemma3.py:410-511) into the stacked-layer param tree.
+
+    quantize_fp8: serving mode — matmul weights are quantized to fp8-E4M3
+    with per-tensor scales ON THE HOST during streaming (peak host memory
+    stays one-tensor-sized) and dequantized at use inside `linear()`.
+    Norms stay fp32; embeddings go bf16. 12B lands at ~12.5 GB HBM, which
+    fits a single 16 GB chip — impossible at the reference's fp32 (48 GB).
+    """
     from pathlib import Path
 
     import ml_dtypes
@@ -318,6 +328,7 @@ def load_gemma3_params(
     np_dtype = (
         ml_dtypes.bfloat16 if target_dtype == "bfloat16" else np.dtype(target_dtype)
     )
+    FP8_MAX = 448.0
     prefix = "language_model.model."
     flat: Dict[str, np.ndarray] = {}
     for shard in shards:
@@ -325,7 +336,17 @@ def load_gemma3_params(
         for key in f.keys():
             if not key.startswith(prefix):
                 continue
-            flat[key[len(prefix):]] = np.asarray(f.get(key)).astype(np_dtype)
+            short = key[len(prefix):]
+            arr = np.asarray(f.get(key))
+            if quantize_fp8 and short.endswith("proj.weight"):
+                a32 = arr.astype(np.float32)
+                scale = max(float(np.abs(a32).max()) / FP8_MAX, 1e-12)
+                flat[short] = (a32 / scale).astype(ml_dtypes.float8_e4m3fn)
+                flat[short + "_scale"] = np.float32(scale)
+            elif quantize_fp8 and "embed_tokens" in short:
+                flat[short] = arr.astype(ml_dtypes.bfloat16)
+            else:
+                flat[short] = arr.astype(np_dtype)
 
     per_layer: Dict[int, Dict[str, np.ndarray]] = {}
     top: Dict[str, np.ndarray] = {}

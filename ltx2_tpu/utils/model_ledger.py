@@ -35,6 +35,7 @@ class ModelLedger:
     target_dtype: str = "bfloat16"
     include_audio: bool = False
     keep_fp8: bool = False  # serving mode: fp8 weights stay quantized in HBM
+    gemma_fp8: bool = False  # quantize Gemma matmul weights to fp8 at load
     _cache: Dict[str, object] = field(default_factory=dict, repr=False)
 
     # -- helpers -----------------------------------------------------------
@@ -179,8 +180,11 @@ class ModelLedger:
 
             if self.gemma_path is None:
                 raise ValueError("gemma_path required for the Gemma text encoder")
-            cfg = Gemma3Config()  # fp32 forced (generate.py:376-379)
-            return load_gemma3_params(self.gemma_path, cfg), cfg
+            cfg = Gemma3Config()  # fp32 default (generate.py:376-379)
+            return (
+                load_gemma3_params(self.gemma_path, cfg, quantize_fp8=self.gemma_fp8),
+                cfg,
+            )
 
         return self._get("gemma", load, force_reload)
 
@@ -234,6 +238,7 @@ class ModelLedger:
             target_dtype=self.target_dtype,
             include_audio=self.include_audio,
             keep_fp8=self.keep_fp8,
+            gemma_fp8=self.gemma_fp8,
         )
 
 

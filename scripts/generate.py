@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-text-kv", action="store_true",
                    help="precompute text cross-attn K/V once per generation "
                         "(V1 checkpoints only; ~4%% step FLOPs saved)")
+    p.add_argument("--gemma-fp8", action="store_true",
+                   help="quantize Gemma matmul weights to fp8 at load "
+                        "(12B text encoder fits a 16GB chip)")
     # Conditioning
     p.add_argument("--image", action="append", default=[],
                    help="path[:frame[:strength]] image condition, repeatable")
@@ -331,6 +334,7 @@ def build_models(args):
         target_dtype=args.dtype,
         include_audio=include_audio,
         keep_fp8=args.fp8_serving,
+        gemma_fp8=args.gemma_fp8,
     )
     with phase("weight_loading"):
         dit_params, dit_cfg = ledger.transformer()

@@ -97,3 +97,47 @@ class TestGreedyGenerate:
             )
         )[0]
         assert list(base) == list(padded)
+
+
+class TestGemmaFP8Serving:
+    """fp8-quantized Gemma (serving mode for 16GB chips) must stay close to
+    the fp32 forward and still decode greedily."""
+
+    def test_quantized_forward_corr(self, tiny):
+        from ltx2_tpu.loader.fp8 import quantize_params_fp8
+
+        cfg, params = tiny
+        qparams = jax.jit(quantize_params_fp8)(params)
+        # Per-layer scales on stacked weights; norms/embeddings untouched.
+        qw = qparams["layers"]["self_attn"]["q_proj"]["weight"]
+        assert qw.dtype == jnp.float8_e4m3fn
+        assert qparams["layers"]["self_attn"]["q_proj"]["weight_scale"].shape == (
+            cfg.num_hidden_layers, 1, 1
+        )
+        assert qparams["embed_tokens"]["weight"].dtype != jnp.float8_e4m3fn
+
+        ids = jnp.asarray([[5, 17, 42, 8, 23, 11]], jnp.int32)
+        mask = jnp.ones_like(ids)
+        base, _ = jax.jit(lambda p: gemma3_apply(p, cfg, ids, attention_mask=mask))(params)
+        quant, _ = jax.jit(lambda p: gemma3_apply(p, cfg, ids, attention_mask=mask))(qparams)
+        a = np.asarray(base, np.float64).ravel()
+        b = np.asarray(quant, np.float64).ravel()
+        corr = np.dot(a - a.mean(), b - b.mean()) / (
+            np.linalg.norm(a - a.mean()) * np.linalg.norm(b - b.mean())
+        )
+        assert corr > 0.99, corr
+
+    def test_quantized_greedy_decodes(self, tiny):
+        from ltx2_tpu.loader.fp8 import quantize_params_fp8
+
+        cfg, params = tiny
+        qparams = jax.jit(quantize_params_fp8)(params)
+        ids = jnp.asarray([[5, 17, 42, 8]], jnp.int32)
+        toks = np.asarray(
+            gemma3_greedy_generate(
+                qparams, cfg, ids, jnp.ones_like(ids),
+                max_new_tokens=3, eos_id=-1, pad_id=0,
+            )
+        )
+        assert toks.shape == (1, 3)
+        assert (toks >= 0).all()
