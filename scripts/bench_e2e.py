@@ -79,15 +79,6 @@ def main():
     dit_params["transformer_blocks"] = stacked
     jax.block_until_ready(dit_params)
 
-    # ---- Decoder (bf16 weights + compute; ~0.8 GB alongside the 13 GB DiT).
-    dec_cfg = VideoDecoderConfig(compute_dtype="bfloat16")
-    dec_params = jax.jit(
-        lambda k: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
-        )
-    )(jax.random.PRNGKey(1))
-    jax.block_until_ready(dec_params)
-
     # ---- State + schedule (distilled: no CFG, rows=1).
     pixel = VideoPixelShape(batch=1, frames=args.frames,
                             height=args.height, width=args.width, fps=24.0)
@@ -103,25 +94,50 @@ def main():
 
     loop = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(1.0)))
 
-    def run():
-        out = loop(dit_params, state, sigmas, ctx, ctx)
-        latent_5d = tools.unpatchify(out).latent
-        # Chunked decode (reference default 7/2) bounds peak HBM so the
-        # decode fits alongside the 13 GB resident DiT on one 16 GB chip.
+    # Phase 1: denoise loop (13 GB fp8 DiT resident).
+    out = loop(dit_params, state, sigmas, ctx, ctx)  # compile
+    sync(out.latent)
+    t0 = time.perf_counter()
+    out = loop(dit_params, state, sigmas, ctx, ctx)
+    sync(out.latent)
+    loop_s = time.perf_counter() - t0
+    latent_5d = tools.unpatchify(out).latent
+
+    # Release the DiT before decode — 13 GB weights + decoder workspace
+    # don't fit 16 GB together; sequential residency is the reference's own
+    # single-accelerator strategy (SURVEY.md §2.12 "sequential load/unload").
+    del dit_params, stacked, one_q, one, out
+    import gc
+
+    gc.collect()
+
+    # ---- Decoder initialized only now (sequential residency: the 13 GB
+    # DiT and the decoder never coexist on the 16 GB chip).
+    dec_cfg = VideoDecoderConfig(compute_dtype="bfloat16")
+    dec_params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
+        )
+    )(jax.random.PRNGKey(1))
+    jax.block_until_ready(dec_params)
+
+    def decode():
         return decode_latent(
             latent_5d, dec_params, dec_cfg, key=jax.random.PRNGKey(4),
             temporal_chunk_size=7, to_host=False,
         )
 
-    sync(run())  # compile everything
+    sync(decode())  # compile
     t0 = time.perf_counter()
-    video = run()
+    video = decode()
     sync(video)
-    sec = time.perf_counter() - t0
+    dec_s = time.perf_counter() - t0
+
     n_steps = sigmas.shape[0] - 1
     print(
-        f"e2e {args.width}x{args.height}x{args.frames}f, {n_steps} distilled "
-        f"steps, fp8 48-block DiT + VAE decode: {sec:.2f}s on-device"
+        f"e2e {args.width}x{args.height}x{args.frames}f on one v5e: "
+        f"{n_steps}-step denoise {loop_s:.2f}s + VAE decode {dec_s:.2f}s "
+        f"= {loop_s + dec_s:.2f}s on-device"
     )
     print(f"output: {video.shape} {video.dtype}")
 
