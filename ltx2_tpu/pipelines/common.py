@@ -137,15 +137,23 @@ def modality_from_state(
     state: LatentState,
     context: jnp.ndarray,
     sigma,
+    uniform_timesteps: bool = False,
 ) -> Modality:
     """LatentState + context + sigma -> transformer Modality
-    (common.py:206-232). Works for both video and audio states."""
+    (common.py:206-232). Works for both video and audio states.
+
+    uniform_timesteps: STATIC promise that the denoise mask is all-ones
+    (pure generation, no token conditioning) — timesteps collapse from
+    per-token (B, N) to per-batch (B,), so the DiT's AdaLN embeddings are
+    (B, 1, n_emb, D) instead of (B, N, n_emb, D): at 6144 tokens that is
+    0.6 GB of fp32 saved plus the per-block broadcast bandwidth."""
     sigma_arr = jnp.asarray(sigma, jnp.float32).reshape(-1)
     if sigma_arr.shape[0] != state.latent.shape[0]:
         sigma_arr = jnp.broadcast_to(sigma_arr[:1], (state.latent.shape[0],))
     return Modality(
         latent=state.latent,
-        timesteps=timesteps_from_mask(state.denoise_mask, sigma),
+        timesteps=sigma_arr if uniform_timesteps
+        else timesteps_from_mask(state.denoise_mask, sigma),
         positions=state.positions,
         context=context,
         context_mask=None,

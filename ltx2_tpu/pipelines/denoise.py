@@ -63,6 +63,10 @@ class DenoiseLoopConfig:
     # Costs L*rows*S*inner*2 arrays of HBM per modality; ignored for V2
     # (sigma-dependent KV modulation makes caching incorrect).
     cache_text_kv: bool = False
+    # STATIC promise that the denoise mask is all-ones (no token-level
+    # conditioning): per-batch timesteps instead of per-token -> AdaLN
+    # embeddings shrink from (B, N, n, D) to (B, 1, n, D).
+    uniform_timesteps: bool = False
 
     @property
     def need_cfg(self) -> bool:
@@ -208,7 +212,10 @@ def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConf
                 positions=positions,
                 clean_latent=_tile_rows(clean, rows),
             )
-            modality = modality_from_state(tiled_state, context, sigma)
+            modality = modality_from_state(
+                tiled_state, context, sigma,
+                uniform_timesteps=loop_cfg.uniform_timesteps,
+            )
             from ltx2_tpu.models.transformer.model import x0_model_apply
 
             return x0_model_apply(
@@ -327,8 +334,14 @@ def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig)
             )
             return x0_model_apply(
                 params, model_cfg,
-                video=modality_from_state(v_state, v_ctx, sigma),
-                audio=modality_from_state(a_state, a_ctx, sigma),
+                video=modality_from_state(
+                    v_state, v_ctx, sigma,
+                    uniform_timesteps=loop_cfg.uniform_timesteps,
+                ),
+                audio=modality_from_state(
+                    a_state, a_ctx, sigma,
+                    uniform_timesteps=loop_cfg.uniform_timesteps,
+                ),
                 perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
                 text_kv=text_kv,
             )

@@ -261,6 +261,9 @@ class OneStagePipeline:
             cross_attn_scale=cross_attn_scale,
             cross_attn_start_block=cross_attn_start_block,
             cache_text_kv=cache_text_kv,
+            # No token conditioning -> mask is all-ones -> per-batch
+            # timesteps (saves the (B,N,n,D) fp32 AdaLN expansion).
+            uniform_timesteps=not conditionings,
         )
 
         audio_state = None

@@ -92,7 +92,10 @@ def main():
     sigmas = jnp.asarray(DISTILLED_SIGMA_VALUES[: args.steps + 1], jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 1024, 4096), jnp.bfloat16)
 
-    loop = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(1.0)))
+    loop = make_video_denoise_loop(
+        cfg,
+        DenoiseLoopConfig(guider=CFGGuider(1.0), uniform_timesteps=True),
+    )
 
     # Phase 1: denoise loop (13 GB fp8 DiT resident).
     out = loop(dit_params, state, sigmas, ctx, ctx)  # compile

@@ -292,3 +292,36 @@ class TestTextKVCacheLoop:
         base = np.asarray(base_loop(params, state, sigmas, ctx, ctx).latent)
         got = np.asarray(cached_loop(params, state, sigmas, ctx, ctx).latent)
         np.testing.assert_allclose(got, base, atol=1e-5)
+
+
+class TestUniformTimesteps:
+    """With an all-ones denoise mask, per-batch timesteps must reproduce the
+    per-token path exactly (it is the same value broadcast)."""
+
+    def test_loop_matches_per_token(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+        from tests.helpers import cached_params
+        from tests.test_dit import tiny_config
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        shape = VideoLatentShape(batch=1, channels=cfg.in_channels, frames=2, height=2, width=3)
+        tools = VideoLatentTools(patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0)
+        state = GaussianNoiser()(jax.random.PRNGKey(0), tools.create_initial_state(), 1.0)
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+
+        base = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(3.0)))
+        uni = make_video_denoise_loop(
+            cfg, DenoiseLoopConfig(guider=CFGGuider(3.0), uniform_timesteps=True)
+        )
+        expected = np.asarray(base(params, state, sigmas, ctx, ctx).latent)
+        got = np.asarray(uni(params, state, sigmas, ctx, ctx).latent)
+        np.testing.assert_allclose(got, expected, atol=1e-5)
