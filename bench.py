@@ -1,23 +1,22 @@
-"""Benchmark: DiT denoise step time on real TPU hardware.
+"""Benchmark on real TPU hardware. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Measures the hot loop (SURVEY.md §3.2: the 48-block DiT forward is ~95% of
-generation compute) at full LTX-2 width (32 heads x 128 d = 4096 inner,
-FFN 16384, cross-attn 4096) on the 768x512x121-frame flagship config
-(BASELINE.json north star, 6144 video tokens + 1024 text tokens).
+Tiered, most meaningful first (each tier falls back on failure):
+1. END-TO-END: 768x512x121f clip, 8 distilled steps — full-width 48-block
+   DiT in fp8 serving mode (fits one 16 GB v5e) + chunked VAE decode with
+   sequential residency. This is BASELINE.md's north-star metric.
+   Reference: ~3 min for the smaller 97-frame clip on an M3 Max
+   (docs/USAGE.md:310-317) => ~225 s scaled linearly to 121 frames.
+2. DiT step: one full 48-block fp8 forward at 6144 tokens.
+   Reference-scaled estimate: ~30 s/step (docs/USAGE.md:310-315).
+3. DiT step extrapolated from a 12-block bf16 stack.
 
-Primary mode: ALL 48 blocks with fp8-E4M3 weights dequantized at use
-(~13 GB weights — the serving configuration that fits a single 16 GB v5e
-chip; reference fp8 checkpoints use the same format). Falls back to a
-12-block bf16 stack linearly extrapolated to 48 if the fp8 run cannot fit.
-
-Baseline: the reference generates 512x768x65f in ~2 min for 8 distilled
-steps on an M3 Max (docs/USAGE.md:310-315) => ~15 s per full 48-block step
-at 3072 tokens; our config has 2x the tokens, so the scaled reference
-estimate is ~30 s/step.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing discipline: this environment reaches the TPU through a network
+tunnel (~35 ms/dispatch RPC, ~3 MB/s transfers) — all work is chained
+inside jitted programs and synced via a device-side scalar reduction.
 """
 
+import dataclasses
 import json
 import time
 
@@ -30,17 +29,17 @@ FALLBACK_BLOCKS = 12
 TOKENS_F, TOKENS_H, TOKENS_W = 16, 16, 24
 TEXT_TOKENS = 1024
 REFERENCE_SEC_PER_STEP_6144_TOKENS = 30.0
+REFERENCE_SEC_E2E_121F = 225.0
 
 
-def make_model(num_layers: int, fp8: bool):
-    from ltx2_tpu.loader.fp8 import quantize_params_fp8
-    from ltx2_tpu.models.transformer.model import (
-        LTXModelConfig,
-        LTXModelType,
-        init_ltx_model,
-    )
+def sync(x):
+    return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
 
-    cfg = LTXModelConfig(
+
+def full_config(num_layers: int):
+    from ltx2_tpu.models.transformer.model import LTXModelConfig, LTXModelType
+
+    return LTXModelConfig(
         model_type=LTXModelType.VideoOnly,
         num_attention_heads=32,
         attention_head_dim=128,
@@ -52,23 +51,25 @@ def make_model(num_layers: int, fp8: bool):
         compute_dtype="bfloat16",
         remat=False,
     )
-    if fp8:
-        # Init ONE block, quantize, then tile to num_layers on device — peak
-        # HBM stays ~(weights_fp8 + one bf16 block) instead of a full bf16
-        # model that would never fit alongside its own fp8 copy.
-        import dataclasses
 
+
+def make_model(num_layers: int, fp8: bool):
+    from ltx2_tpu.loader.fp8 import quantize_params_fp8
+    from ltx2_tpu.models.transformer.model import init_ltx_model
+
+    cfg = full_config(num_layers)
+    if fp8:
+        # Init ONE block, quantize, tile to num_layers on device — peak HBM
+        # stays ~(weights_fp8 + one bf16 block).
         small_cfg = dataclasses.replace(cfg, num_layers=1)
         one = jax.jit(lambda k: init_ltx_model(k, small_cfg))(jax.random.PRNGKey(0))
         one_q = jax.jit(quantize_params_fp8)(one)
         jax.block_until_ready(one_q)
-
-        blocks = one_q["transformer_blocks"]
         stacked = jax.jit(
             lambda b: jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, num_layers, axis=0), b
             )
-        )(blocks)
+        )(one_q["transformer_blocks"])
         params = dict(one_q)
         params["transformer_blocks"] = stacked
         jax.block_until_ready(params)
@@ -96,46 +97,119 @@ def make_modality(cfg):
     )
 
 
-def timed_step(cfg, params, modality, iters=5):
+def bench_e2e():
+    """Full generation: 8-step distilled denoise + chunked VAE decode."""
+    import gc
+
+    from ltx2_tpu.components import (
+        CFGGuider,
+        DISTILLED_SIGMA_VALUES,
+        GaussianNoiser,
+        VideoLatentPatchifier,
+    )
+    from ltx2_tpu.conditioning.tools import VideoLatentTools
+    from ltx2_tpu.models.video_vae.chunking import decode_latent
+    from ltx2_tpu.models.video_vae.decoder import (
+        VideoDecoderConfig,
+        init_video_decoder,
+    )
+    from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+    from ltx2_tpu.types import VideoLatentShape, VideoPixelShape
+
+    cfg, dit_params = make_model(FULL_BLOCKS, fp8=True)
+
+    pixel = VideoPixelShape(batch=1, frames=121, height=512, width=768, fps=24.0)
+    latent_shape = VideoLatentShape.from_pixel_shape(pixel, latent_channels=128)
+    tools = VideoLatentTools(
+        patchifier=VideoLatentPatchifier(1), target_shape=latent_shape, fps=24.0
+    )
+    state = GaussianNoiser()(
+        jax.random.PRNGKey(2), tools.create_initial_state(dtype=jnp.bfloat16), 1.0
+    )
+    sigmas = jnp.asarray(DISTILLED_SIGMA_VALUES[:9], jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, TEXT_TOKENS, 4096), jnp.bfloat16)
+
+    loop = make_video_denoise_loop(
+        cfg, DenoiseLoopConfig(guider=CFGGuider(1.0), uniform_timesteps=True)
+    )
+    out = loop(dit_params, state, sigmas, ctx, ctx)
+    sync(out.latent)  # compile
+    t0 = time.perf_counter()
+    out = loop(dit_params, state, sigmas, ctx, ctx)
+    sync(out.latent)
+    loop_s = time.perf_counter() - t0
+    latent_5d = tools.unpatchify(out).latent
+
+    # Sequential residency: DiT released before the decoder exists.
+    del dit_params, out
+    gc.collect()
+
+    dec_cfg = VideoDecoderConfig(compute_dtype="bfloat16")
+    dec_params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
+        )
+    )(jax.random.PRNGKey(1))
+    jax.block_until_ready(dec_params)
+
+    def decode():
+        return decode_latent(
+            latent_5d, dec_params, dec_cfg, key=jax.random.PRNGKey(4),
+            temporal_chunk_size=7, to_host=False,
+        )
+
+    sync(decode())  # compile
+    t0 = time.perf_counter()
+    sync(decode())
+    dec_s = time.perf_counter() - t0
+    return loop_s + dec_s
+
+
+def bench_dit_step(num_layers: int, fp8: bool):
     from ltx2_tpu.models.transformer.model import x0_model_apply
 
+    cfg, params = make_model(num_layers, fp8=fp8)
+    modality = make_modality(cfg)
     step = jax.jit(lambda p, m: x0_model_apply(p, cfg, video=m))
 
-    def sync(x):
-        return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
-
-    sync(step(params, modality))  # warmup/compile; forces queue drain
+    sync(step(params, modality))  # compile
     t0 = time.perf_counter()
     acc = 0.0
-    for _ in range(iters):
+    for _ in range(5):
         acc += sync(step(params, modality))
     assert acc == acc, "non-finite benchmark output"
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / 5
 
 
 def main():
     try:
-        cfg, params = make_model(FULL_BLOCKS, fp8=True)
-        modality = make_modality(cfg)
-        step_time = timed_step(cfg, params, modality)
-        metric = "dit_sec_per_step_768x512x121f_fp8_48blocks_measured"
+        sec = bench_e2e()
+        result = {
+            "metric": "e2e_sec_768x512x121f_8step_distilled_fp8",
+            "value": round(sec, 2),
+            "unit": "s",
+            "vs_baseline": round(REFERENCE_SEC_E2E_121F / sec, 2),
+        }
     except Exception:
-        cfg, params = make_model(FALLBACK_BLOCKS, fp8=False)
-        modality = make_modality(cfg)
-        measured = timed_step(cfg, params, modality)
-        step_time = measured * (FULL_BLOCKS / FALLBACK_BLOCKS)
-        metric = "dit_sec_per_step_768x512x121f_bf16_48blocks_extrapolated"
-
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(step_time, 4),
+        try:
+            sec = bench_dit_step(FULL_BLOCKS, fp8=True)
+            result = {
+                "metric": "dit_sec_per_step_768x512x121f_fp8_48blocks_measured",
+                "value": round(sec, 4),
                 "unit": "s",
-                "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / step_time, 2),
+                "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
             }
-        )
-    )
+        except Exception:
+            sec = bench_dit_step(FALLBACK_BLOCKS, fp8=False) * (
+                FULL_BLOCKS / FALLBACK_BLOCKS
+            )
+            result = {
+                "metric": "dit_sec_per_step_768x512x121f_bf16_48blocks_extrapolated",
+                "value": round(sec, 4),
+                "unit": "s",
+                "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
+            }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -157,7 +157,12 @@ class DistilledPipeline(OneStagePipeline):
         vkey, akey = jax.random.split(noise_key)
         video_state = noiser(vkey, video_state, noise_scale=noise_scale)
 
-        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(1.0))  # distilled: no CFG
+        # distilled: no CFG; per-batch timesteps when nothing conditions the
+        # mask (stage 2 always conditions via initial_video_latent... the
+        # mask stays all-ones there too — only conditionings write to it).
+        loop_cfg = DenoiseLoopConfig(
+            guider=CFGGuider(1.0), uniform_timesteps=not conditionings
+        )
         sig = jnp.asarray(sigmas, jnp.float32)
 
         audio_state = None

@@ -183,7 +183,10 @@ class TwoStagePipeline(DistilledPipeline):
         else:
             guider = CFGGuider(scale=config.cfg_scale)
             loop = make_video_denoise_loop(
-                self.transformer_cfg, DenoiseLoopConfig(guider=guider)
+                self.transformer_cfg,
+                DenoiseLoopConfig(
+                    guider=guider, uniform_timesteps=not conditionings
+                ),
             )
             video_state = loop(
                 self.transformer_params, video_state, sigmas,
