@@ -325,3 +325,41 @@ class TestUniformTimesteps:
         expected = np.asarray(base(params, state, sigmas, ctx, ctx).latent)
         got = np.asarray(uni(params, state, sigmas, ctx, ctx).latent)
         np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestV2DenoiseLoop:
+    """The scanned denoise loop must run the V2 (LTX-2.3) architecture:
+    9-param AdaLN, prompt-table KV modulation, gated attention."""
+
+    def test_v2_loop_runs_finite(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+        from tests.helpers import cached_params
+        from tests.test_dit import tiny_config
+
+        cfg = tiny_config(
+            caption_channels=None, cross_attention_dim=32,
+            cross_attention_adaln=True, apply_gated_attention=True,
+        )
+        params = cached_params(cfg)
+        shape = VideoLatentShape(batch=1, channels=cfg.in_channels, frames=2, height=2, width=3)
+        tools = VideoLatentTools(patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0)
+        state = GaussianNoiser()(jax.random.PRNGKey(0), tools.create_initial_state(), 1.0)
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.cross_attention_dim))
+
+        loop = make_video_denoise_loop(
+            cfg,
+            DenoiseLoopConfig(
+                guider=CFGGuider(3.0), stg_scale=1.0, cache_text_kv=True
+            ),  # cache_text_kv must auto-disable for V2
+        )
+        out = np.asarray(loop(params, state, sigmas, ctx, ctx).latent)
+        assert np.isfinite(out).all()
+        assert out.shape == state.latent.shape
