@@ -145,6 +145,12 @@ def fuse_lora_into_params(
         if not ok or not isinstance(node, dict) or leaf_name not in node:
             continue
         leaf = node[leaf_name]
+        if leaf.dtype == jnp.float8_e4m3fn:
+            raise ValueError(
+                "Cannot fuse LoRA into fp8-serving weights (additive deltas "
+                "need dequantized weights). Load the transformer with "
+                "keep_fp8=False when LoRAs are in play."
+            )
         expected = leaf.shape[1:] if block_idx is not None else leaf.shape
         if tuple(expected) != tuple(delta.shape):
             continue
