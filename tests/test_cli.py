@@ -1,0 +1,49 @@
+"""CLI wiring smoke tests: scripts/generate.py main() in placeholder mode.
+
+The CLI is the integration surface (reference generate.py, 2728 LoC of
+dispatch); these guard flag->pipeline wiring end to end with random
+weights, dummy embeddings, and tiny shapes. Each run exercises model
+construction, the jitted denoise loop, VAE decode, and the ffmpeg-less
+save fallback.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+
+def _run(tmp_path, *extra):
+    import generate
+
+    out = tmp_path / "out.mp4"
+    argv = [
+        "--placeholder", "--no-gemma",
+        "--height", "64", "--width", "96", "--num-frames", "9",
+        "--num-inference-steps", "2",
+        "--output", str(out),
+        *extra,
+    ]
+    generate.main(argv)
+    frames = np.load(tmp_path / "out_frames.npz")["frames"]
+    assert frames.shape[0] == 9
+    assert frames.shape[-1] == 3
+    assert frames.dtype == np.uint8
+    return frames
+
+
+class TestCLISmoke:
+    def test_one_stage(self, tmp_path):
+        _run(tmp_path, "--pipeline", "one-stage")
+
+    def test_one_stage_heun_stg(self, tmp_path):
+        _run(
+            tmp_path, "--pipeline", "one-stage", "--sampler", "heun",
+            "--stg-scale", "1.0", "--cache-text-kv",
+        )
+
+    def test_text_to_video(self, tmp_path):
+        _run(tmp_path, "--pipeline", "text-to-video", "--seed", "7")
