@@ -82,21 +82,19 @@ class DenoiseLoopConfig:
 
 
 def _build_perturbations(
-    loop_cfg: DenoiseLoopConfig, batch: int
+    loop_cfg: DenoiseLoopConfig, rows: int, batch: int = 1
 ) -> Optional[BatchedPerturbationConfig]:
-    """Per-row perturbation config: only the STG row skips self-attention."""
+    """Per-row perturbation config: only the STG pass's `batch` rows skip
+    self-attention. Row layout is pass-major: [pass0 x batch, pass1 x batch,
+    ...] with STG always the LAST pass."""
     if not loop_cfg.need_stg:
         return None
-    rows = []
-    for _ in range(batch - 1):
-        rows.append(PerturbationConfig.empty())
-    rows.append(
-        create_stg_perturbation(
-            skip_video_self_attn=True,
-            blocks=list(loop_cfg.stg_blocks) if loop_cfg.stg_blocks else None,
-        )
+    stg = create_stg_perturbation(
+        skip_video_self_attn=True,
+        blocks=list(loop_cfg.stg_blocks) if loop_cfg.stg_blocks else None,
     )
-    return BatchedPerturbationConfig(perturbations=tuple(rows))
+    plain = [PerturbationConfig.empty()] * ((rows - 1) * batch)
+    return BatchedPerturbationConfig(perturbations=tuple(plain + [stg] * batch))
 
 
 def _ca_scales(loop_cfg: DenoiseLoopConfig, num_layers: int) -> Optional[jnp.ndarray]:
@@ -128,17 +126,17 @@ def _precompute_video_pe(model_cfg: LTXModelConfig, positions: jnp.ndarray, rows
     return pe
 
 
-def _combine_guidance(loop_cfg: DenoiseLoopConfig, outs, guider, stg_flag):
-    """Split batched rows -> guided prediction."""
+def _combine_guidance(loop_cfg: DenoiseLoopConfig, outs, guider, stg_flag, batch: int = 1):
+    """Split pass-major batched rows -> guided prediction (B, ...)."""
     idx = 1
-    pos = outs[0:1]
+    pos = outs[0:batch]
     denoised = pos
     if loop_cfg.need_cfg:
-        neg = outs[idx : idx + 1]
+        neg = outs[idx * batch : (idx + 1) * batch]
         idx += 1
         denoised = guider.guide(pos, neg)
     if loop_cfg.need_stg:
-        perturbed = outs[idx : idx + 1]
+        perturbed = outs[idx * batch : (idx + 1) * batch]
         delta = loop_cfg.stg_scale * (denoised - perturbed)
         denoised = denoised + stg_flag * delta
     return denoised
@@ -176,8 +174,11 @@ def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConf
 
     def loop(params, state: LatentState, sigmas, pos_ctx, neg_ctx):
         num_steps = sigmas.shape[0] - 1
+        # Batched serving: B>1 states generate B clips in one loop. Rows are
+        # pass-major — [cond x B, uncond x B, stg x B] — so guidance passes
+        # AND samples share one DiT forward per step (the reference's
+        # batched-CFG trick, extended to multi-clip throughput batching).
         batch = state.latent.shape[0]
-        assert batch == 1, "pipelines drive batch-1 states; rows carry CFG/STG"
 
         contexts = [pos_ctx]
         if loop_cfg.need_cfg:
@@ -188,7 +189,7 @@ def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConf
 
         positions = _tile_rows(state.positions, rows)
         video_pe = _precompute_video_pe(model_cfg, state.positions, rows)
-        perturb = _build_perturbations(loop_cfg, rows)
+        perturb = _build_perturbations(loop_cfg, rows, batch)
 
         text_kv = None
         if loop_cfg.cache_text_kv and not model_cfg.cross_attention_adaln:
@@ -229,7 +230,9 @@ def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConf
             step_idx, sigma, sigma_next, stg_flag = xs
 
             outs = forward(latent, sigma)
-            denoised = _combine_guidance(loop_cfg, outs, loop_cfg.guider, stg_flag)
+            denoised = _combine_guidance(
+                loop_cfg, outs, loop_cfg.guider, stg_flag, batch
+            )
             denoised, prev_velocity = _ge_correct(
                 loop_cfg, latent, denoised, sigma, prev_velocity, step_idx
             )
@@ -239,7 +242,7 @@ def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConf
                 predicted = _euler_step(latent, denoised, sigma, sigma_next)
                 outs2 = forward(predicted, sigma_next)
                 denoised2 = _combine_guidance(
-                    loop_cfg, outs2, loop_cfg.guider, stg_flag
+                    loop_cfg, outs2, loop_cfg.guider, stg_flag, batch
                 )
                 denoised2 = post_process_latent(denoised2, mask, clean)
                 v1 = (latent.astype(jnp.float32) - denoised) / sigma
@@ -284,6 +287,7 @@ def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig)
 
     def loop(params, video_state, audio_state, sigmas, pos_v, neg_v, pos_a, neg_a):
         num_steps = sigmas.shape[0] - 1
+        batch = video_state.latent.shape[0]
 
         def stack_ctx(pos, neg):
             ctxs = [pos]
@@ -299,7 +303,7 @@ def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig)
         v_positions = _tile_rows(video_state.positions, rows)
         a_positions = _tile_rows(audio_state.positions, rows)
         video_pe = _precompute_video_pe(model_cfg, video_state.positions, rows)
-        perturb = _build_perturbations(loop_cfg, rows)
+        perturb = _build_perturbations(loop_cfg, rows, batch)
 
         text_kv = None
         if loop_cfg.cache_text_kv and not model_cfg.cross_attention_adaln:
@@ -351,9 +355,11 @@ def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig)
             step_idx, sigma, sigma_next, stg_flag = xs
 
             v_outs, a_outs = forward(v_latent, a_latent, sigma)
-            v_denoised = _combine_guidance(loop_cfg, v_outs, loop_cfg.guider, stg_flag)
+            v_denoised = _combine_guidance(
+                loop_cfg, v_outs, loop_cfg.guider, stg_flag, batch
+            )
             a_denoised = _combine_guidance(
-                loop_cfg, a_outs, loop_cfg.audio_guider, 0.0
+                loop_cfg, a_outs, loop_cfg.audio_guider, 0.0, batch
             )
             v_denoised, prev_velocity = _ge_correct(
                 loop_cfg, v_latent, v_denoised, sigma, prev_velocity, step_idx
@@ -365,8 +371,12 @@ def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig)
                 v_pred = _euler_step(v_latent, v_denoised, sigma, sigma_next)
                 a_pred = _euler_step(a_latent, a_denoised, sigma, sigma_next)
                 v_outs2, a_outs2 = forward(v_pred, a_pred, sigma_next)
-                v_d2 = _combine_guidance(loop_cfg, v_outs2, loop_cfg.guider, stg_flag)
-                a_d2 = _combine_guidance(loop_cfg, a_outs2, loop_cfg.audio_guider, 0.0)
+                v_d2 = _combine_guidance(
+                    loop_cfg, v_outs2, loop_cfg.guider, stg_flag, batch
+                )
+                a_d2 = _combine_guidance(
+                    loop_cfg, a_outs2, loop_cfg.audio_guider, 0.0, batch
+                )
                 v_d2 = post_process_latent(v_d2, v_mask, v_clean)
                 a_d2 = post_process_latent(a_d2, a_mask, a_clean)
                 safe_next = jnp.where(sigma_next == 0, 1.0, sigma_next)

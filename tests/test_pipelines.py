@@ -363,3 +363,56 @@ class TestV2DenoiseLoop:
         out = np.asarray(loop(params, state, sigmas, ctx, ctx).latent)
         assert np.isfinite(out).all()
         assert out.shape == state.latent.shape
+
+
+class TestBatchedGeneration:
+    """B>1 throughput batching: a batched loop must reproduce per-sample
+    B=1 runs exactly (pass-major row layout)."""
+
+    def test_batch2_matches_two_singles(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+        from tests.helpers import cached_params
+        from tests.test_dit import tiny_config
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        shape = VideoLatentShape(batch=1, channels=cfg.in_channels, frames=2, height=2, width=3)
+        tools = VideoLatentTools(patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0)
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+
+        states, ctxs = [], []
+        for seed in (0, 1):
+            s = GaussianNoiser()(jax.random.PRNGKey(seed), tools.create_initial_state(), 1.0)
+            states.append(s)
+            ctxs.append(
+                jax.random.normal(jax.random.PRNGKey(10 + seed), (1, 5, cfg.caption_channels))
+            )
+
+        loop = make_video_denoise_loop(
+            cfg, DenoiseLoopConfig(guider=CFGGuider(3.0), stg_scale=0.5)
+        )
+        singles = [
+            np.asarray(loop(params, s, sigmas, c, c * 0.5).latent)
+            for s, c in zip(states, ctxs)
+        ]
+
+        batched_state = dataclasses.replace(
+            states[0],
+            latent=jnp.concatenate([s.latent for s in states], axis=0),
+            denoise_mask=jnp.concatenate([s.denoise_mask for s in states], axis=0),
+            positions=jnp.concatenate([s.positions for s in states], axis=0),
+            clean_latent=jnp.concatenate([s.clean_latent for s in states], axis=0),
+        )
+        pos = jnp.concatenate(ctxs, axis=0)
+        out = np.asarray(loop(params, batched_state, sigmas, pos, pos * 0.5).latent)
+        np.testing.assert_allclose(out[0:1], singles[0], atol=2e-4)
+        np.testing.assert_allclose(out[1:2], singles[1], atol=2e-4)
