@@ -13,6 +13,11 @@ from ltx2_tpu.parallel.mesh import (
     single_device_mesh,
 )
 from ltx2_tpu.parallel.ring_attention import ring_attention_local, ring_sdpa
+from ltx2_tpu.parallel.runtime import (
+    axis_layout,
+    create_hybrid_mesh,
+    initialize_distributed,
+)
 from ltx2_tpu.parallel.sequence_parallel import (
     make_sequence_parallel_forward,
     modality_specs,
@@ -36,6 +41,9 @@ __all__ = [
     "single_device_mesh",
     "ring_attention_local",
     "ring_sdpa",
+    "axis_layout",
+    "create_hybrid_mesh",
+    "initialize_distributed",
     "make_sequence_parallel_forward",
     "modality_specs",
     "DIT_SHARDING_RULES",

@@ -203,3 +203,38 @@ class TestSequenceParallel:
         v_got, a_got = sp(params, video, audio)
         np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=2e-4)
         np.testing.assert_allclose(np.asarray(a_got), np.asarray(a_ref), atol=2e-4)
+
+
+class TestRuntime:
+    def test_axis_layout(self):
+        from ltx2_tpu.parallel.runtime import axis_layout
+
+        assert axis_layout(8, data=2, seq=2) == (2, 2, 2)
+        assert axis_layout(8, data=1, seq=1, model=8) == (1, 1, 8)
+        with pytest.raises(ValueError):
+            axis_layout(8, data=3)
+        with pytest.raises(ValueError):
+            axis_layout(8, data=2, seq=2, model=3)
+
+    def test_hybrid_mesh_single_slice(self):
+        from ltx2_tpu.parallel.runtime import create_hybrid_mesh
+
+        mesh = create_hybrid_mesh(data=2, seq=2, model=2)
+        assert mesh.axis_names == ("data", "seq", "model")
+        assert mesh.devices.shape == (2, 2, 2)
+
+    def test_sequence_parallel_on_hybrid_mesh(self):
+        """The seq-parallel forward runs on a runtime-built mesh."""
+        from ltx2_tpu.models.transformer.model import x0_model_apply
+        from ltx2_tpu.parallel.runtime import create_hybrid_mesh
+        from ltx2_tpu.parallel.sequence_parallel import make_sequence_parallel_forward
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        video = make_video_modality(cfg, batch=1, frames=2, height=2, width=4)  # 16 tok
+        mesh = create_hybrid_mesh(data=1, seq=8, model=1)
+        expected = np.asarray(
+            jax.jit(lambda p, v: x0_model_apply(p, cfg, video=v))(params, video)
+        )
+        got = np.asarray(make_sequence_parallel_forward(mesh, cfg)(params, video))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
