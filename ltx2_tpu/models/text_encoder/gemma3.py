@@ -329,7 +329,15 @@ def load_gemma3_params(
         ml_dtypes.bfloat16 if target_dtype == "bfloat16" else np.dtype(target_dtype)
     )
     FP8_MAX = 448.0
-    prefix = "language_model.model."
+    # Multimodal Gemma-3 bundles use `language_model.model.*`
+    # (the layout the reference consumes, gemma3.py:455-467); text-only
+    # Gemma3ForCausalLM checkpoints use `model.*`. Accept both.
+    first_keys = SafetensorsFile(str(shards[0])).keys()
+    prefix = (
+        "language_model.model."
+        if any(k.startswith("language_model.model.") for k in first_keys)
+        else "model."
+    )
     flat: Dict[str, np.ndarray] = {}
     for shard in shards:
         f = SafetensorsFile(str(shard))

@@ -210,3 +210,78 @@ class TestOrchestration:
         out = fn(params, hidden, mask)
         assert out.video_encoding.shape == (1, 8, cfg.video_inner_dim)
         assert out.audio_encoding.shape == (1, 8, cfg.audio_inner_dim)
+
+
+class TestGemmaShardLoading:
+    """load_gemma3_params reads HF shards in both key layouts
+    (multimodal `language_model.model.*` and text-only `model.*`)."""
+
+    @pytest.mark.parametrize("prefix", ["language_model.model.", "model."])
+    def test_round_trip(self, tmp_path, prefix):
+        import numpy as np
+
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+        from ltx2_tpu.loader.weight_loader import flatten_params
+        from ltx2_tpu.models.text_encoder.gemma3 import (
+            Gemma3Config,
+            init_gemma3,
+            load_gemma3_params,
+        )
+
+        cfg = Gemma3Config.tiny()
+        params = init_gemma3(jax.random.PRNGKey(0), cfg)
+
+        # Unstack layers into per-layer checkpoint keys.
+        ckpt = {}
+        for key, leaf in flatten_params(params).items():
+            arr = np.asarray(leaf, np.float32)
+            if key.startswith("layers."):
+                sub = key[len("layers."):]
+                for i in range(cfg.num_hidden_layers):
+                    ckpt[f"{prefix}layers.{i}.{sub}"] = arr[i]
+            else:
+                ckpt[prefix + key] = arr
+        path = tmp_path / "model-00001-of-00001.safetensors"
+        write_safetensors(str(path), ckpt)
+
+        loaded = load_gemma3_params(str(tmp_path), cfg)
+        for key, leaf in flatten_params(loaded).items():
+            np.testing.assert_allclose(
+                np.asarray(leaf, np.float32),
+                np.asarray(flatten_params(params)[key], np.float32),
+                atol=0,
+                err_msg=key,
+            )
+
+    def test_fp8_quantized_load(self, tmp_path):
+        import ml_dtypes
+        import numpy as np
+
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+        from ltx2_tpu.loader.weight_loader import flatten_params
+        from ltx2_tpu.models.text_encoder.gemma3 import (
+            Gemma3Config,
+            init_gemma3,
+            load_gemma3_params,
+        )
+
+        cfg = Gemma3Config.tiny()
+        params = init_gemma3(jax.random.PRNGKey(1), cfg)
+        ckpt = {}
+        for key, leaf in flatten_params(params).items():
+            arr = np.asarray(leaf, np.float32)
+            if key.startswith("layers."):
+                sub = key[len("layers."):]
+                for i in range(cfg.num_hidden_layers):
+                    ckpt[f"model.layers.{i}.{sub}"] = arr[i]
+            else:
+                ckpt["model." + key] = arr
+        write_safetensors(str(tmp_path / "model-1.safetensors"), ckpt)
+
+        loaded = load_gemma3_params(str(tmp_path), cfg, quantize_fp8=True)
+        qw = loaded["layers"]["self_attn"]["q_proj"]["weight"]
+        assert qw.dtype == jnp.float8_e4m3fn
+        assert "weight_scale" in loaded["layers"]["self_attn"]["q_proj"]
+        assert loaded["embed_tokens"]["weight"].dtype == jnp.bfloat16
+        # Norm weights stay in the loading dtype (not quantized).
+        assert loaded["norm"]["weight"].dtype == jnp.float32
