@@ -12,7 +12,6 @@ pipeline that feeds `jax.device_put` with shardings.
 from __future__ import annotations
 
 import json
-import mmap
 import struct
 from pathlib import Path
 from typing import Dict, Iterator, Optional, Tuple

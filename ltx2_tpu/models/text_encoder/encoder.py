@@ -10,7 +10,7 @@ comes from checkpoint metadata (encoder.py:811-871).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ the 49 hidden states without Python-loop accumulation. Runs fp32 by default
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax

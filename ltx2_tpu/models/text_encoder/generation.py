@@ -23,7 +23,6 @@ visible iff j <= pos AND valid AND (full-layer OR pos - j < window).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ import wave
 from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -35,11 +35,7 @@ from ltx2_tpu.components.perturbations import (
     PerturbationConfig,
     create_stg_perturbation,
 )
-from ltx2_tpu.models.transformer.model import (
-    LTXModelConfig,
-    Modality,
-    ltx_model_apply,
-)
+from ltx2_tpu.models.transformer.model import LTXModelConfig
 from ltx2_tpu.ops.rope import precompute_freqs_cis
 from ltx2_tpu.pipelines.common import modality_from_state, post_process_latent
 from ltx2_tpu.types import LatentState

@@ -18,15 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ltx2_tpu.components import (
-    AudioPatchifier,
     CFGGuider,
     DISTILLED_SIGMA_VALUES,
     GaussianNoiser,
     STAGE_2_DISTILLED_SIGMA_VALUES,
-    VideoLatentPatchifier,
 )
 from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
-from ltx2_tpu.models.transformer.model import LTXModelConfig, LTXModelType
 from ltx2_tpu.models.upscaler import SpatialUpscalerConfig, spatial_upscaler_apply
 from ltx2_tpu.models.video_vae import (
     TilingConfig,

@@ -16,7 +16,6 @@ from enum import Enum
 from pathlib import Path
 from typing import Callable, List, Optional, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -10,14 +10,12 @@ past the sequence end with temporally-offset positions
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Optional, Tuple, Union
+from typing import Callable, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ltx2_tpu.conditioning.keyframe import VideoConditionByKeyframeIndex
-from ltx2_tpu.models.video_vae import TilingConfig
 from ltx2_tpu.pipelines.common import load_image_tensor
 from ltx2_tpu.pipelines.distilled import DistilledConfig, DistilledPipeline
 

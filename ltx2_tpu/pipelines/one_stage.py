@@ -14,7 +14,7 @@ configs and orchestrates host-side phases (conditioning, decode).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 
 import jax

@@ -22,7 +22,7 @@ from ltx2_tpu.conditioning.tools import VideoLatentTools
 from ltx2_tpu.models.video_vae import TilingConfig
 from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
 from ltx2_tpu.pipelines.one_stage import OneStagePipeline
-from ltx2_tpu.types import LatentState, VideoLatentShape, VideoPixelShape
+from ltx2_tpu.types import LatentState, VideoLatentShape
 
 
 @dataclass

@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import Callable, List, Optional, Tuple, Union
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ from ltx2_tpu.components import GaussianNoiser, LTX2Scheduler
 from ltx2_tpu.components.res2s import get_res2s_coefficients
 from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
 from ltx2_tpu.models.transformer.model import LTXModelConfig
-from ltx2_tpu.models.video_vae import TilingConfig
 from ltx2_tpu.pipelines.common import modality_from_state, post_process_latent
 from ltx2_tpu.pipelines.denoise import _precompute_video_pe, _tile_rows
 from ltx2_tpu.pipelines.distilled import DistilledConfig, DistilledPipeline

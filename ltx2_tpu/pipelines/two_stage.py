@@ -42,7 +42,6 @@ from ltx2_tpu.pipelines.common import (
 from ltx2_tpu.pipelines.denoise import (
     DenoiseLoopConfig,
     MultiModalLoopConfig,
-    make_av_denoise_loop,
     make_multimodal_av_denoise_loop,
     make_video_denoise_loop,
 )

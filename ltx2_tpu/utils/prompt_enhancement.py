@@ -11,8 +11,7 @@ for text encoding; the chat template mirrors Gemma-3's turn format.
 
 from __future__ import annotations
 
-import re
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 
