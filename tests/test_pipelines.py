@@ -416,3 +416,46 @@ class TestBatchedGeneration:
         out = np.asarray(loop(params, batched_state, sigmas, pos, pos * 0.5).latent)
         np.testing.assert_allclose(out[0:1], singles[0], atol=2e-4)
         np.testing.assert_allclose(out[1:2], singles[1], atol=2e-4)
+
+
+class TestGenerationCheckpointing:
+    """Mid-run checkpoint/resume: splitting the schedule at a save point must
+    reproduce the uninterrupted run exactly (the Euler loop is Markovian in
+    (latent, sigma))."""
+
+    def test_split_run_matches(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+        from ltx2_tpu.utils.checkpointing import (
+            load_generation_state,
+            save_generation_state,
+        )
+        from tests.helpers import cached_params
+        from tests.test_dit import tiny_config
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        shape = VideoLatentShape(batch=1, channels=cfg.in_channels, frames=2, height=2, width=3)
+        tools = VideoLatentTools(patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0)
+        state = GaussianNoiser()(jax.random.PRNGKey(0), tools.create_initial_state(), 1.0)
+        sigmas = jnp.asarray([1.0, 0.75, 0.5, 0.25, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+
+        loop = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(3.0)))
+        full = np.asarray(loop(params, state, sigmas, ctx, ctx).latent)
+
+        # Run 2 steps, checkpoint, reload, run the rest.
+        mid = loop(params, state, sigmas[:3], ctx, ctx)
+        ckpt = tmp_path / "gen.npz"
+        save_generation_state(str(ckpt), mid, sigmas, step=2)
+        video, audio, remaining, step = load_generation_state(str(ckpt))
+        assert audio is None and step == 2
+        np.testing.assert_allclose(np.asarray(remaining), np.asarray(sigmas[2:]))
+        resumed = np.asarray(loop(params, video, remaining, ctx, ctx).latent)
+        np.testing.assert_allclose(resumed, full, atol=1e-5)
