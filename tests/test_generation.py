@@ -141,3 +141,29 @@ class TestGemmaFP8Serving:
         )
         assert toks.shape == (1, 3)
         assert (toks >= 0).all()
+
+
+class _FakeTokenizer:
+    """Minimal tokenizer protocol for generate_text."""
+
+    eos_token_id = 3
+
+    def __call__(self, prompt, return_tensors="np"):
+        ids = np.asarray([[ord(c) % 50 + 4 for c in prompt[:10]]], np.int32)
+        return {"input_ids": ids}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(int(t) + 60) for t in ids)
+
+
+class TestGenerateTextWrapper:
+    def test_pads_decodes_and_truncates(self, tiny):
+        from ltx2_tpu.models.text_encoder.generation import generate_text
+
+        cfg, params = tiny
+        text = generate_text(
+            params, cfg, _FakeTokenizer(), "hello world", max_new_tokens=4,
+            pad_multiple=8,
+        )
+        assert isinstance(text, str)
+        assert len(text) <= 4
