@@ -1,3 +1,7 @@
+from ltx2_tpu.utils.checkpointing import (
+    load_generation_state,
+    save_generation_state,
+)
 from ltx2_tpu.utils.model_ledger import ModelLedger, create_model_ledger
 from ltx2_tpu.utils.profiling import (
     device_memory_stats,
@@ -17,6 +21,8 @@ from ltx2_tpu.utils.prompt_enhancement import (
 )
 
 __all__ = [
+    "load_generation_state",
+    "save_generation_state",
     "ModelLedger",
     "create_model_ledger",
     "device_memory_stats",
