@@ -55,9 +55,11 @@ class DenoiseLoopConfig:
     cross_attn_scale: float = 1.0
     cross_attn_start_block: int = 40
     # V1 only: precompute per-layer text cross-attn K/V once per generation
-    # and reuse across every denoise step (~4% step FLOPs + weight reads).
-    # Costs L*rows*S*inner*2 arrays of HBM per modality; ignored for V2
-    # (sigma-dependent KV modulation makes caching incorrect).
+    # and reuse across every denoise step. Ignored for V2 (sigma-dependent
+    # KV modulation makes caching incorrect). Measured guidance: helps when
+    # weights are bf16 (halves the cross-attn weight reads); with fp8
+    # serving it is a wash-to-slightly-slower at large token counts (the
+    # cache's HBM reads match the fp8 weight reads it replaces) — leave off.
     cache_text_kv: bool = False
     # STATIC promise that the denoise mask is all-ones (no token-level
     # conditioning): per-batch timesteps instead of per-token -> AdaLN

@@ -94,7 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(dequant at use; fits 48-block 19B on a 16GB chip)")
     p.add_argument("--cache-text-kv", action="store_true",
                    help="precompute text cross-attn K/V once per generation "
-                        "(V1 checkpoints only; ~4%% step FLOPs saved)")
+                        "(V1 checkpoints only; helps bf16 weights, not fp8)")
     p.add_argument("--gemma-fp8", action="store_true",
                    help="quantize Gemma matmul weights to fp8 at load "
                         "(12B text encoder fits a 16GB chip)")
