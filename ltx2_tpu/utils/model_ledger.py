@@ -71,6 +71,9 @@ class ModelLedger:
                 use_rope_double_precision=v2,
                 rope_type=LTXRopeType.SPLIT,
                 compute_dtype=self.target_dtype,
+                # Inference-only: no gradients, so per-block rematerialization
+                # buys nothing — skip the checkpoint wrapper entirely.
+                remat=False,
             )
             # LoRA fusion mutates matmul weights, so it is incompatible with
             # keep_fp8 (would need dequant->fuse->requant); fall back to the
