@@ -18,22 +18,34 @@ import jax.numpy as jnp
 # enough to tile cleanly. Tuned on v5e at 6k tokens: 8 ms/sample vs 17 ms
 # for einsum — and O(T) memory, which is what lets CFG rows batch without
 # materializing the (B, H, T, T) logits (14 GB at batch 2 / 6k tokens).
+# Block sizes adapt downward to whatever divides the token count — 6912
+# tokens (768x1024x65f) takes (256, 256); the preferred tiles are fastest.
 FLASH_BLOCK_Q = 512
 FLASH_BLOCK_KV = 1024
+FLASH_MIN_BLOCK = 128
 FLASH_MIN_TOKENS = 2048
 
 
-@lru_cache(maxsize=1)
-def _flash_attention():
+def _pick_block(t: int, preferred: int) -> Optional[int]:
+    b = preferred
+    while b >= FLASH_MIN_BLOCK:
+        if t % b == 0:
+            return b
+        b //= 2
+    return None
+
+
+@lru_cache(maxsize=8)
+def _flash_attention(block_q: int, block_kv: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         flash_attention,
     )
 
     block_sizes = BlockSizes(
-        block_q=FLASH_BLOCK_Q,
-        block_k_major=FLASH_BLOCK_KV,
-        block_k=FLASH_BLOCK_KV,
+        block_q=block_q,
+        block_k_major=block_kv,
+        block_k=block_kv,
         block_b=1,
     )
 
@@ -52,8 +64,8 @@ def _use_flash(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
         and jax.default_backend() == "tpu"
         and t_q == t_k
         and t_q >= FLASH_MIN_TOKENS
-        and t_q % FLASH_BLOCK_Q == 0
-        and t_k % FLASH_BLOCK_KV == 0
+        and _pick_block(t_q, FLASH_BLOCK_Q) is not None
+        and _pick_block(t_k, FLASH_BLOCK_KV) is not None
         and q.shape[-1] % 128 == 0
     )
 
@@ -74,7 +86,9 @@ def sdpa(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if _use_flash(q, k, mask):
-        return _flash_attention()(q, k, v, scale)
+        bq = _pick_block(q.shape[2], FLASH_BLOCK_Q)
+        bkv = _pick_block(k.shape[2], FLASH_BLOCK_KV)
+        return _flash_attention(bq, bkv)(q, k, v, scale)
     # Einsum fallback with fp32 softmax (short sequences, masked
     # cross-attention, CPU). Benchmarked on v5e at 6k tokens: 18 ms vs
     # 345 ms for jax.nn.dot_product_attention. The QK dot stores logits in
