@@ -109,7 +109,13 @@ def _replicate_pad_1d(x: jnp.ndarray, pad_left: int, pad_right: int) -> jnp.ndar
 
 
 def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
-    """Kaiser-windowed sinc filter, (1, 1, K) (vocoder.py:180-216)."""
+    """Kaiser-windowed sinc filter, (1, 1, K) (vocoder.py:180-216).
+
+    Provenance: near-transcription of the reference function, which is itself
+    the standard BigVGAN-v2 anti-aliasing DSP recipe (fixed numerical
+    constants — A/beta window design, sinc normalization); any deviation
+    breaks filter parity, so the formulas are kept verbatim.
+    """
     even = kernel_size % 2 == 0
     half_size = kernel_size // 2
 

@@ -1,9 +1,9 @@
 """Scaled dot-product attention for TPU.
 
 The reference leans on mx.fast.scaled_dot_product_attention (attention.py:31,
-67,141); here the equivalent is XLA's fused attention via
-jax.nn.dot_product_attention, with a Pallas flash-attention kernel available
-for long video-token sequences (ops/pallas/flash_attention.py).
+67,141); here the equivalent is a bf16 einsum with fp32 softmax, with the
+upstream jax.experimental.pallas.ops.tpu flash-attention kernel engaged for
+long unmasked video-token sequences (see flash_attention() below).
 """
 
 from __future__ import annotations

@@ -25,10 +25,11 @@ from ltx2_tpu.pipelines.distilled import DistilledConfig, DistilledPipeline
 
 
 class ControlType(Enum):
+    # The reference ships only CANNY in-repo preprocessing; depth/pose
+    # control videos must be pre-processed externally and passed as RAW
+    # (reference ic_lora.py:147-214).
     RAW = "raw"  # pre-processed control video (depth/pose/etc.)
     CANNY = "canny"
-    DEPTH = "depth"
-    POSE = "pose"
 
 
 @dataclass
@@ -81,7 +82,12 @@ def preprocess_canny(
     high_threshold: int = 200,
 ) -> np.ndarray:
     """Canny edge control signal, (F, H, W, 3) in [0, 255]
-    (ic_lora.py:55-123). Requires OpenCV."""
+    (ic_lora.py:55-123). Requires OpenCV.
+
+    Provenance: mirrors the reference's thin OpenCV wrapper (same resize
+    interpolation, grayscale conversion, and default thresholds) — the cv2
+    call sequence IS the behavioral contract, so it matches by necessity.
+    """
     try:
         import cv2
     except ImportError as e:  # pragma: no cover

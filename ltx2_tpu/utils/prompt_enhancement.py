@@ -7,6 +7,10 @@ generate.py:325-337.)
 
 Greedy Gemma decoding is provided on top of the same gemma3_apply stack used
 for text encoding; the chat template mirrors Gemma-3's turn format.
+
+Provenance: the *_SYSTEM_PROMPT strings below are verbatim reference
+constants — they are behavioral data (the exact text conditions the LLM),
+so copying them is the correct form of parity, not code reuse.
 """
 
 from __future__ import annotations

@@ -451,7 +451,7 @@ def main(argv=None):
         common = dict(
             height=args.height, width=args.width, num_frames=args.num_frames,
             seed=args.seed, fps=args.fps, tiling_config=tiling,
-            dtype="float32" if args.dtype == "float32" else "float32",
+            dtype=args.dtype,
             latent_channels=latent_channels,
             audio_enabled=args.audio,
             use_internal_audio_branch=not args.no_internal_audio,

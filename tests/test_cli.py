@@ -47,3 +47,27 @@ class TestCLISmoke:
 
     def test_text_to_video(self, tmp_path):
         _run(tmp_path, "--pipeline", "text-to-video", "--seed", "7")
+
+    def test_one_stage_bfloat16(self, tmp_path, monkeypatch):
+        """--dtype bfloat16 must reach the denoise loop (policy: bf16
+        weights/activations with fp32 islands). Guards the dead plumbing
+        found in round 1 (generate.py always forced float32)."""
+        import jax.numpy as jnp
+
+        import ltx2_tpu.pipelines.one_stage as one_stage_mod
+
+        seen = {}
+        real_make = one_stage_mod.make_video_denoise_loop
+
+        def spy_make(cfg, loop_cfg):
+            loop = real_make(cfg, loop_cfg)
+
+            def wrapped(params, video_state, sigmas, pos, neg, *a, **kw):
+                seen["latent_dtype"] = video_state.latent.dtype
+                return loop(params, video_state, sigmas, pos, neg, *a, **kw)
+
+            return wrapped
+
+        monkeypatch.setattr(one_stage_mod, "make_video_denoise_loop", spy_make)
+        _run(tmp_path, "--pipeline", "one-stage", "--dtype", "bfloat16")
+        assert seen["latent_dtype"] == jnp.bfloat16
