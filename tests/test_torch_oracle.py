@@ -1,0 +1,724 @@
+"""Torch-oracle parity tests for every parity-critical kernel.
+
+Round-1 verdict: the suite validated internal consistency but never compared
+against an independent implementation. These tests close that gap using
+torch (CPU) as the oracle: each parity-critical kernel — the ones SURVEY.md
+ranks as hard parts #1-#3 (conv3d padding rules, SPLIT/INTERLEAVED RoPE,
+Gemma GQA, STFT, conv-transpose, patchify packing) — is asserted against a
+from-scratch torch implementation of the *reference semantics* (cited per
+test) on random weights. Agreement here means the JAX code computes the same
+function the reference does, modulo fp accumulation order.
+
+All oracles are written from the reference's documented formulas
+(file:line cited), NOT from this repo's JAX code — that independence is the
+point.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+torch.manual_seed(0)
+
+
+def t2j(x: torch.Tensor) -> jnp.ndarray:
+    return jnp.asarray(x.detach().cpu().numpy())
+
+
+def j2n(x: jnp.ndarray) -> np.ndarray:
+    return np.asarray(x)
+
+
+def assert_close(jax_out, torch_out, rtol=1e-4, atol=1e-5, msg=""):
+    a = j2n(jax_out).astype(np.float64)
+    b = torch_out.detach().cpu().numpy().astype(np.float64)
+    assert a.shape == b.shape, f"{msg} shape {a.shape} vs {b.shape}"
+    np.testing.assert_allclose(a, b, rtol=rtol, atol=atol, err_msg=msg)
+
+
+# ---------------------------------------------------------------------------
+# 1. Video VAE conv3d: reflect spatial + causal/symmetric replicate temporal
+#    (reference simple_decoder.py:105-134 / Conv3dSimple)
+# ---------------------------------------------------------------------------
+
+
+def torch_conv3d_oracle(x, w, b, causal, spatial_mode, temporal_mode):
+    """Reference Conv3dSimple semantics in torch: manual padding + F.conv3d.
+
+    x: (B, C, T, H, W). Spatial: reflect or zeros, pad k//2 each side.
+    Temporal: k-1 total — causal puts it all in front; non-causal splits
+    before = (k-1)//2 / after = rest. 'replicate' repeats edge frames;
+    'zeros' pads zero frames.
+    """
+    k = w.shape[2]
+    p = k // 2
+    if p > 0:
+        mode = "reflect" if spatial_mode == "reflect" else "constant"
+        # F.pad 5D order: (W_l, W_r, H_l, H_r, T_l, T_r)
+        x = F.pad(x, (p, p, p, p, 0, 0), mode=mode)
+    tp = k - 1
+    if tp > 0:
+        mode = "replicate" if temporal_mode == "replicate" else "constant"
+        if causal:
+            x = F.pad(x, (0, 0, 0, 0, tp, 0), mode=mode)
+        else:
+            before = tp // 2
+            x = F.pad(x, (0, 0, 0, 0, before, tp - before), mode=mode)
+    return F.conv3d(x, w, b)
+
+
+class TestConv3dOracle:
+    def _run(self, causal, spatial_mode, temporal_mode, k=3, cin=5, cout=7):
+        from ltx2_tpu.models.video_vae.conv import conv3d_ndhwc, from_ndhwc, to_ndhwc
+
+        x = torch.randn(2, cin, 5, 8, 9)
+        w = torch.randn(cout, cin, k, k, k) * 0.2
+        b = torch.randn(cout) * 0.1
+
+        want = torch_conv3d_oracle(x, w, b, causal, spatial_mode, temporal_mode)
+        got = from_ndhwc(
+            conv3d_ndhwc(
+                {"weight": t2j(w), "bias": t2j(b)},
+                to_ndhwc(t2j(x)),
+                causal=causal,
+                spatial_mode=spatial_mode,
+                temporal_mode=temporal_mode,
+            )
+        )
+        assert_close(got, want, msg=f"conv3d causal={causal} {spatial_mode}/{temporal_mode}")
+
+    def test_decoder_causal_reflect(self):
+        # SimpleVideoDecoder path: reflect spatial + causal replicate
+        self._run(causal=True, spatial_mode="reflect", temporal_mode="replicate")
+
+    def test_decoder_noncausal_reflect(self):
+        # symmetric replicate temporal (simple_decoder.py:126-134)
+        self._run(causal=False, spatial_mode="reflect", temporal_mode="replicate")
+
+    def test_encoder_zeros_spatial(self):
+        # SimpleVideoEncoder: zeros spatial padding, causal temporal
+        self._run(causal=True, spatial_mode="zeros", temporal_mode="replicate")
+
+    def test_upscaler_zero_temporal(self):
+        # upscaler conv3d: plain zero padding on every axis (spatial.py:21-88)
+        self._run(causal=False, spatial_mode="zeros", temporal_mode="zeros")
+
+    def test_pointwise_k1(self):
+        self._run(causal=True, spatial_mode="reflect", temporal_mode="replicate", k=1)
+
+
+# ---------------------------------------------------------------------------
+# 2. Vocoder 1D convs (reference vocoder.py: conv_pre / ConvTranspose1d
+#    upsample stages / kaiser low-pass depthwise filters)
+# ---------------------------------------------------------------------------
+
+
+class TestConv1dOracle:
+    def test_conv1d_stride_pad_dilation(self):
+        from ltx2_tpu.models.audio_vae.vocoder import conv1d
+
+        for stride, pad, dil in [(1, 3, 1), (2, 2, 1), (1, 7, 3), (1, 0, 1)]:
+            x = torch.randn(2, 6, 41)
+            w = torch.randn(9, 6, 7) * 0.2
+            b = torch.randn(9) * 0.1
+            want = F.conv1d(x, w, b, stride=stride, padding=pad, dilation=dil)
+            got = conv1d(
+                {"weight": t2j(w), "bias": t2j(b)}, t2j(x),
+                stride=stride, padding=pad, dilation=dil,
+            )
+            assert_close(got, want, msg=f"conv1d s={stride} p={pad} d={dil}")
+
+    def test_conv_transpose1d(self):
+        from ltx2_tpu.models.audio_vae.vocoder import conv_transpose1d
+
+        # BigVGAN-v2 upsample stages use rates [6,5,2,2,2] with k = 2*rate
+        # and padding = (k - rate) // 2 (vocoder.py:697-717).
+        for stride, k in [(6, 12), (5, 10), (2, 4), (3, 7)]:
+            pad = (k - stride) // 2
+            x = torch.randn(2, 8, 23)
+            w = torch.randn(8, 5, k) * 0.2  # torch layout (in, out, k)
+            b = torch.randn(5) * 0.1
+            want = F.conv_transpose1d(x, w, b, stride=stride, padding=pad)
+            got = conv_transpose1d(
+                {"weight": t2j(w), "bias": t2j(b)}, t2j(x), stride=stride, padding=pad
+            )
+            assert_close(got, want, msg=f"conv_transpose1d s={stride} k={k} p={pad}")
+
+    def test_depthwise_lowpass(self):
+        from ltx2_tpu.models.audio_vae.vocoder import _depthwise_conv1d
+
+        # LowPassFilter1d: one shared (1,1,K) kaiser filter applied depthwise
+        c, k = 6, 9
+        x = torch.randn(2, c, 37)
+        filt = torch.randn(1, 1, k)
+        w = filt.expand(c, 1, k)
+        for stride in (1, 2):
+            want = F.conv1d(x, w, stride=stride, groups=c)
+            got = _depthwise_conv1d(t2j(x), t2j(filt), stride=stride)
+            assert_close(got, want, msg=f"depthwise s={stride}")
+
+    def test_depthwise_transpose_upsample(self):
+        from ltx2_tpu.models.audio_vae.vocoder import _depthwise_conv_transpose1d
+
+        # UpSample1d: depthwise transposed conv, stride=ratio, full k-1 pad
+        c, k, stride = 4, 12, 2
+        x = torch.randn(2, c, 19)
+        filt = torch.randn(1, 1, k)
+        w = filt.expand(c, 1, k)
+        want = F.conv_transpose1d(x, w, stride=stride, padding=0, groups=c)
+        got = _depthwise_conv_transpose1d(t2j(x), t2j(filt), stride=stride)
+        # mine pads (k-1) symmetric => equals torch's padding=k-1... torch
+        # conv_transpose1d output length = (T-1)*s - 2*pad + k. Mine keeps
+        # full length (pad=0 in torch terms); compare accordingly.
+        assert_close(got, want, msg="depthwise transpose")
+
+
+# ---------------------------------------------------------------------------
+# 3. MelSTFT vs torch.stft (reference _STFTFn vocoder.py:460-514: conv1d
+#    with a hann-windowed DFT forward_basis, causal left pad win-hop)
+# ---------------------------------------------------------------------------
+
+
+def make_forward_basis(filter_length: int, win_length: int) -> np.ndarray:
+    """The standard torch-stft (tacotron) forward basis the checkpoint holds:
+    real rows then imag rows of the DFT matrix, hann-windowed."""
+    fourier = np.fft.fft(np.eye(filter_length))
+    cutoff = filter_length // 2 + 1
+    basis = np.vstack(
+        [np.real(fourier[:cutoff]), np.imag(fourier[:cutoff])]
+    ).astype(np.float32)
+    window = torch.hann_window(win_length, periodic=True).numpy()
+    return (basis * window)[:, None, :]  # (2*cutoff, 1, filter_length)
+
+
+class TestSTFTOracle:
+    def test_magnitude_phase_vs_torch_stft(self):
+        from ltx2_tpu.models.audio_vae.vocoder import (
+            MelSTFTConfig,
+            stft_magnitude_phase,
+        )
+
+        n_fft, hop = 64, 16
+        cfg = MelSTFTConfig(filter_length=n_fft, hop_length=hop, win_length=n_fft)
+        basis = make_forward_basis(n_fft, n_fft)
+
+        y = torch.randn(3, 400)
+        mag, phase = stft_magnitude_phase(
+            {"forward_basis": jnp.asarray(basis)}, cfg, t2j(y)
+        )
+
+        # Oracle: torch.stft on the causally left-padded signal, center=False
+        y_pad = F.pad(y, (n_fft - hop, 0))
+        spec = torch.stft(
+            y_pad, n_fft=n_fft, hop_length=hop, win_length=n_fft,
+            window=torch.hann_window(n_fft, periodic=True),
+            center=False, return_complex=True,
+        )
+        assert_close(mag, spec.abs(), rtol=1e-4, atol=1e-4, msg="stft magnitude")
+        # phase is wrap-sensitive: compare cos/sin instead of raw angle.
+        # note torch.stft convention: imag = -sin DFT rows — same fft() basis.
+        assert_close(jnp.cos(phase), torch.cos(spec.angle()), atol=2e-3, msg="stft cos(phase)")
+        assert_close(jnp.sin(phase), torch.sin(spec.angle()), atol=2e-3, msg="stft sin(phase)")
+
+    def test_log_mel_and_energy(self):
+        from ltx2_tpu.models.audio_vae.vocoder import MelSTFTConfig, mel_spectrogram
+
+        n_fft, hop, n_mel = 64, 16, 10
+        cfg = MelSTFTConfig(
+            filter_length=n_fft, hop_length=hop, win_length=n_fft, n_mel_channels=n_mel
+        )
+        basis = make_forward_basis(n_fft, n_fft)
+        mel_basis = torch.rand(n_mel, n_fft // 2 + 1)
+
+        y = torch.randn(2, 320)
+        log_mel, mag, _, energy = mel_spectrogram(
+            {
+                "stft_fn": {"forward_basis": jnp.asarray(basis)},
+                "mel_basis": t2j(mel_basis),
+            },
+            cfg,
+            t2j(y),
+        )
+
+        y_pad = F.pad(y, (n_fft - hop, 0))
+        spec = torch.stft(
+            y_pad, n_fft=n_fft, hop_length=hop, win_length=n_fft,
+            window=torch.hann_window(n_fft, periodic=True),
+            center=False, return_complex=True,
+        ).abs()
+        want_mel = torch.log(torch.clamp(torch.einsum("mf,bft->bmt", mel_basis, spec), min=1e-5))
+        want_energy = torch.sqrt((spec**2).sum(dim=1))
+        assert_close(log_mel, want_mel, rtol=1e-4, atol=1e-4, msg="log mel")
+        assert_close(energy, want_energy, rtol=1e-4, atol=1e-4, msg="energy")
+
+
+# ---------------------------------------------------------------------------
+# 4. Gemma-3 block: GQA + (1+w) RMSNorm + dual RoPE + sliding masks
+#    (reference gemma3.py:58-293) — oracle is a from-scratch torch decoder.
+# ---------------------------------------------------------------------------
+
+
+def torch_gemma_rms(x, w, eps=1e-6):
+    return x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + eps) * (1.0 + w)
+
+
+def torch_gemma_rope(positions, head_dim, base, scaling):
+    inv = 1.0 / (base ** (torch.arange(0, head_dim, 2, dtype=torch.float32) / head_dim))
+    pos = positions.to(torch.float32) / scaling
+    freqs = pos[:, None] * inv[None, :]
+    return torch.cos(freqs), torch.sin(freqs)
+
+
+def torch_gemma_layer(p, cfg, x, mask_bool, cos, sin):
+    """One Gemma-3 decoder layer in torch (gemma3.py:142-293 semantics)."""
+    h_, kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    b, s, _ = x.shape
+
+    def lin(name, v):
+        return v @ p[name].T
+
+    res = x
+    h = torch_gemma_rms(x, p["input_layernorm"], eps)
+    q = lin("q_proj", h).view(b, s, h_, d)
+    k = lin("k_proj", h).view(b, s, kv, d)
+    v = lin("v_proj", h).view(b, s, kv, d)
+    q = torch_gemma_rms(q, p["q_norm"], eps)
+    k = torch_gemma_rms(k, p["k_norm"], eps)
+    q, k, v = (t.transpose(1, 2) for t in (q, k, v))
+
+    def rot(t):
+        t1, t2 = t.chunk(2, dim=-1)
+        return torch.cat([t1 * cos - t2 * sin, t2 * cos + t1 * sin], dim=-1)
+
+    q, k = rot(q), rot(k)
+    k = k.repeat_interleave(h_ // kv, dim=1)
+    v = v.repeat_interleave(h_ // kv, dim=1)
+    attn = F.scaled_dot_product_attention(
+        q, k, v, attn_mask=mask_bool, scale=d**-0.5
+    )
+    attn = attn.transpose(1, 2).reshape(b, s, h_ * d)
+    h = lin("o_proj", attn)
+    h = torch_gemma_rms(h, p["post_attention_layernorm"], eps)
+    x = res + h
+
+    res = x
+    h = torch_gemma_rms(x, p["pre_feedforward_layernorm"], eps)
+    h = lin("down_proj", F.silu(lin("gate_proj", h)) * lin("up_proj", h))
+    h = torch_gemma_rms(h, p["post_feedforward_layernorm"], eps)
+    return res + h
+
+
+def _unstack_layer(params, i):
+    """Pull layer i out of the stacked (L, ...) param tree into torch."""
+    lp = params["layers"]
+    out = {}
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        out[name] = torch.from_numpy(j2n(lp["self_attn"][name]["weight"][i]).copy())
+    for name in ("q_norm", "k_norm"):
+        out[name] = torch.from_numpy(j2n(lp["self_attn"][name]["weight"][i]).copy())
+    for name in ("gate_proj", "up_proj", "down_proj"):
+        out[name] = torch.from_numpy(j2n(lp["mlp"][name]["weight"][i]).copy())
+    for name in (
+        "input_layernorm", "post_attention_layernorm",
+        "pre_feedforward_layernorm", "post_feedforward_layernorm",
+    ):
+        out[name] = torch.from_numpy(j2n(lp[name]["weight"][i]).copy())
+    return out
+
+
+class TestGemmaOracle:
+    def test_full_model_vs_torch(self):
+        """Tiny 6-layer Gemma (5 sliding + 1 full) with right-padding mask:
+        all 7 hidden states must agree with the torch oracle."""
+        import jax
+
+        from ltx2_tpu.models.text_encoder.gemma3 import (
+            Gemma3Config,
+            gemma3_apply,
+            init_gemma3,
+        )
+
+        cfg = Gemma3Config.tiny()
+        params = init_gemma3(jax.random.PRNGKey(3), cfg)
+        # non-trivial norm weights (init is zeros -> (1+w)=1 hides bugs)
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.1 if x.ndim <= 2 and x.shape[-1] in (cfg.hidden_size, cfg.head_dim) else x,
+            params,
+        )
+
+        b, s, valid = 2, 12, 9
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, cfg.vocab_size, size=(b, s))
+        attention_mask = np.zeros((b, s), np.int32)
+        attention_mask[:, :valid] = 1  # right padding: every query row keeps a valid key
+
+        _, all_hidden = gemma3_apply(
+            params, cfg, jnp.asarray(ids), jnp.asarray(attention_mask)
+        )
+
+        # ---- torch oracle ----
+        embed = torch.from_numpy(j2n(params["embed_tokens"]["weight"]).copy())
+        x = embed[torch.from_numpy(ids)] * math.sqrt(cfg.hidden_size)
+
+        positions = torch.arange(s)
+        cos_s, sin_s = torch_gemma_rope(
+            positions, cfg.head_dim, cfg.sliding_rope_theta, cfg.sliding_rope_scaling_factor
+        )
+        cos_f, sin_f = torch_gemma_rope(
+            positions, cfg.head_dim, cfg.full_rope_theta, cfg.full_rope_scaling_factor
+        )
+
+        row = torch.arange(s)[:, None]
+        col = torch.arange(s)[None, :]
+        causal = col <= row
+        pad = torch.from_numpy(attention_mask).bool()[:, None, None, :]
+        full_mask = causal[None, None] & pad
+        sliding_mask = full_mask & ((row - col) < cfg.sliding_window)[None, None]
+
+        states = []
+        for i, ltype in enumerate(cfg.layer_types):
+            states.append(x.clone())
+            lp = _unstack_layer(params, i)
+            if ltype == "full_attention":
+                x = torch_gemma_layer(lp, cfg, x, full_mask, cos_f[None, None], sin_f[None, None])
+            else:
+                x = torch_gemma_layer(lp, cfg, x, sliding_mask, cos_s[None, None], sin_s[None, None])
+        final = torch_gemma_rms(
+            x, torch.from_numpy(j2n(params["norm"]["weight"]).copy()), cfg.rms_norm_eps
+        )
+        states.append(final)
+
+        assert all_hidden.shape[0] == cfg.num_hidden_layers + 1
+        for i, want in enumerate(states):
+            assert_close(
+                all_hidden[i], want, rtol=5e-4, atol=5e-5, msg=f"hidden state {i}"
+            )
+
+    def test_sliding_window_differs_from_full(self):
+        """The sliding mask must actually bind: with window < seq, a sliding
+        layer and a full layer over the same weights disagree."""
+        import jax
+
+        from ltx2_tpu.models.text_encoder.gemma3 import (
+            Gemma3Config,
+            gemma3_apply,
+            init_gemma3,
+        )
+
+        base = dict(
+            vocab_size=64, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=1, num_attention_heads=2,
+            num_key_value_heads=1, head_dim=8, sliding_window=3,
+        )
+        cfg_slide = Gemma3Config(**base, layer_types=("sliding_attention",))
+        cfg_full = Gemma3Config(**base, layer_types=("full_attention",))
+        params = init_gemma3(jax.random.PRNGKey(0), cfg_slide)
+        ids = jnp.asarray(np.arange(10)[None] % 64)
+        mask = jnp.ones((1, 10), jnp.int32)
+        out_s, _ = gemma3_apply(params, cfg_slide, ids, mask)
+        out_f, _ = gemma3_apply(params, cfg_full, ids, mask)
+        assert not np.allclose(j2n(out_s), j2n(out_f))
+
+
+# ---------------------------------------------------------------------------
+# 5. 3D RoPE: SPLIT + INTERLEAVED, f64 grid, midpoint positions, front pad
+#    (reference rope.py:92-418) — torch float64 oracle of the full pipeline.
+# ---------------------------------------------------------------------------
+
+
+def torch_rope_pipeline(bounds, dim, heads, max_pos, theta, rope_type):
+    """Reference rope pipeline in torch: freq grid (f64) -> midpoint
+    fractional positions -> per-token freqs -> cos/sin with FRONT identity
+    padding -> (SPLIT) head reshape (rope.py:147-418)."""
+    n_dims = bounds.shape[1]
+    n_elem = 2 * n_dims
+    num = dim // n_elem
+    lin = torch.linspace(0.0, 1.0, num, dtype=torch.float64)
+    indices = (theta**lin * math.pi / 2).to(torch.float32)
+
+    mid = (bounds[..., 0] + bounds[..., 1]).to(torch.float32) / 2.0  # (B, n_dims, T)
+    frac = mid / torch.tensor(max_pos, dtype=torch.float32)[None, :, None]
+    scaled = frac.permute(0, 2, 1) * 2 - 1  # (B, T, n_dims)
+    freqs = indices[None, None, None, :] * scaled[..., None]  # (B,T,n_dims,n_freq)
+    freqs = freqs.permute(0, 1, 3, 2).reshape(bounds.shape[0], bounds.shape[2], -1)
+
+    if rope_type == "split":
+        cos, sin = torch.cos(freqs), torch.sin(freqs)
+        pad = dim // 2 - freqs.shape[-1]
+        if pad:
+            b, t, _ = cos.shape
+            cos = torch.cat([torch.ones(b, t, pad), cos], dim=-1)
+            sin = torch.cat([torch.zeros(b, t, pad), sin], dim=-1)
+        b, t, _ = cos.shape
+        cos = cos.view(b, t, heads, -1).permute(0, 2, 1, 3)
+        sin = sin.view(b, t, heads, -1).permute(0, 2, 1, 3)
+        return cos, sin
+    cos = torch.cos(freqs).repeat_interleave(2, dim=-1)
+    sin = torch.sin(freqs).repeat_interleave(2, dim=-1)
+    pad = dim % n_elem
+    if pad:
+        b, t, _ = cos.shape
+        cos = torch.cat([torch.ones(b, t, pad), cos], dim=-1)
+        sin = torch.cat([torch.zeros(b, t, pad), sin], dim=-1)
+    return cos, sin
+
+
+def torch_apply_split(x, cos, sin):
+    d = x.shape[-1]
+    xs = x.reshape(*x.shape[:-1], 2, d // 2)
+    first, second = xs[..., 0, :], xs[..., 1, :]
+    return torch.stack(
+        [first * cos - second * sin, second * cos + first * sin], dim=-2
+    ).reshape(x.shape)
+
+
+def torch_apply_interleaved(x, cos, sin):
+    shape = x.shape
+    pairs = x.reshape(*shape[:-1], shape[-1] // 2, 2)
+    rotated = torch.stack([-pairs[..., 1], pairs[..., 0]], dim=-1).reshape(shape)
+    return x * cos + rotated * sin
+
+
+class TestRoPEOracle:
+    def _bounds(self, b=2, t=24, n_dims=3):
+        rng = np.random.default_rng(1)
+        start = rng.integers(0, 100, size=(b, n_dims, t))
+        return torch.from_numpy(np.stack([start, start + rng.integers(1, 8, start.shape)], axis=-1))
+
+    def test_split_full_pipeline(self):
+        """DiT video RoPE: SPLIT, midpoint bounds, f64 grid, head reshape,
+        front identity padding, applied to (B, H, T, D_head)."""
+        from ltx2_tpu.ops.rope import (
+            LTXRopeType,
+            apply_rotary_emb,
+            precompute_freqs_cis,
+        )
+
+        dim, heads = 96, 4  # pad = 48 - 3*... ensure front-pad nonzero
+        max_pos = [20, 2048, 2048]
+        bounds = self._bounds()
+        cos_t, sin_t = torch_rope_pipeline(
+            bounds, dim, heads, max_pos, 10000.0, "split"
+        )
+        assert cos_t.shape == (2, heads, 24, dim // 2 // heads)
+
+        cos_j, sin_j = precompute_freqs_cis(
+            t2j(bounds), dim, theta=10000.0, max_pos=max_pos,
+            use_middle_indices_grid=True, num_attention_heads=heads,
+            rope_type=LTXRopeType.SPLIT, use_double_precision=True,
+        )
+        assert_close(cos_j, cos_t, msg="split cos")
+        assert_close(sin_j, sin_t, msg="split sin")
+
+        x = torch.randn(2, heads, 24, dim // heads)
+        want = torch_apply_split(x, cos_t, sin_t)
+        got = apply_rotary_emb(t2j(x), (cos_j, sin_j), LTXRopeType.SPLIT)
+        assert_close(got, want, msg="split apply")
+
+    def test_split_flat_input_reshape(self):
+        """(B, T, H*D) inputs are reshaped through heads and back
+        (rope.py:108-143)."""
+        from ltx2_tpu.ops.rope import (
+            LTXRopeType,
+            apply_rotary_emb,
+            precompute_freqs_cis,
+        )
+
+        dim, heads = 96, 4
+        bounds = self._bounds()
+        cos_t, sin_t = torch_rope_pipeline(bounds, dim, heads, [20, 2048, 2048], 10000.0, "split")
+        cos_j, sin_j = precompute_freqs_cis(
+            t2j(bounds), dim, theta=10000.0, max_pos=[20, 2048, 2048],
+            use_middle_indices_grid=True, num_attention_heads=heads,
+            rope_type=LTXRopeType.SPLIT, use_double_precision=True,
+        )
+        x_flat = torch.randn(2, 24, dim)
+        x_heads = x_flat.view(2, 24, heads, dim // heads).permute(0, 2, 1, 3)
+        want = torch_apply_split(x_heads, cos_t, sin_t)
+        want = want.permute(0, 2, 1, 3).reshape(2, 24, dim)
+        got = apply_rotary_emb(t2j(x_flat), (cos_j, sin_j), LTXRopeType.SPLIT)
+        assert_close(got, want, msg="split flat apply")
+
+    def test_interleaved_full_pipeline(self):
+        from ltx2_tpu.ops.rope import (
+            LTXRopeType,
+            apply_rotary_emb,
+            precompute_freqs_cis,
+        )
+
+        dim = 40  # n_elem=6 -> pad = 40 % 6 = 4 nonzero front pad
+        bounds = self._bounds()
+        cos_t, sin_t = torch_rope_pipeline(bounds, dim, 1, [20, 2048, 2048], 10000.0, "interleaved")
+        # f64 grid in both (the f32-grid variant differs by up to ~2e-3 after
+        # cos() at large positions — a reference quirk, V2.3 requires f64)
+        cos_j, sin_j = precompute_freqs_cis(
+            t2j(bounds), dim, theta=10000.0, max_pos=[20, 2048, 2048],
+            use_middle_indices_grid=True,
+            rope_type=LTXRopeType.INTERLEAVED, use_double_precision=True,
+        )
+        assert_close(cos_j, cos_t, rtol=2e-4, msg="interleaved cos")
+        assert_close(sin_j, sin_t, rtol=2e-4, atol=2e-5, msg="interleaved sin")
+
+        x = torch.randn(2, 24, dim)
+        want = torch_apply_interleaved(x, cos_t, sin_t)
+        got = apply_rotary_emb(t2j(x), (cos_j, sin_j), LTXRopeType.INTERLEAVED)
+        assert_close(got, want, rtol=2e-4, atol=2e-5, msg="interleaved apply")
+
+    def test_f64_grid_matches_reference_formula(self):
+        """The cached f64 grid bit-matches np.power over f64 linspace
+        (reference generate_freq_grid_np, rope.py:147-178)."""
+        from ltx2_tpu.ops.rope import generate_freq_grid_np
+
+        theta, maxpos, dim = 10000.0, 3, 4096
+        got = j2n(generate_freq_grid_np(theta, maxpos, dim))
+        pow_indices = np.power(
+            theta, np.linspace(np.log(1) / np.log(theta), np.log(theta) / np.log(theta),
+                               dim // (2 * maxpos), dtype=np.float64),
+        )
+        want = (pow_indices * math.pi / 2).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# 6. patchify / unpatchify channel packing vs einops-on-torch
+#    (reference ops.py:47-123: "b c (f p) (h q) (w r) -> b (c p r q) f h w")
+# ---------------------------------------------------------------------------
+
+
+class TestPatchifyOracle:
+    def test_patchify_5d_einops(self):
+        from einops import rearrange
+
+        from ltx2_tpu.models.video_vae.ops import patchify
+
+        x = torch.randn(2, 3, 4, 8, 12)
+        want = rearrange(x, "b c (f p) (h q) (w r) -> b (c p r q) f h w", p=2, q=4, r=4)
+        got = patchify(t2j(x), patch_size_hw=4, patch_size_t=2)
+        assert_close(got, want, msg="patchify 5d")
+
+    def test_unpatchify_5d_einops(self):
+        from einops import rearrange
+
+        from ltx2_tpu.models.video_vae.ops import unpatchify
+
+        x = torch.randn(2, 96, 3, 2, 3)
+        want = rearrange(x, "b (c p r q) f h w -> b c (f p) (h q) (w r)", p=2, q=4, r=4)
+        got = unpatchify(t2j(x), patch_size_hw=4, patch_size_t=2)
+        assert_close(got, want, msg="unpatchify 5d")
+
+    def test_patchify_4d_einops(self):
+        from einops import rearrange
+
+        from ltx2_tpu.models.video_vae.ops import patchify, unpatchify
+
+        x = torch.randn(2, 3, 8, 12)
+        want = rearrange(x, "b c (h q) (w r) -> b (c r q) h w", q=4, r=4)
+        got = patchify(t2j(x), patch_size_hw=4)
+        assert_close(got, want, msg="patchify 4d")
+
+        back = unpatchify(got, patch_size_hw=4)
+        assert_close(back, x, msg="unpatchify 4d roundtrip")
+
+    def test_pixel_shuffle_3d_vs_torch(self):
+        from ltx2_tpu.models.video_vae.ops import pixel_shuffle_3d, pixel_unshuffle_3d
+
+        x = torch.randn(2, 12, 3, 4, 5)
+        # reference ops.py:215-240 applies torch pixel_shuffle per-frame
+        want = torch.stack(
+            [F.pixel_shuffle(x[:, :, f], 2) for f in range(3)], dim=2
+        )
+        got = pixel_shuffle_3d(t2j(x), 2)
+        assert_close(got, want, msg="pixel_shuffle_3d")
+
+        y = torch.randn(2, 3, 3, 8, 10)
+        want2 = torch.stack(
+            [F.pixel_unshuffle(y[:, :, f], 2) for f in range(3)], dim=2
+        )
+        got2 = pixel_unshuffle_3d(t2j(y), 2)
+        assert_close(got2, want2, msg="pixel_unshuffle_3d")
+
+    def test_video_patchifier_vs_einops(self):
+        from einops import rearrange
+
+        from ltx2_tpu.components.patchifiers import VideoLatentPatchifier
+        from ltx2_tpu.types import VideoLatentShape
+
+        x = torch.randn(2, 6, 4, 6, 8)
+        pat = VideoLatentPatchifier(patch_size=2)
+        got = pat.patchify(t2j(x))
+        # reference patchifiers.py:74-100 packing
+        want = rearrange(
+            x, "b c (f p1) (h p2) (w p3) -> b (f h w) (c p1 p2 p3)", p1=1, p2=2, p3=2
+        )
+        assert_close(got, want, msg="video patchifier")
+        shape = VideoLatentShape(batch=2, channels=6, frames=4, height=6, width=8)
+        back = pat.unpatchify(got, shape)
+        assert_close(back, x, msg="video patchifier roundtrip")
+
+
+# ---------------------------------------------------------------------------
+# 7. Audio latent denormalize: golden-statistics semantics
+#    (reference decoder.py:338-362: patchify -> x*std+mean -> unpatchify,
+#     packing (c f) along the stats axis)
+# ---------------------------------------------------------------------------
+
+
+class TestAudioDenormalizeOracle:
+    def test_golden_statistics(self):
+        from ltx2_tpu.models.audio_vae.decoder import (
+            denormalize_audio_latent,
+            normalize_audio_latent,
+        )
+
+        b, c, t, f = 2, 3, 5, 4
+        x = torch.randn(b, c, t, f)
+        std = torch.rand(c * f) + 0.5
+        mean = torch.randn(c * f)
+
+        stats = {"std_of_means": t2j(std), "mean_of_means": t2j(mean)}
+        got = denormalize_audio_latent(t2j(x), stats)
+
+        # oracle: stats index for latent channel ci, mel bin fi is ci*F + fi
+        want = x * std.view(c, f)[None, :, None, :] + mean.view(c, f)[None, :, None, :]
+        assert_close(got, want, msg="audio denormalize")
+
+        # normalize is the exact inverse
+        back = normalize_audio_latent(got, stats)
+        assert_close(back, x, msg="audio normalize inverse")
+
+
+# ---------------------------------------------------------------------------
+# 8. Core diffusion math: to_velocity / to_denoised / Euler step vs the
+#    rectified-flow formulas (reference core_utils.py:34-66,
+#    diffusion_steps.py:36-67) in torch fp64.
+# ---------------------------------------------------------------------------
+
+
+class TestDiffusionMathOracle:
+    def test_velocity_denoised_euler(self):
+        from ltx2_tpu.components.diffusion_steps import EulerDiffusionStep
+        from ltx2_tpu.core import to_denoised, to_velocity
+
+        x = torch.randn(2, 7, 5, dtype=torch.float64)
+        x0 = torch.randn(2, 7, 5, dtype=torch.float64)
+        sigma, sigma_next = 0.7, 0.425
+
+        # rectified flow: x_t = (1-t) x0 + t eps; velocity v = (x - x0)/t
+        v_want = (x - x0) / sigma
+        v = to_velocity(t2j(x.float()), sigma, t2j(x0.float()))
+        assert_close(v, v_want.float(), rtol=1e-5, msg="to_velocity")
+
+        den_want = x - sigma * v_want
+        den = to_denoised(t2j(x.float()), t2j(v_want.float()), sigma)
+        assert_close(den, den_want.float(), rtol=1e-5, atol=1e-5, msg="to_denoised")
+
+        # Euler: x += v * (sigma_next - sigma), computed from denoised
+        step = EulerDiffusionStep()
+        got = step.step(t2j(x.float()), t2j(den_want.float()), sigma, sigma_next)
+        want = x + (x - den_want) / sigma * (sigma_next - sigma)
+        assert_close(got, want.float(), rtol=1e-5, atol=1e-5, msg="euler step")
