@@ -260,6 +260,10 @@ class VocoderConfig:
     activation: str = "snakebeta"
     apply_final_activation: bool = True
     use_tanh_at_final: bool = True
+    # conv_pre input width; None = the main vocoder's mel stacking
+    # (stereo*64). The BWE generator consumes the re-analysis mel instead
+    # (n_ch * n_mel_channels) and sets this explicitly.
+    in_channels_override: Optional[int] = None
 
     @property
     def is_amp(self) -> bool:
@@ -271,6 +275,8 @@ class VocoderConfig:
 
     @property
     def in_channels(self) -> int:
+        if self.in_channels_override is not None:
+            return self.in_channels_override
         return 128 if self.stereo else 64
 
     @property
@@ -559,6 +565,51 @@ def load_vocoder_params(path: str, cfg: VocoderConfig) -> Optional[Params]:
         return jnp.asarray(np.asarray(f.get(k), np.float32)) if k in f else None
 
     return _load_vocoder_inner(f, get, "vocoder", cfg)
+
+
+def default_forward_basis(filter_length: int, win_length: int) -> jnp.ndarray:
+    """The standard torch-stft DFT forward basis the checkpoint holds
+    (real rows then imag rows of fft(I), hann-windowed) — used when no
+    checkpoint basis is available (placeholder/tests)."""
+    fourier = np.fft.fft(np.eye(filter_length))
+    cutoff = filter_length // 2 + 1
+    basis = np.vstack([np.real(fourier[:cutoff]), np.imag(fourier[:cutoff])])
+    n = np.arange(win_length)
+    hann = 0.5 - 0.5 * np.cos(2 * math.pi * n / win_length)  # periodic hann
+    return jnp.asarray((basis * hann)[:, None, :].astype(np.float32))
+
+
+def init_vocoder_with_bwe(key, cfg: VocoderWithBWEConfig, dtype=jnp.float32) -> Params:
+    """Random init of the full BWE chain (vocoder + mel re-analysis + BWE
+    generator) for tests/placeholder mode. The BWE generator input width is
+    n_ch * n_mel of the re-analysis (NOT the main vocoder's mel stacking)."""
+    k1, k2 = jax.random.split(key)
+    n_ch = 2 if cfg.vocoder.stereo else 1
+    bwe_cfg = cfg.bwe
+    if bwe_cfg.in_channels_override is None:
+        from dataclasses import replace
+
+        bwe_cfg = replace(
+            bwe_cfg, in_channels_override=n_ch * cfg.mel_stft.n_mel_channels
+        )
+    n_freqs = cfg.mel_stft.filter_length // 2 + 1
+    mel_basis = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            0, 1.0 / n_freqs, size=(cfg.mel_stft.n_mel_channels, n_freqs)
+        ).astype(np.float32)
+    )
+    return {
+        "vocoder": init_vocoder(k1, cfg.vocoder, dtype),
+        "bwe_generator": init_vocoder(k2, bwe_cfg, dtype),
+        "mel_stft": {
+            "stft_fn": {
+                "forward_basis": default_forward_basis(
+                    cfg.mel_stft.filter_length, cfg.mel_stft.win_length
+                )
+            },
+            "mel_basis": mel_basis,
+        },
+    }
 
 
 def load_vocoder_with_bwe_params(path: str, cfg: VocoderWithBWEConfig) -> Optional[Params]:

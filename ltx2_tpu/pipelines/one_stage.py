@@ -169,11 +169,20 @@ class OneStagePipeline:
     def _decode_audio(self, audio_latent: jnp.ndarray) -> jnp.ndarray:
         if self.audio_decoder_params is None or self.vocoder_params is None:
             raise ValueError("Audio decoder and vocoder required for audio decoding")
-        from ltx2_tpu.models.audio_vae import audio_decoder_apply, vocoder_apply
+        from ltx2_tpu.models.audio_vae import (
+            VocoderWithBWEConfig,
+            audio_decoder_apply,
+            vocoder_apply,
+            vocoder_with_bwe_apply,
+        )
 
         mel = jax.jit(
             lambda p, z: audio_decoder_apply(p, self.audio_decoder_cfg, z)
         )(self.audio_decoder_params, audio_latent)
+        # LTX-2.3 checkpoints carry the BWE chain (24->48 kHz); dispatch on
+        # the config type the ledger loaded (generate.py:155-221 semantics).
+        if isinstance(self.vocoder_cfg, VocoderWithBWEConfig):
+            return vocoder_with_bwe_apply(self.vocoder_params, self.vocoder_cfg, mel)
         return vocoder_apply(self.vocoder_params, self.vocoder_cfg, mel)
 
     # -- main --------------------------------------------------------------

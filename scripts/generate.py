@@ -317,11 +317,37 @@ def build_models(args):
         dec_params = jax.jit(lambda k: init_video_decoder(k, dec_cfg))(jax.random.PRNGKey(1))
         enc_cfg = VideoEncoderConfig()
         enc_params = None  # encoder only needed for image conditioning
-        return dict(
+        models = dict(
             transformer_params=dit_params, transformer_cfg=dit_cfg,
             video_decoder_params=dec_params, video_decoder_cfg=dec_cfg,
             video_encoder_params=enc_params, video_encoder_cfg=enc_cfg,
-        ), None
+        )
+        if include_audio:
+            from ltx2_tpu.models.audio_vae import (
+                AudioDecoderConfig,
+                VocoderConfig,
+                init_audio_decoder,
+                init_vocoder,
+            )
+
+            # Shapes must chain: latent (B, 8, T, 16) -> log-mel
+            # (B, 2, T*4, 64) -> vocoder in_channels 2*64 = 128.
+            a_cfg = AudioDecoderConfig(ch=8, num_res_blocks=1)
+            a_params = jax.jit(lambda k: init_audio_decoder(k, a_cfg))(jax.random.PRNGKey(2))
+            voc_cfg = VocoderConfig(
+                resblock_kernel_sizes=(3,),
+                upsample_rates=(2, 2),
+                upsample_kernel_sizes=(4, 4),
+                resblock_dilation_sizes=((1, 3),),
+                upsample_initial_channel=16,
+                resblock="AMP1",
+            )
+            voc_params = jax.jit(lambda k: init_vocoder(k, voc_cfg))(jax.random.PRNGKey(3))
+            models.update(
+                audio_decoder_params=a_params, audio_decoder_cfg=a_cfg,
+                vocoder_params=voc_params, vocoder_cfg=voc_cfg,
+            )
+        return models, None
 
     from ltx2_tpu.utils.model_ledger import ModelLedger
 

@@ -130,3 +130,111 @@ class TestVocoder:
         filt = kaiser_sinc_filter1d(0.25, 0.3, 12)
         assert filt.shape == (1, 1, 12)
         np.testing.assert_allclose(filt.sum(), 1.0, atol=1e-5)
+
+
+class TestFP32IslandPolicy:
+    """The vocoder's forced-fp32 policy is load-bearing (reference
+    vocoder.py:596-612: bf16 through 108 sequential convs degrades spectral
+    metrics 40-90%). These tests (a) demonstrate the drift the policy
+    prevents and (b) assert the policy is actually enforced."""
+
+    def test_vocoder_forces_fp32_on_bf16_input(self):
+        """bf16 mel input must be promoted: output fp32 and equal to the
+        fp32-input run up to input-rounding only (no compounding drift)."""
+        params = jax.jit(lambda k: init_vocoder(k, TINY_AMP))(jax.random.PRNGKey(2))
+        mel = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 6, 64), jnp.float32)
+
+        fn = jax.jit(lambda p, m: vocoder_apply(p, TINY_AMP, m))
+        out32 = np.asarray(fn(params, mel))
+        out_b = fn(params, mel.astype(jnp.bfloat16))
+        assert out_b.dtype == jnp.float32
+        out_b = np.asarray(out_b)
+        # input rounding is ~0.4% relative; a bf16 *chain* would be 10-100x
+        denom = np.abs(out32).mean() + 1e-8
+        rel = np.abs(out_b - out32).mean() / denom
+        assert rel < 0.05, f"fp32 forcing broken: rel drift {rel:.4f}"
+
+    def test_bf16_chain_drift_rationale(self):
+        """A 48-deep conv chain in bf16 drifts orders of magnitude more than
+        fp32 vs a float64 torch oracle — the measured justification for the
+        fp32 islands."""
+        import torch
+        import torch.nn.functional as F
+
+        from ltx2_tpu.models.audio_vae.vocoder import conv1d
+
+        rng = np.random.default_rng(0)
+        c, k, depth = 8, 5, 48
+        x0 = rng.normal(size=(1, c, 64)).astype(np.float32)
+        weights = []
+        for _ in range(depth):
+            bound = 1.0 / np.sqrt(c * k)
+            weights.append(
+                (
+                    rng.uniform(-bound, bound, size=(c, c, k)).astype(np.float32),
+                    rng.uniform(-bound, bound, size=(c,)).astype(np.float32),
+                )
+            )
+
+        def jax_chain(x, dtype):
+            x = x.astype(dtype)
+            for w, b in weights:
+                p = {"weight": jnp.asarray(w).astype(dtype), "bias": jnp.asarray(b).astype(dtype)}
+                x = conv1d(p, x, padding=k // 2)
+                x = jnp.tanh(x).astype(dtype)  # bounded nonlinearity between convs
+            return x.astype(jnp.float32)
+
+        out32 = np.asarray(jax.jit(functools.partial(jax_chain, dtype=jnp.float32))(jnp.asarray(x0)))
+        outbf = np.asarray(jax.jit(functools.partial(jax_chain, dtype=jnp.bfloat16))(jnp.asarray(x0)))
+
+        xt = torch.from_numpy(x0).double()
+        for w, b in weights:
+            xt = torch.tanh(
+                F.conv1d(xt, torch.from_numpy(w).double(), torch.from_numpy(b).double(), padding=k // 2)
+            )
+        out64 = xt.numpy()
+
+        scale = np.abs(out64).mean() + 1e-12
+        err32 = np.abs(out32 - out64).mean() / scale
+        errbf = np.abs(outbf - out64).mean() / scale
+        assert err32 < 1e-4, f"fp32 chain should track f64: {err32:.2e}"
+        assert errbf > 20 * err32, (
+            f"bf16 drift ({errbf:.2e}) should dwarf fp32 ({err32:.2e}); "
+            "if not, the fp32-island policy may be unnecessary"
+        )
+
+    def test_bwe_chain_returns_input_dtype_fp32_internals(self):
+        """Full BWE chain (vocoder -> mel re-analysis -> BWE generator ->
+        residual + resampled skip) runs on a tiny random init, stays in
+        [-1, 1], and restores the caller dtype at the boundary."""
+        from ltx2_tpu.models.audio_vae.vocoder import (
+            MelSTFTConfig,
+            VocoderWithBWEConfig,
+            init_vocoder_with_bwe,
+            vocoder_with_bwe_apply,
+        )
+
+        cfg = VocoderWithBWEConfig(
+            vocoder=TINY_AMP,
+            bwe=VocoderConfig(
+                resblock="AMP1",
+                resblock_kernel_sizes=(3,),
+                upsample_rates=(2,),
+                upsample_kernel_sizes=(4,),
+                resblock_dilation_sizes=((1,),),
+                upsample_initial_channel=16,
+                apply_final_activation=False,
+            ),
+            mel_stft=MelSTFTConfig(
+                filter_length=8, hop_length=2, win_length=8, n_mel_channels=4
+            ),
+            input_sampling_rate=24000,
+            output_sampling_rate=48000,
+            hop_length=2,
+        )
+        params = init_vocoder_with_bwe(jax.random.PRNGKey(0), cfg)
+        mel = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 6, 64), jnp.bfloat16)
+        out = jax.jit(lambda p, m: vocoder_with_bwe_apply(p, cfg, m))(params, mel)
+        assert out.dtype == jnp.bfloat16  # cast back to caller dtype
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+        assert float(jnp.max(jnp.abs(out.astype(jnp.float32)))) <= 1.0 + 1e-3

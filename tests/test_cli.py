@@ -48,6 +48,13 @@ class TestCLISmoke:
     def test_text_to_video(self, tmp_path):
         _run(tmp_path, "--pipeline", "text-to-video", "--seed", "7")
 
+    def test_one_stage_audio(self, tmp_path):
+        """--audio in placeholder mode: the full audio chain (AV DiT branch
+        -> audio VAE decode -> vocoder) must produce a waveform file."""
+        _run(tmp_path, "--pipeline", "one-stage", "--audio")
+        wav = tmp_path / "out.wav"
+        assert wav.exists() and wav.stat().st_size > 44  # non-empty PCM
+
     def test_one_stage_bfloat16(self, tmp_path, monkeypatch):
         """--dtype bfloat16 must reach the denoise loop (policy: bf16
         weights/activations with fp32 islands). Guards the dead plumbing
