@@ -12,6 +12,14 @@ from ltx2_tpu.models.video_vae.encoder import (
     init_video_encoder,
     video_encoder_apply,
 )
+from ltx2_tpu.models.video_vae.full_vae import (
+    FullVideoDecoderConfig,
+    FullVideoEncoderConfig,
+    full_video_decoder_apply,
+    full_video_encoder_apply,
+    init_full_video_decoder,
+    init_full_video_encoder,
+)
 from ltx2_tpu.models.video_vae.ops import (
     normalize_latent,
     patchify,
@@ -49,6 +57,12 @@ __all__ = [
     "encode_video",
     "init_video_encoder",
     "video_encoder_apply",
+    "FullVideoDecoderConfig",
+    "FullVideoEncoderConfig",
+    "full_video_decoder_apply",
+    "full_video_encoder_apply",
+    "init_full_video_decoder",
+    "init_full_video_encoder",
     "normalize_latent",
     "patchify",
     "pixel_norm",

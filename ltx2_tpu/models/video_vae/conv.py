@@ -34,6 +34,7 @@ def conv3d_ndhwc(
     causal: bool = True,
     spatial_mode: str = "reflect",
     temporal_mode: str = "replicate",
+    stride: tuple = (1, 1, 1),
 ) -> jnp.ndarray:
     """3D conv over channels-last (B, T, H, W, C) with VAE padding rules.
 
@@ -43,10 +44,13 @@ def conv3d_ndhwc(
 
     temporal_mode: 'replicate' (VAE: causal front-replicate or symmetric
     replicate) or 'zeros' (upscalers: plain symmetric zero padding).
+    stride: (sT, sH, sW) — the full-VAE compress_* blocks use strided
+    causal convs (reference encoder.py:61-101); default is unstrided.
     """
     w = p["weight"]
     k = w.shape[2]
     pad = k // 2
+    s_t, s_h, s_w = stride
 
     if pad > 0:
         x = jnp.pad(
@@ -76,15 +80,15 @@ def conv3d_ndhwc(
     # tiling beats its 3D lowering ~1.5x at VAE shapes (measured 99 vs 66
     # TFLOP/s on v5e). Numerically identical modulo fp accumulation order.
     b, tp, hp, wp, c = x.shape
-    t_out = tp - (k - 1) if k > 1 else tp
+    t_out = (tp - (k - 1) - 1) // s_t + 1 if k > 1 else (tp - 1) // s_t + 1
     out = None
     for kt in range(k):
-        xs = jax.lax.slice_in_dim(x, kt, kt + t_out, axis=1)
+        xs = jax.lax.slice_in_dim(x, kt, kt + (t_out - 1) * s_t + 1, axis=1, stride=s_t)
         xs = xs.reshape(b * t_out, hp, wp, c)
         o = jax.lax.conv_general_dilated(
             xs,
             rhs[kt],
-            window_strides=(1, 1),
+            window_strides=(s_h, s_w),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=precision,

@@ -380,3 +380,148 @@ class TestFullVAEBlocks:
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 4, 4, 8))
         out = jax.jit(lambda p, x: unet_mid_block_3d_apply(p, cfg, x))(params, x)
         assert out.shape == x.shape
+
+
+class TestFullVAE:
+    """Config-driven non-simple VideoEncoder/VideoDecoder assembly
+    (reference encoder.py:135 / decoder.py:89), tiny configs."""
+
+    def _enc_cfg(self):
+        from ltx2_tpu.models.video_vae import FullVideoEncoderConfig
+
+        return FullVideoEncoderConfig(
+            out_channels=8,
+            patch_size=2,
+            blocks=(
+                ("res_x", 1),
+                ("compress_space_res", {"multiplier": 2}),
+                ("res_x", 1),
+                ("compress_all_res", {"multiplier": 2}),
+            ),
+        )
+
+    def _dec_cfg(self, **kw):
+        from ltx2_tpu.models.video_vae import FullVideoDecoderConfig
+
+        return FullVideoDecoderConfig(
+            in_channels=8,
+            patch_size=2,
+            blocks=(
+                ("res_x", {"num_layers": 1}),
+                ("compress_all", {"residual": True, "multiplier": 2}),
+                ("res_x", {"num_layers": 1}),
+            ),
+            **kw,
+        )
+
+    def test_encoder_shapes(self):
+        from ltx2_tpu.models.video_vae import (
+            full_video_encoder_apply,
+            init_full_video_encoder,
+        )
+
+        cfg = self._enc_cfg()
+        params = jax.jit(lambda k: init_full_video_encoder(k, cfg))(jax.random.PRNGKey(0))
+        video = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 9, 16, 16))
+        fn = jax.jit(lambda p, v: full_video_encoder_apply(p, cfg, v))
+        latent = fn(params, video)
+        # patchify /2, compress_space /2, compress_all /2 -> H/8;
+        # temporal: one compress_all -> (9 + 1 front-replicate) / 2 = 5
+        assert latent.shape == (1, 8, 5, 2, 2)
+        assert bool(jnp.all(jnp.isfinite(latent)))
+
+    def test_encoder_rejects_bad_frames(self):
+        from ltx2_tpu.models.video_vae import (
+            full_video_encoder_apply,
+            init_full_video_encoder,
+        )
+
+        cfg = self._enc_cfg()
+        params = init_full_video_encoder(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError, match="8\\*k"):
+            full_video_encoder_apply(params, cfg, jnp.zeros((1, 3, 8, 16, 16)))
+
+    def test_decoder_shapes(self):
+        from ltx2_tpu.models.video_vae import (
+            full_video_decoder_apply,
+            init_full_video_decoder,
+        )
+
+        cfg = self._dec_cfg()
+        params = jax.jit(lambda k: init_full_video_decoder(k, cfg))(jax.random.PRNGKey(0))
+        latent = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 3, 4, 4))
+        fn = jax.jit(lambda p, z: full_video_decoder_apply(p, cfg, z))
+        video = fn(params, latent)
+        # compress_all x2 both axes (T trims first frame: 3*2-1=5), patchify 2
+        assert video.shape == (1, 3, 5, 16, 16)
+        assert bool(jnp.all(jnp.isfinite(video)))
+
+    def test_decoder_channel_walk_matches_reference(self):
+        """initial_channels multiplies back through reversed blocks
+        (decoder.py:156-166)."""
+        cfg = self._dec_cfg()
+        # compress_all multiplier=2 -> conv_in out = 8 * 2 = 16
+        assert cfg.initial_channels == 16
+        names = [n for n, _, _, _ in cfg.plan]
+        assert names == ["res_x", "compress_all", "res_x"]  # reversed order
+        assert cfg.final_channels == 8
+
+    def test_decoder_timestep_conditioning(self):
+        from ltx2_tpu.models.video_vae import (
+            full_video_decoder_apply,
+            init_full_video_decoder,
+        )
+
+        cfg = self._dec_cfg(timestep_conditioning=True)
+        params = init_full_video_decoder(jax.random.PRNGKey(0), cfg)
+        latent = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 3, 4, 4))
+        # per-plan-block (B, 4*C) embeddings for res_x blocks
+        ts = []
+        for name, _, in_ch, _ in cfg.plan:
+            ts.append(
+                jax.random.normal(jax.random.PRNGKey(2), (2, 4 * in_ch)) * 0.1
+                if name == "res_x" else None
+            )
+        last = jax.random.normal(jax.random.PRNGKey(3), (2, 2 * cfg.final_channels)) * 0.1
+        out = full_video_decoder_apply(
+            params, cfg, latent,
+            timestep_embeddings=ts,
+            last_timestep_embedding=last,
+            noise_key=jax.random.PRNGKey(4),
+        )
+        assert out.shape == (2, 3, 5, 16, 16)
+        # conditioning must bind: different embedding -> different output
+        out2 = full_video_decoder_apply(
+            params, cfg, latent,
+            timestep_embeddings=[t * 2 if t is not None else None for t in ts],
+            last_timestep_embedding=last,
+            noise_key=jax.random.PRNGKey(4),
+        )
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    def test_strided_conv3d_matches_torch(self):
+        """The new stride path in conv3d_ndhwc vs F.conv3d (compress_* blocks)."""
+        import torch
+        import torch.nn.functional as F
+
+        from ltx2_tpu.models.video_vae.conv import conv3d_ndhwc, from_ndhwc, to_ndhwc
+
+        for stride in [(2, 1, 1), (1, 2, 2), (2, 2, 2)]:
+            x = torch.randn(1, 4, 7, 8, 8)
+            w = torch.randn(6, 4, 3, 3, 3) * 0.2
+            b = torch.randn(6) * 0.1
+            # causal replicate temporal + zeros spatial, then strided conv
+            xp = F.pad(x, (1, 1, 1, 1, 0, 0))
+            xp = F.pad(xp, (0, 0, 0, 0, 2, 0), mode="replicate")
+            want = F.conv3d(xp, w, b, stride=stride)
+            got = from_ndhwc(
+                conv3d_ndhwc(
+                    {"weight": jnp.asarray(w.numpy()), "bias": jnp.asarray(b.numpy())},
+                    to_ndhwc(jnp.asarray(x.numpy())),
+                    causal=True, spatial_mode="zeros", stride=stride,
+                )
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5,
+                err_msg=f"strided conv3d {stride}",
+            )
