@@ -23,6 +23,7 @@ visible iff j <= pos AND valid AND (full-layer OR pos - j < window).
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -95,8 +96,35 @@ def _logits(params: Params, cfg: Gemma3Config, x_last: jnp.ndarray) -> jnp.ndarr
     return jnp.einsum("bd,vd->bv", h, w)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id", "pad_id"))
-def gemma3_greedy_generate(
+def sample_top_p(
+    key: jax.Array, logits: jnp.ndarray, p: float, temperature: float
+) -> jnp.ndarray:
+    """Nucleus (top-p) sampling (reference prompt_enhancement.py:292-338).
+
+    Keeps the smallest prefix of probability-sorted tokens whose cumulative
+    mass crosses p (the crossing token included), renormalizes, and samples
+    via the Gumbel-max trick — same math as the reference, fully traced
+    (no host sync). logits: (B, vocab) -> (B,) int32."""
+    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, sorted_idx, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep = (cum - sorted_probs) <= p  # first token always kept
+    sorted_probs = jnp.where(keep, sorted_probs, 0.0)
+    sorted_probs = sorted_probs / jnp.sum(sorted_probs, axis=-1, keepdims=True)
+    u = jax.random.uniform(key, sorted_probs.shape)
+    gumbel = -jnp.log(-jnp.log(u + 1e-10) + 1e-10)
+    scores = jnp.log(sorted_probs + 1e-10) + gumbel
+    choice = jnp.argmax(scores, axis=-1)
+    return jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "pad_id", "temperature", "top_p"),
+)
+def gemma3_generate(
     params: Params,
     cfg: Gemma3Config,
     input_ids: jnp.ndarray,
@@ -104,14 +132,29 @@ def gemma3_greedy_generate(
     max_new_tokens: int,
     eos_id: int,
     pad_id: int = 0,
+    temperature: float = 0.0,
+    top_p: float = 0.0,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Greedy decode -> (B, max_new_tokens) token ids (pad_id after EOS).
+    """Decode -> (B, max_new_tokens) token ids (pad_id after EOS).
+
+    temperature/top_p are static: 0.0 selects greedy argmax; otherwise
+    nucleus sampling (the reference's prompt-enhancement default is
+    temperature 0.7 / top_p 0.9, prompt_enhancement.py:236-290) using `key`.
 
     input_ids / attention_mask are (B, S) RIGHT-padded; generation continues
     from each row's last valid position... all rows must share the same
     prompt length for the single-position decode (pad to a common length
     with the mask; B>1 with ragged prompts should left-pad upstream).
     """
+    do_sample = temperature > 0.0 and top_p > 0.0
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def pick(k, logits, dtype):
+        if do_sample:
+            return sample_top_p(k, logits, top_p, temperature).astype(dtype)
+        return jnp.argmax(logits, axis=-1).astype(dtype)
     b, s = input_ids.shape
     dtype = cfg.dtype
     h_heads, kv_heads, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -168,13 +211,12 @@ def gemma3_greedy_generate(
         [attention_mask.astype(bool), jnp.zeros((b, max_new_tokens), bool)], axis=1
     )
 
-    first_tok = jnp.argmax(_logits(params, cfg, final[:, -1, :]), axis=-1).astype(
-        input_ids.dtype
-    )
+    key, first_key = jax.random.split(key)
+    first_tok = pick(first_key, _logits(params, cfg, final[:, -1, :]), input_ids.dtype)
 
     # ---- Decode ----------------------------------------------------------
     def decode_step(carry, _):
-        tok, pos, ck_all, cv_all, valid_c, done = carry
+        tok, pos, ck_all, cv_all, valid_c, done, key_c = carry
         h_tok = params["embed_tokens"]["weight"][tok[:, None]].astype(dtype)
         h_tok = h_tok * jnp.asarray(cfg.hidden_size**0.5, dtype)
 
@@ -236,11 +278,12 @@ def gemma3_greedy_generate(
         h_out, (ck_all, cv_all) = jax.lax.scan(
             layer_step, h_tok, (params["layers"], is_full, ck_all, cv_all)
         )
-        nxt = jnp.argmax(_logits(params, cfg, h_out[:, 0, :]), axis=-1).astype(tok.dtype)
+        key_c, step_key = jax.random.split(key_c)
+        nxt = pick(step_key, _logits(params, cfg, h_out[:, 0, :]), tok.dtype)
         emitted = jnp.where(done, jnp.asarray(pad_id, tok.dtype), tok)
         done = done | (tok == eos_id)
         nxt = jnp.where(done, jnp.asarray(pad_id, tok.dtype), nxt)
-        return (nxt, pos + 1, ck_all, cv_all, valid_c, done), emitted
+        return (nxt, pos + 1, ck_all, cv_all, valid_c, done, key_c), emitted
 
     init = (
         first_tok,
@@ -249,9 +292,26 @@ def gemma3_greedy_generate(
         cache_v,
         valid,
         jnp.zeros((b,), bool),
+        key,
     )
     _final_carry, tokens = jax.lax.scan(decode_step, init, None, length=max_new_tokens)
     return tokens.transpose(1, 0)  # (B, max_new_tokens)
+
+
+def gemma3_greedy_generate(
+    params: Params,
+    cfg: Gemma3Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int = 0,
+) -> jnp.ndarray:
+    """Back-compat greedy wrapper over gemma3_generate."""
+    return gemma3_generate(
+        params, cfg, input_ids, attention_mask,
+        max_new_tokens=max_new_tokens, eos_id=eos_id, pad_id=pad_id,
+    )
 
 
 def generate_text(
@@ -261,11 +321,16 @@ def generate_text(
     prompt: str,
     max_new_tokens: int = 256,
     pad_multiple: int = 64,
+    temperature: float = 0.0,
+    top_p: float = 0.0,
+    seed: int = 42,
 ) -> str:
-    """Host convenience: tokenize -> jitted greedy decode -> detokenize.
+    """Host convenience: tokenize -> jitted decode -> detokenize.
 
-    Pads the prompt to a multiple of `pad_multiple` so repeated calls share
-    compiled programs (one compile per length bucket)."""
+    temperature/top_p 0.0 = greedy; the reference's prompt-enhancement
+    sampling is temperature 0.7 / top_p 0.9. Pads the prompt to a multiple
+    of `pad_multiple` so repeated calls share compiled programs (one compile
+    per length bucket)."""
     import numpy as np
 
     ids = tokenizer(prompt, return_tensors="np")
@@ -278,7 +343,7 @@ def generate_text(
     mask = np.pad(np.ones((1, s), np.int32), ((0, 0), (pad, 0)))
 
     eos_id = int(getattr(tokenizer, "eos_token_id", 1) or 1)
-    tokens = gemma3_greedy_generate(
+    tokens = gemma3_generate(
         params,
         cfg,
         jnp.asarray(input_ids),
@@ -286,6 +351,9 @@ def generate_text(
         max_new_tokens=max_new_tokens,
         eos_id=eos_id,
         pad_id=0,
+        temperature=temperature,
+        top_p=top_p,
+        key=jax.random.PRNGKey(seed),
     )
     out = np.asarray(tokens)[0]
     if eos_id in out:

@@ -84,3 +84,41 @@ def enhance_prompt(
     response = generate_fn(full, max_tokens)
     cleaned = clean_response(response)
     return cleaned if cleaned else prompt
+
+
+def create_i2v_chat_prompt(user_prompt: str, system_prompt: str = None) -> str:
+    """I2V chat prompt (reference prompt_enhancement.py:101-115). Text-only:
+    the reference's Gemma-3 text model cannot consume the image, so the
+    conversation carries an `[Image provided]` marker instead — the image
+    itself conditions generation through the VAE path, not the LLM."""
+    system_prompt = system_prompt or I2V_SYSTEM_PROMPT
+    return (
+        f"<bos><start_of_turn>user\n"
+        f"{system_prompt}\n\n"
+        f"[Image provided]\n"
+        f"User prompt: {user_prompt}<end_of_turn>\n"
+        f"<start_of_turn>model\n"
+    )
+
+
+def enhance_prompt_i2v(
+    user_prompt: str,
+    image_path: str,
+    generate_fn: Callable[..., str],
+    max_tokens: int = 256,
+    system_prompt: str = None,
+) -> str:
+    """Image-to-video prompt enhancement (reference
+    prompt_enhancement.py:175-237): I2V system prompt + `[Image provided]`
+    marker, nucleus sampling at temperature 0.7 / top_p 0.9.
+
+    generate_fn(full_prompt, max_tokens, temperature=..., top_p=...) -> text.
+    image_path is accepted for surface parity; like the reference, the
+    text-only Gemma never sees the pixels (see create_i2v_chat_prompt).
+    """
+    full = create_i2v_chat_prompt(user_prompt, system_prompt)
+    response = generate_fn(full, max_tokens, temperature=0.7, top_p=0.9)
+    if "<start_of_turn>model" in response:
+        response = response.split("<start_of_turn>model")[-1]
+    cleaned = clean_response(response)
+    return cleaned if cleaned else user_prompt

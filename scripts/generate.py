@@ -224,20 +224,30 @@ def encode_prompts(args, ledger, dit_cfg):
         if args.enhance_prompt:
             from ltx2_tpu.models.text_encoder.generation import generate_text
             from ltx2_tpu.utils.prompt_enhancement import (
-                I2V_SYSTEM_PROMPT,
                 T2V_SYSTEM_PROMPT,
                 enhance_prompt,
+                enhance_prompt_i2v,
             )
 
             gemma_params, gemma_cfg = ledger.gemma()
-            system = I2V_SYSTEM_PROMPT if getattr(args, "image", None) else T2V_SYSTEM_PROMPT
-            prompt = enhance_prompt(
-                prompt,
-                lambda text, n: generate_text(
-                    gemma_params, gemma_cfg, tokenizer, text, max_new_tokens=n
-                ),
-                system_prompt=system,
-            )
+
+            def gen_fn(text, n, temperature=0.7, top_p=0.9):
+                return generate_text(
+                    gemma_params, gemma_cfg, tokenizer, text,
+                    max_new_tokens=n, temperature=temperature, top_p=top_p,
+                    seed=args.seed,
+                )
+
+            image = getattr(args, "image", None)
+            if image:
+                # reference prompt_enhancement.py:175-237 (text-only i2v)
+                prompt = enhance_prompt_i2v(prompt, image, gen_fn)
+            else:
+                prompt = enhance_prompt(
+                    prompt,
+                    lambda text, n: gen_fn(text, n),
+                    system_prompt=T2V_SYSTEM_PROMPT,
+                )
             log.info("enhanced prompt: %s", prompt)
 
         prompts = [prompt, args.negative_prompt]

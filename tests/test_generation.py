@@ -167,3 +167,82 @@ class TestGenerateTextWrapper:
         )
         assert isinstance(text, str)
         assert len(text) <= 4
+
+
+class TestTopPSampling:
+    """Nucleus sampling (reference prompt_enhancement.py:292-338)."""
+
+    def test_restricts_support_and_renormalizes(self):
+        from ltx2_tpu.models.text_encoder.generation import sample_top_p
+
+        # probs ~ [0.5, 0.3, 0.15, 0.05]; p=0.6 keeps {0, 1} (token 1 crosses)
+        logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+        keys = jax.random.split(jax.random.PRNGKey(0), 200)
+        toks = np.asarray(
+            jax.vmap(lambda k: sample_top_p(k, logits, 0.6, 1.0))(keys)
+        ).ravel()
+        assert set(toks.tolist()) == {0, 1}
+        # empirical ratio approaches 0.5/0.3
+        frac0 = (toks == 0).mean()
+        assert 0.45 < frac0 < 0.75
+
+    def test_tiny_p_equals_greedy(self):
+        from ltx2_tpu.models.text_encoder.generation import sample_top_p
+
+        logits = jax.random.normal(jax.random.PRNGKey(1), (3, 50))
+        toks = sample_top_p(jax.random.PRNGKey(2), logits, 1e-6, 0.7)
+        np.testing.assert_array_equal(
+            np.asarray(toks), np.asarray(jnp.argmax(logits, -1))
+        )
+
+    def test_generate_sampling_deterministic_given_key(self, tiny):
+        from ltx2_tpu.models.text_encoder.generation import gemma3_generate
+
+        cfg, params = tiny
+        ids = jnp.asarray([[5, 17, 42, 8]], jnp.int32)
+        mask = jnp.ones_like(ids)
+        kw = dict(max_new_tokens=5, eos_id=-1, pad_id=0, temperature=0.7, top_p=0.9)
+        a = np.asarray(gemma3_generate(params, cfg, ids, mask, key=jax.random.PRNGKey(7), **kw))
+        b = np.asarray(gemma3_generate(params, cfg, ids, mask, key=jax.random.PRNGKey(7), **kw))
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (1, 5)
+
+    def test_zero_temperature_is_greedy_path(self, tiny):
+        from ltx2_tpu.models.text_encoder.generation import gemma3_generate
+
+        cfg, params = tiny
+        ids = jnp.asarray([[5, 17, 42, 8, 23, 11, 3, 29]], jnp.int32)
+        mask = jnp.ones_like(ids)
+        greedy = np.asarray(
+            gemma3_greedy_generate(params, cfg, ids, mask, max_new_tokens=4, eos_id=-1)
+        )
+        sampled0 = np.asarray(
+            gemma3_generate(
+                params, cfg, ids, mask, max_new_tokens=4, eos_id=-1,
+                temperature=0.0, top_p=0.9, key=jax.random.PRNGKey(0),
+            )
+        )
+        np.testing.assert_array_equal(greedy, sampled0)
+
+
+class TestEnhancePromptI2V:
+    def test_surface_and_sampling_params(self):
+        from ltx2_tpu.utils.prompt_enhancement import enhance_prompt_i2v
+
+        seen = {}
+
+        def fake_gen(text, n, temperature=None, top_p=None):
+            seen.update(text=text, n=n, temperature=temperature, top_p=top_p)
+            return "  - A sweeping cinematic shot.  "
+
+        out = enhance_prompt_i2v("a cat", "/tmp/img.png", fake_gen, max_tokens=64)
+        assert out == "A sweeping cinematic shot."
+        assert seen["temperature"] == 0.7 and seen["top_p"] == 0.9
+        assert "[Image provided]" in seen["text"]
+        assert "User prompt: a cat" in seen["text"]
+
+    def test_falls_back_to_user_prompt_on_empty(self):
+        from ltx2_tpu.utils.prompt_enhancement import enhance_prompt_i2v
+
+        out = enhance_prompt_i2v("a cat", "x.png", lambda *a, **k: "   ")
+        assert out == "a cat"
