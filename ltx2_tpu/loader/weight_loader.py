@@ -92,6 +92,31 @@ def _dequantize(
     return arr
 
 
+def _convert_arr(
+    arr: np.ndarray,
+    tree_key: str,
+    target_dtype: str,
+    fp32_keys: Tuple[str, ...],
+) -> np.ndarray:
+    """One tensor's dtype policy: fp32 islands for AdaLN/norm tables, the
+    compute dtype for matmul weights."""
+    import ml_dtypes
+
+    if any(marker in tree_key for marker in fp32_keys):
+        if arr.dtype == ml_dtypes.bfloat16:
+            from ltx2_tpu.loader.native import bf16_to_f32
+
+            return bf16_to_f32(arr)
+        return np.asarray(arr, dtype=np.float32)
+    if target_dtype == "bfloat16":
+        if arr.dtype == ml_dtypes.bfloat16:
+            return np.asarray(arr)
+        from ltx2_tpu.loader.native import f32_to_bf16
+
+        return f32_to_bf16(np.asarray(arr, np.float32))
+    return np.asarray(arr).astype(np.dtype(jnp.dtype(target_dtype).name))
+
+
 def load_flat_diffusion_weights(
     path: str,
     include_audio: bool = False,
@@ -114,7 +139,6 @@ def load_flat_diffusion_weights(
         if k.endswith(".weight_scale")
     }
     out: Dict[str, np.ndarray] = {}
-    tdt = np.dtype(jnp.dtype(target_dtype).name) if target_dtype != "bfloat16" else None
     for key in f.keys():
         if not key.startswith(DIFFUSION_PREFIX) or key.endswith("_scale"):
             continue
@@ -129,28 +153,7 @@ def load_flat_diffusion_weights(
             )
             continue
         arr = _dequantize(f, key, f.get(key), fp8_scales)
-        if any(marker in tree_key for marker in fp32_keys):
-            import ml_dtypes
-
-            if arr.dtype == ml_dtypes.bfloat16:
-                from ltx2_tpu.loader.native import bf16_to_f32
-
-                arr = bf16_to_f32(arr)
-            else:
-                arr = np.asarray(arr, dtype=np.float32)
-        else:
-            import ml_dtypes
-
-            if target_dtype == "bfloat16":
-                if arr.dtype == ml_dtypes.bfloat16:
-                    arr = np.asarray(arr)
-                else:
-                    from ltx2_tpu.loader.native import f32_to_bf16
-
-                    arr = f32_to_bf16(np.asarray(arr, np.float32))
-            else:
-                arr = np.asarray(arr).astype(tdt)
-        out[tree_key] = arr
+        out[tree_key] = _convert_arr(arr, tree_key, target_dtype, fp32_keys)
     return out
 
 
@@ -205,6 +208,106 @@ def _set_nested(tree: dict, parts: List[str], value) -> None:
     node[parts[-1]] = value
 
 
+def load_transformer_params_streamed(
+    path: str,
+    include_audio: bool = False,
+    target_dtype: str = "bfloat16",
+    fp32_keys: Tuple[str, ...] = ("scale_shift_table", "adaln", "norm"),
+    num_layers: Optional[int] = None,
+    device_put: Optional[Callable[[str, np.ndarray], jnp.ndarray]] = None,
+    keep_fp8: bool = False,
+) -> Params:
+    """Streaming loader with BOUNDED host memory (SURVEY hard-part #4).
+
+    The non-streamed path materializes the whole converted checkpoint as a
+    host dict and then np.stack's the 48 blocks — a second full copy (~2x
+    checkpoint peak; 86 GB+ for the 43 GB checkpoint). Here the safetensors
+    header is parsed first (shapes/dtypes only, the file stays memmapped),
+    then leaves are processed ONE AT A TIME:
+
+    - top-level leaves: read -> convert -> device_put -> free.
+    - per-block leaves: preallocate the stacked (L, ...) host array at the
+      FINAL dtype, fill slot i directly from the mapped block-i tensor
+      (conversion writes into the slot, no intermediate stack), device_put,
+      free.
+
+    Peak host RSS = the single largest stacked leaf (~L x one tensor; the
+    48-layer FFN projection in bf16 is ~6.4 GB for the 22B model, ~3.2 GB
+    under fp8 serving) + the OS page cache for the mmap — far under the
+    checkpoint size, vs 2x checkpoint for the eager path. The reference
+    bounds memory by streaming with gc every 100 tensors
+    (weight_converter.py:415-435); the stacked scan layout needs this
+    slot-fill design instead.
+    """
+    if device_put is None:
+        def device_put(_path, arr):
+            return jnp.asarray(arr)
+
+    f = SafetensorsFile(path)
+    fp8_scales = {
+        k.replace(".weight_scale", ".weight"): k
+        for k in f.keys()
+        if k.endswith(".weight_scale")
+    }
+
+    # ---- header-only planning pass ----------------------------------------
+    top_keys: Dict[str, str] = {}  # tree_key -> checkpoint key
+    per_block: Dict[str, Dict[int, str]] = {}  # sub_key -> {block_idx: ckpt key}
+    for key in f.keys():
+        if not key.startswith(DIFFUSION_PREFIX) or key.endswith("_scale"):
+            continue
+        short = key[len(DIFFUSION_PREFIX):]
+        tree_key = convert_checkpoint_key(short, include_audio=include_audio)
+        if tree_key is None:
+            continue
+        m = _BLOCK_RE.match(tree_key)
+        if m:
+            per_block.setdefault(m.group(2), {})[int(m.group(1))] = key
+        else:
+            top_keys[tree_key] = key
+
+    def convert_one(ckpt_key: str, tree_key: str) -> Dict[str, np.ndarray]:
+        """-> {suffix: array} ('' = the tensor, '_scale' = fp8 scale)."""
+        if keep_fp8 and ckpt_key in fp8_scales:
+            return {
+                "": np.asarray(f.get(ckpt_key)),
+                "_scale": np.asarray(
+                    np.asarray(f.get(fp8_scales[ckpt_key])).reshape(()), np.float32
+                ),
+            }
+        arr = _dequantize(f, ckpt_key, f.get(ckpt_key), fp8_scales)
+        return {"": _convert_arr(arr, tree_key, target_dtype, fp32_keys)}
+
+    tree: Params = {}
+
+    # ---- top-level leaves: one tensor resident at a time -------------------
+    for tree_key in sorted(top_keys):
+        for suffix, arr in convert_one(top_keys[tree_key], tree_key).items():
+            _set_nested(tree, (tree_key + suffix).split("."), device_put(tree_key + suffix, arr))
+
+    # ---- stacked block leaves: one (L, ...) leaf resident at a time --------
+    if per_block:
+        n = num_layers if num_layers is not None else (
+            max(max(d) for d in per_block.values()) + 1
+        )
+        blocks: Params = {}
+        for sub in sorted(per_block):
+            idx_map = per_block[sub]
+            first = convert_one(idx_map[0], f"transformer_blocks.0.{sub}")
+            for suffix, proto in first.items():
+                stacked = np.empty((n,) + proto.shape, proto.dtype)
+                stacked[0] = proto
+                for i in range(1, n):
+                    stacked[i] = convert_one(idx_map[i], f"transformer_blocks.{i}.{sub}")[suffix]
+                leaf_path = f"transformer_blocks.{sub}{suffix}"
+                _set_nested(
+                    blocks, (sub + suffix).split("."), device_put(leaf_path, stacked)
+                )
+                del stacked
+        tree["transformer_blocks"] = blocks
+    return tree
+
+
 def load_transformer_params(
     path: str,
     include_audio: bool = False,
@@ -212,10 +315,17 @@ def load_transformer_params(
     num_layers: Optional[int] = None,
     device_put: Optional[Callable[[str, np.ndarray], jnp.ndarray]] = None,
     keep_fp8: bool = False,
+    streaming: bool = True,
 ) -> Params:
     """Full pipeline: stream safetensors -> key rewrite -> fp8 dequant ->
     stacked param tree on device (load_transformer_weights parity,
-    weight_converter.py:318-446)."""
+    weight_converter.py:318-446). streaming=True (default) bounds host RSS
+    to ~one stacked leaf; False keeps the simple two-pass path (tests)."""
+    if streaming:
+        return load_transformer_params_streamed(
+            path, include_audio=include_audio, target_dtype=target_dtype,
+            num_layers=num_layers, device_put=device_put, keep_fp8=keep_fp8,
+        )
     flat = load_flat_diffusion_weights(
         path, include_audio=include_audio, target_dtype=target_dtype,
         keep_fp8=keep_fp8,
