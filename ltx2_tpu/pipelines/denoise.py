@@ -21,6 +21,7 @@ post-processing, joint audio-video loops with per-modality guidance.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Optional, Tuple
@@ -28,6 +29,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ltx2_tpu.components.guiders import CFGGuider
 from ltx2_tpu.components.perturbations import (
@@ -35,7 +37,7 @@ from ltx2_tpu.components.perturbations import (
     PerturbationConfig,
     create_stg_perturbation,
 )
-from ltx2_tpu.models.transformer.model import LTXModelConfig
+from ltx2_tpu.models.transformer.model import LTXModelConfig, Modality
 from ltx2_tpu.ops.rope import precompute_freqs_cis
 from ltx2_tpu.pipelines.common import modality_from_state, post_process_latent
 from ltx2_tpu.types import LatentState
@@ -159,13 +161,94 @@ def _euler_step(latent, denoised, sigma, sigma_next):
     )
 
 
+def _modality_seq_specs(m: Modality, axis: str) -> Modality:
+    """PartitionSpec pytree for a Modality: token dims on `axis`."""
+    return Modality(
+        latent=P(None, axis, None),
+        context=P(),
+        context_mask=None if m.context_mask is None else P(),
+        timesteps=P() if m.timesteps.ndim == 1 else P(None, axis),
+        positions=P(None, None, axis, None),
+        sigma=None if m.sigma is None else P(),
+    )
+
+
+def _check_seq_divisible(tokens: int, mesh: Mesh, axis: str, what: str) -> None:
+    n = mesh.shape[axis]
+    if tokens % n != 0:
+        raise ValueError(
+            f"{what} token count {tokens} must divide the '{axis}' mesh axis "
+            f"size {n} for sequence parallelism (pad frames/resolution)."
+        )
+
+
+def _make_sp_forward(
+    model_cfg: LTXModelConfig,
+    mesh: Mesh,
+    axis: str,
+    perturb,
+    n_modalities: int,
+):
+    """Token-sharded DiT forward for use INSIDE the denoise scan.
+
+    The model runs in shard_map manual mode (ring attention over `axis`);
+    params/context replicate, per-token tensors shard. Everything around it
+    (guidance, steppers) stays in the outer GSPMD jit, which moves only the
+    small (B, N, C) latents — activations inside the 48 blocks are what SP
+    exists to shard, and those never leave the shard_map region.
+    """
+    from ltx2_tpu.models.transformer.model import x0_model_apply
+
+    sp_cfg = dataclasses.replace(model_cfg, sequence_axis=axis)
+
+    def forward(params, video, audio, video_pe, ca_scales, text_kv):
+        return x0_model_apply(
+            params, sp_cfg, video=video, audio=audio,
+            perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
+            text_kv=text_kv,
+        )
+
+    def run(params, video, audio, video_pe, ca_scales, text_kv):
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+        v_specs = None if video is None else _modality_seq_specs(video, axis)
+        a_specs = None if audio is None else _modality_seq_specs(audio, axis)
+        pe_specs = None if video_pe is None else (
+            P(None, None, axis, None), P(None, None, axis, None)
+        )
+        ca_specs = None if ca_scales is None else P()
+        kv_specs = (
+            None if text_kv is None
+            else jax.tree_util.tree_map(lambda _: P(), text_kv)
+        )
+        out_specs = P(None, axis, None)
+        if n_modalities == 2:
+            out_specs = (out_specs, out_specs)
+        return jax.shard_map(
+            forward,
+            mesh=mesh,
+            in_specs=(param_specs, v_specs, a_specs, pe_specs, ca_specs, kv_specs),
+            out_specs=out_specs,
+        )(params, video, audio, video_pe, ca_scales, text_kv)
+
+    return run
+
+
 @lru_cache(maxsize=32)
-def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig):
+def make_video_denoise_loop(
+    model_cfg: LTXModelConfig,
+    loop_cfg: DenoiseLoopConfig,
+    mesh: Optional[Mesh] = None,
+    sequence_axis: str = "seq",
+):
     """Build the jitted video-only denoise loop.
 
     Returns fn(params, state: LatentState, sigmas (S+1,), pos_ctx, neg_ctx)
     -> final LatentState. sigmas enter as a traced array — one compilation
     serves every schedule of the same length.
+
+    With `mesh`, the DiT forward inside the scan runs token-sharded over
+    `sequence_axis` (ring attention; SURVEY §2.12) — the whole 121f+
+    generation executes end-to-end with per-device activations ~1/n_seq.
     """
     rows = loop_cfg.rows
     ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
@@ -198,6 +281,15 @@ def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConf
         mask = state.denoise_mask
         clean = state.clean_latent
 
+        sp_forward = None
+        if mesh is not None:
+            _check_seq_divisible(
+                state.latent.shape[1], mesh, sequence_axis, "video"
+            )
+            sp_forward = _make_sp_forward(
+                model_cfg, mesh, sequence_axis, perturb, n_modalities=1
+            )
+
         # Per-step STG active flags (cutoff): static schedule length.
         step_ids = jnp.arange(num_steps)
         stg_flags = ((step_ids + 1) / num_steps <= loop_cfg.stg_cutoff).astype(
@@ -215,6 +307,8 @@ def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConf
                 tiled_state, context, sigma,
                 uniform_timesteps=loop_cfg.uniform_timesteps,
             )
+            if sp_forward is not None:
+                return sp_forward(params, modality, None, video_pe, ca_scales, text_kv)
             from ltx2_tpu.models.transformer.model import x0_model_apply
 
             return x0_model_apply(
@@ -273,12 +367,19 @@ def make_video_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConf
 
 
 @lru_cache(maxsize=32)
-def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig):
+def make_av_denoise_loop(
+    model_cfg: LTXModelConfig,
+    loop_cfg: DenoiseLoopConfig,
+    mesh: Optional[Mesh] = None,
+    sequence_axis: str = "seq",
+):
     """Joint audio-video denoise loop (one_stage.py:466-729), batched rows.
 
     Returns fn(params, video_state, audio_state, sigmas,
                pos_v_ctx, neg_v_ctx, pos_a_ctx, neg_a_ctx)
-    -> (video_state, audio_state).
+    -> (video_state, audio_state). With `mesh`, both modalities run
+    token-sharded over `sequence_axis` inside the scan (A<->V cross-modal
+    attention all-gathers the other modality's K/V over the ring).
     """
     rows = loop_cfg.rows
     ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
@@ -314,14 +415,20 @@ def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig)
         v_mask, v_clean = video_state.denoise_mask, video_state.clean_latent
         a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
 
+        sp_forward = None
+        if mesh is not None:
+            _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
+            _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
+            sp_forward = _make_sp_forward(
+                model_cfg, mesh, sequence_axis, perturb, n_modalities=2
+            )
+
         step_ids = jnp.arange(num_steps)
         stg_flags = ((step_ids + 1) / num_steps <= loop_cfg.stg_cutoff).astype(
             jnp.float32
         )
 
         def forward(v_latent, a_latent, sigma):
-            from ltx2_tpu.models.transformer.model import x0_model_apply
-
             v_state = LatentState(
                 latent=_tile_rows(v_latent, rows),
                 denoise_mask=_tile_rows(v_mask, rows),
@@ -334,16 +441,18 @@ def make_av_denoise_loop(model_cfg: LTXModelConfig, loop_cfg: DenoiseLoopConfig)
                 positions=a_positions,
                 clean_latent=_tile_rows(a_clean, rows),
             )
+            v_mod = modality_from_state(
+                v_state, v_ctx, sigma, uniform_timesteps=loop_cfg.uniform_timesteps
+            )
+            a_mod = modality_from_state(
+                a_state, a_ctx, sigma, uniform_timesteps=loop_cfg.uniform_timesteps
+            )
+            if sp_forward is not None:
+                return sp_forward(params, v_mod, a_mod, video_pe, ca_scales, text_kv)
+            from ltx2_tpu.models.transformer.model import x0_model_apply
+
             return x0_model_apply(
-                params, model_cfg,
-                video=modality_from_state(
-                    v_state, v_ctx, sigma,
-                    uniform_timesteps=loop_cfg.uniform_timesteps,
-                ),
-                audio=modality_from_state(
-                    a_state, a_ctx, sigma,
-                    uniform_timesteps=loop_cfg.uniform_timesteps,
-                ),
+                params, model_cfg, video=v_mod, audio=a_mod,
                 perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
                 text_kv=text_kv,
             )
@@ -510,11 +619,20 @@ def _mm_combine(mm: MultiModalLoopConfig, outs, cfg_scale: float, skip_flag):
 
 
 @lru_cache(maxsize=16)
-def make_multimodal_av_denoise_loop(model_cfg: LTXModelConfig, mm: MultiModalLoopConfig):
+def make_multimodal_av_denoise_loop(
+    model_cfg: LTXModelConfig,
+    mm: MultiModalLoopConfig,
+    mesh: Optional[Mesh] = None,
+    sequence_axis: str = "seq",
+):
     """Joint AV denoise loop under the MultiModalGuider (two_stage.py stage 1).
 
     Returns fn(params, video_state, audio_state, sigmas,
                pos_v, neg_v, pos_a, neg_a) -> (video_state, audio_state).
+
+    NOTE on SP + rescale: _mm_combine's std-ratio rescale reduces over the
+    full token axis; it runs in the outer GSPMD jit (on the gathered loop
+    latents), so token sharding inside the forward does not change its math.
     """
     rows = mm.rows
     perturb = _build_mm_perturbations(mm)
@@ -541,6 +659,14 @@ def make_multimodal_av_denoise_loop(model_cfg: LTXModelConfig, mm: MultiModalLoo
         v_mask, v_clean = video_state.denoise_mask, video_state.clean_latent
         a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
 
+        sp_forward = None
+        if mesh is not None:
+            _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
+            _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
+            sp_forward = _make_sp_forward(
+                model_cfg, mesh, sequence_axis, perturb, n_modalities=2
+            )
+
         step_ids = jnp.arange(num_steps)
         if mm.skip_step > 0:
             skip_flags = (step_ids % (mm.skip_step + 1) != 0).astype(jnp.float32)
@@ -550,8 +676,6 @@ def make_multimodal_av_denoise_loop(model_cfg: LTXModelConfig, mm: MultiModalLoo
         def step_fn(carry, xs):
             v_latent, a_latent = carry
             sigma, sigma_next, skip_flag = xs
-
-            from ltx2_tpu.models.transformer.model import x0_model_apply
 
             v_state = LatentState(
                 latent=_tile_rows(v_latent, rows),
@@ -565,12 +689,19 @@ def make_multimodal_av_denoise_loop(model_cfg: LTXModelConfig, mm: MultiModalLoo
                 positions=a_positions,
                 clean_latent=_tile_rows(a_clean, rows),
             )
-            v_outs, a_outs = x0_model_apply(
-                params, model_cfg,
-                video=modality_from_state(v_state, v_ctx, sigma),
-                audio=modality_from_state(a_state, a_ctx, sigma),
-                perturbations=perturb, video_pe=video_pe,
-            )
+            v_mod = modality_from_state(v_state, v_ctx, sigma)
+            a_mod = modality_from_state(a_state, a_ctx, sigma)
+            if sp_forward is not None:
+                v_outs, a_outs = sp_forward(
+                    params, v_mod, a_mod, video_pe, None, None
+                )
+            else:
+                from ltx2_tpu.models.transformer.model import x0_model_apply
+
+                v_outs, a_outs = x0_model_apply(
+                    params, model_cfg, video=v_mod, audio=a_mod,
+                    perturbations=perturb, video_pe=video_pe,
+                )
             v_denoised = _mm_combine(mm, v_outs, mm.video_cfg_scale, skip_flag)
             a_denoised = _mm_combine(mm, a_outs, mm.audio_cfg_scale, skip_flag)
             v_denoised = post_process_latent(v_denoised, v_mask, v_clean)

@@ -184,13 +184,17 @@ class DistilledPipeline(OneStagePipeline):
                 audio_state = audio_state.replace(
                     latent=channelwise_normalize_audio(audio_state.latent)
                 )
-            loop = make_av_denoise_loop(self.transformer_cfg, loop_cfg)
+            loop = make_av_denoise_loop(
+                self.transformer_cfg, loop_cfg, mesh=self.sequence_mesh
+            )
             video_state, audio_state = loop(
                 self.transformer_params, video_state, audio_state, sig,
                 text_encoding, text_encoding, audio_encoding, audio_encoding,
             )
         else:
-            loop = make_video_denoise_loop(self.transformer_cfg, loop_cfg)
+            loop = make_video_denoise_loop(
+                self.transformer_cfg, loop_cfg, mesh=self.sequence_mesh
+            )
             video_state = loop(
                 self.transformer_params, video_state, sig, text_encoding, text_encoding
             )

@@ -125,7 +125,11 @@ class OneStagePipeline:
         audio_decoder_cfg=None,
         vocoder_params=None,
         vocoder_cfg=None,
+        sequence_mesh=None,
     ):
+        # Optional jax.sharding.Mesh with a 'seq' axis: the denoise loops run
+        # token-sharded (ring attention) end-to-end (SURVEY §2.12).
+        self.sequence_mesh = sequence_mesh
         self.transformer_params = transformer_params
         self.transformer_cfg = transformer_cfg
         self.video_encoder_params = video_encoder_params
@@ -292,14 +296,18 @@ class OneStagePipeline:
             audio_state = audio_tools.create_initial_state(dtype=jnp.dtype(config.dtype))
             audio_state = noiser(audio_noise_key, audio_state, noise_scale=1.0)
 
-            loop = make_av_denoise_loop(self.transformer_cfg, loop_cfg)
+            loop = make_av_denoise_loop(
+                self.transformer_cfg, loop_cfg, mesh=self.sequence_mesh
+            )
             video_state, audio_state = loop(
                 self.transformer_params, video_state, audio_state, sigmas,
                 positive_encoding, negative_encoding,
                 positive_audio_encoding, negative_audio_encoding,
             )
         else:
-            loop = make_video_denoise_loop(self.transformer_cfg, loop_cfg)
+            loop = make_video_denoise_loop(
+                self.transformer_cfg, loop_cfg, mesh=self.sequence_mesh
+            )
             video_state = loop(
                 self.transformer_params, video_state, sigmas,
                 positive_encoding, negative_encoding,

@@ -167,6 +167,7 @@ class RetakePipeline(OneStagePipeline):
         loop = make_video_denoise_loop(
             self.transformer_cfg,
             DenoiseLoopConfig(guider=CFGGuider(scale=config.cfg_scale)),
+            mesh=self.sequence_mesh,
         )
         state = loop(
             self.transformer_params, state, sigmas, positive_encoding, negative_encoding

@@ -170,7 +170,9 @@ class TwoStagePipeline(DistilledPipeline):
                 rescale_scale=config.guidance_rescale,
                 modality_scale=config.modality_scale,
             )
-            loop = make_multimodal_av_denoise_loop(self.transformer_cfg, mm)
+            loop = make_multimodal_av_denoise_loop(
+                self.transformer_cfg, mm, mesh=self.sequence_mesh
+            )
             video_state, audio_state = loop(
                 self.transformer_params, video_state, audio_state, sigmas,
                 positive_encoding, negative_encoding,
@@ -186,6 +188,7 @@ class TwoStagePipeline(DistilledPipeline):
                 DenoiseLoopConfig(
                     guider=guider, uniform_timesteps=not conditionings
                 ),
+                mesh=self.sequence_mesh,
             )
             video_state = loop(
                 self.transformer_params, video_state, sigmas,

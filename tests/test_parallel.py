@@ -238,3 +238,149 @@ class TestRuntime:
         )
         got = np.asarray(make_sequence_parallel_forward(mesh, cfg)(params, video))
         np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+class TestSequenceParallelDenoiseLoop:
+    """Round-2: sequence parallelism wired INTO the scanned denoise loop —
+    a full generation runs token-sharded end-to-end, not just one forward."""
+
+    def _setup(self, cfg, frames=2, height=2, width=4):
+        from ltx2_tpu.components import GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.types import VideoLatentShape
+
+        shape = VideoLatentShape(
+            batch=1, channels=cfg.in_channels, frames=frames, height=height, width=width
+        )
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = GaussianNoiser()(
+            jax.random.PRNGKey(0), tools.create_initial_state(), 1.0
+        )
+        sigmas = jnp.asarray([1.0, 0.6, 0.2, 0.0])
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(1),
+            (1, 5, tiny_config().caption_channels or cfg.cross_attention_dim),
+        )
+        return state, sigmas, ctx
+
+    def test_video_loop_matches_unsharded(self):
+        from ltx2_tpu.components import CFGGuider
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, sigmas, ctx = self._setup(cfg)  # 16 tokens / 8 shards
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(3.0))
+        expected = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg)(params, state, sigmas, ctx, ctx).latent
+        )
+        mesh = create_mesh(data=1, model=1, seq=8)
+        sp_loop = make_video_denoise_loop(cfg, loop_cfg, mesh=mesh)
+        got = np.asarray(sp_loop(params, state, sigmas, ctx, ctx).latent)
+        np.testing.assert_allclose(got, expected, atol=5e-4)
+
+    def test_video_loop_sp_with_stg_heun(self):
+        """STG perturbation rows + Heun's second forward, token-sharded."""
+        from ltx2_tpu.components import CFGGuider
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, sigmas, ctx = self._setup(cfg)
+
+        loop_cfg = DenoiseLoopConfig(
+            guider=CFGGuider(3.0), stg_scale=1.0, sampler="heun"
+        )
+        expected = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg)(params, state, sigmas, ctx, ctx).latent
+        )
+        mesh = create_mesh(data=1, model=1, seq=4, devices=jax.devices()[:4])
+        got = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg, mesh=mesh)(
+                params, state, sigmas, ctx, ctx
+            ).latent
+        )
+        np.testing.assert_allclose(got, expected, atol=5e-4)
+
+    def test_av_loop_matches_unsharded(self):
+        from ltx2_tpu.components import AudioPatchifier, CFGGuider, GaussianNoiser
+        from ltx2_tpu.conditioning.tools import AudioLatentTools
+        from ltx2_tpu.models.transformer.model import LTXModelType
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_av_denoise_loop
+        from ltx2_tpu.types import AudioLatentShape
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = cached_params(cfg)
+        v_state, sigmas, ctx = self._setup(cfg)
+
+        a_shape = AudioLatentShape(batch=1, channels=cfg.audio_in_channels // 1, frames=8, mel_bins=1)
+        a_tools = AudioLatentTools(patchifier=AudioPatchifier(1), target_shape=a_shape)
+        a_state = GaussianNoiser()(
+            jax.random.PRNGKey(3), a_tools.create_initial_state(), 1.0
+        )
+        a_ctx = jax.random.normal(
+            jax.random.PRNGKey(4), (1, 5, cfg.caption_channels or cfg.audio_inner_dim)
+        )
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(2.0), audio_guider=CFGGuider(2.0))
+        ref_v, ref_a = make_av_denoise_loop(cfg, loop_cfg)(
+            params, v_state, a_state, sigmas, ctx, ctx, a_ctx, a_ctx
+        )
+        mesh = create_mesh(data=1, model=1, seq=4, devices=jax.devices()[:4])
+        got_v, got_a = make_av_denoise_loop(cfg, loop_cfg, mesh=mesh)(
+            params, v_state, a_state, sigmas, ctx, ctx, a_ctx, a_ctx
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_v.latent), np.asarray(ref_v.latent), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_a.latent), np.asarray(ref_a.latent), atol=5e-4
+        )
+
+    def test_indivisible_tokens_rejected(self):
+        from ltx2_tpu.components import CFGGuider
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        state, sigmas, ctx = self._setup(cfg, frames=1, height=3, width=3)  # 9 tokens
+        mesh = create_mesh(data=1, model=1, seq=8)
+        loop = make_video_denoise_loop(
+            cfg, DenoiseLoopConfig(guider=CFGGuider(2.0)), mesh=mesh
+        )
+        with pytest.raises(ValueError, match="divide"):
+            loop(params, state, sigmas, ctx, ctx)
+
+    def test_multimodal_loop_matches_unsharded(self):
+        from ltx2_tpu.components import AudioPatchifier, GaussianNoiser
+        from ltx2_tpu.conditioning.tools import AudioLatentTools
+        from ltx2_tpu.models.transformer.model import LTXModelType
+        from ltx2_tpu.pipelines.denoise import (
+            MultiModalLoopConfig,
+            make_multimodal_av_denoise_loop,
+        )
+        from ltx2_tpu.types import AudioLatentShape
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = cached_params(cfg)
+        v_state, sigmas, ctx = self._setup(cfg)
+        a_shape = AudioLatentShape(batch=1, channels=cfg.audio_in_channels, frames=8, mel_bins=1)
+        a_tools = AudioLatentTools(patchifier=AudioPatchifier(1), target_shape=a_shape)
+        a_state = GaussianNoiser()(jax.random.PRNGKey(3), a_tools.create_initial_state(), 1.0)
+        a_ctx = jax.random.normal(
+            jax.random.PRNGKey(4), (1, 5, cfg.caption_channels or cfg.audio_inner_dim)
+        )
+
+        mm = MultiModalLoopConfig(video_cfg_scale=3.0, audio_cfg_scale=5.0, modality_scale=2.0)
+        ref_v, ref_a = make_multimodal_av_denoise_loop(cfg, mm)(
+            params, v_state, a_state, sigmas, ctx, ctx, a_ctx, a_ctx
+        )
+        mesh = create_mesh(data=1, model=1, seq=4, devices=jax.devices()[:4])
+        got_v, got_a = make_multimodal_av_denoise_loop(cfg, mm, mesh=mesh)(
+            params, v_state, a_state, sigmas, ctx, ctx, a_ctx, a_ctx
+        )
+        np.testing.assert_allclose(np.asarray(got_v.latent), np.asarray(ref_v.latent), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(got_a.latent), np.asarray(ref_a.latent), atol=5e-4)
