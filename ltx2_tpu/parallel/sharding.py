@@ -77,3 +77,47 @@ def shard_dit_params(mesh: Mesh, params):
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Batch-axis (CFG rows / samples) sharding for an activation tensor."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+# ---------------------------------------------------------------------------
+# Gemma-3 text encoder TP (12B: QKV/MLP sharded over 'model')
+# ---------------------------------------------------------------------------
+
+# Gemma param tree: layers/* leaves are stacked (L, ...) for the lax.scan.
+# Column-parallel QKV + gate/up (out-features sharded = attention heads /
+# MLP width), row-parallel o_proj/down (in-features sharded). The GQA
+# grouping stays shard-local: q heads 16 / kv heads 8 share the same
+# head-major layout, so jnp.repeat(k, groups) on the sharded head axis maps
+# q-shard i onto kv-shard i. q_norm/k_norm are PER-HEAD (head_dim,) in Gemma
+# (unlike the DiT's full-inner-dim norms) -> replicated.
+GEMMA_SHARDING_RULES: List[Tuple[str, P]] = [
+    (r"layers/self_attn/(q_proj|k_proj|v_proj)/weight$", P(None, MODEL_AXIS, None)),
+    (r"layers/self_attn/o_proj/weight$", P(None, None, MODEL_AXIS)),
+    (r"layers/mlp/(gate_proj|up_proj)/weight$", P(None, MODEL_AXIS, None)),
+    (r"layers/mlp/down_proj/weight$", P(None, None, MODEL_AXIS)),
+    # fp8-serving scales ride alongside their weights but are scalars per
+    # layer -> replicate. Norms/embeddings replicate.
+]
+
+
+def gemma_spec_for_path(path_str: str) -> P:
+    for pattern, spec in GEMMA_SHARDING_RULES:
+        if re.search(pattern, path_str):
+            return spec
+    return P()
+
+
+def gemma_param_shardings(mesh: Mesh, params) -> Dict:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, gemma_spec_for_path(path_to_str(path))),
+        params,
+    )
+
+
+def shard_gemma_params(mesh: Mesh, params):
+    """Place the Gemma-3 param tree on the mesh according to the TP rules.
+
+    Requires num_key_value_heads % mesh.shape['model'] == 0 (8 kv heads ->
+    model axis up to 8)."""
+    shardings = gemma_param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

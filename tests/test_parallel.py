@@ -384,3 +384,69 @@ class TestSequenceParallelDenoiseLoop:
         )
         np.testing.assert_allclose(np.asarray(got_v.latent), np.asarray(ref_v.latent), atol=5e-4)
         np.testing.assert_allclose(np.asarray(got_a.latent), np.asarray(ref_a.latent), atol=5e-4)
+
+
+class TestGemmaTP:
+    """Gemma-3 TP: QKV/MLP sharded over 'model', equality vs unsharded."""
+
+    def test_rules(self):
+        from ltx2_tpu.parallel.sharding import gemma_spec_for_path
+
+        assert gemma_spec_for_path("layers/self_attn/q_proj/weight") == P(None, "model", None)
+        assert gemma_spec_for_path("layers/self_attn/o_proj/weight") == P(None, None, "model")
+        assert gemma_spec_for_path("layers/mlp/down_proj/weight") == P(None, None, "model")
+        # per-head norms + embeddings + layernorms replicate
+        assert gemma_spec_for_path("layers/self_attn/q_norm/weight") == P()
+        assert gemma_spec_for_path("embed_tokens/weight") == P()
+        assert gemma_spec_for_path("layers/input_layernorm/weight") == P()
+
+    def test_sharded_forward_matches(self):
+        from ltx2_tpu.models.text_encoder.gemma3 import (
+            Gemma3Config,
+            gemma3_apply,
+            init_gemma3,
+        )
+        from ltx2_tpu.parallel.sharding import gemma_param_shardings, shard_gemma_params
+
+        cfg = Gemma3Config.tiny()  # 4 q heads / 2 kv heads
+        params = init_gemma3(jax.random.PRNGKey(0), cfg)
+        ids = jnp.asarray(np.arange(16)[None] % cfg.vocab_size)
+        mask = jnp.ones((1, 16), jnp.int32)
+
+        fn = jax.jit(lambda p: gemma3_apply(p, cfg, ids, mask)[1])
+        expected = np.asarray(fn(params))
+
+        mesh = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+        sharded = shard_gemma_params(mesh, params)
+        # params actually sharded: q_proj out-features split over 2 devices
+        q = sharded["layers"]["self_attn"]["q_proj"]["weight"]
+        assert len({d for shard in q.addressable_shards for d in [shard.device]}) == 2
+        assert q.addressable_shards[0].data.shape[1] == q.shape[1] // 2
+
+        got = np.asarray(fn(sharded))
+        np.testing.assert_allclose(got, expected, atol=2e-5)
+
+    def test_full_attention_and_padding_sharded(self):
+        """Sliding/full layer mix + padding mask still correct under TP."""
+        from ltx2_tpu.models.text_encoder.gemma3 import (
+            Gemma3Config,
+            gemma3_apply,
+            init_gemma3,
+        )
+        from ltx2_tpu.parallel.sharding import shard_gemma_params
+
+        cfg = Gemma3Config.tiny()
+        params = init_gemma3(jax.random.PRNGKey(1), cfg)
+        ids = jnp.asarray(np.arange(12)[None] % cfg.vocab_size)
+        mask = jnp.asarray(np.array([[1] * 9 + [0] * 3]))
+
+        expected = np.asarray(
+            jax.jit(lambda p: gemma3_apply(p, cfg, ids, mask)[0])(params)
+        )
+        mesh = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+        got = np.asarray(
+            jax.jit(lambda p: gemma3_apply(p, cfg, ids, mask)[0])(
+                shard_gemma_params(mesh, params)
+            )
+        )
+        np.testing.assert_allclose(got, expected, atol=2e-5)
