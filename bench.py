@@ -36,6 +36,11 @@ def sync(x):
     return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
 
 
+# Per-phase MFU detail, written to BENCH_DETAIL.json beside the single
+# stdout metric line (driver contract: stdout stays ONE JSON line).
+_DETAIL = {}
+
+
 def full_config(num_layers: int):
     from ltx2_tpu.models.transformer.model import LTXModelConfig, LTXModelType
 
@@ -162,6 +167,20 @@ def bench_e2e():
     t0 = time.perf_counter()
     sync(decode())
     dec_s = time.perf_counter() - t0
+
+    # MFU accounting (VERDICT r1 #8): analytic FLOPs per phase so the
+    # roofline claims are auditable artifacts.
+    from ltx2_tpu.utils.flops import dit_step_flops, mfu_report, video_decoder_flops
+
+    n_tokens = latent_shape.frames * latent_shape.height * latent_shape.width
+    loop_flops = 8 * dit_step_flops(cfg, n_tokens, TEXT_TOKENS, rows=1)
+    dec_flops = video_decoder_flops(
+        dec_cfg, latent_shape.frames, latent_shape.height, latent_shape.width
+    )
+    _DETAIL["phases"] = {
+        "denoise_loop_8step": {"seconds": round(loop_s, 3), **mfu_report(loop_flops, loop_s)},
+        "vae_decode": {"seconds": round(dec_s, 3), **mfu_report(dec_flops, dec_s)},
+    }
     return loop_s + dec_s
 
 
@@ -178,7 +197,15 @@ def bench_dit_step(num_layers: int, fp8: bool):
     for _ in range(5):
         acc += sync(step(params, modality))
     assert acc == acc, "non-finite benchmark output"
-    return (time.perf_counter() - t0) / 5
+    sec = (time.perf_counter() - t0) / 5
+
+    from ltx2_tpu.utils.flops import dit_step_flops, mfu_report
+
+    flops = dit_step_flops(cfg, TOKENS_F * TOKENS_H * TOKENS_W, TEXT_TOKENS)
+    _DETAIL["phases"] = {
+        "dit_step": {"seconds": round(sec, 4), **mfu_report(flops, sec)}
+    }
+    return sec
 
 
 def main():
@@ -209,6 +236,16 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
             }
+    if _DETAIL:
+        import sys
+
+        _DETAIL["metric"] = result["metric"]
+        try:
+            with open("BENCH_DETAIL.json", "w") as fh:
+                json.dump(_DETAIL, fh, indent=1)
+        except OSError:
+            pass
+        print(json.dumps(_DETAIL), file=sys.stderr)
     print(json.dumps(result))
 
 

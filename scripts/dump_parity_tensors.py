@@ -7,8 +7,16 @@ framework with a fixed config (128x128, 17 frames, 8 steps, seed 42) and
 dumps per-stage .npy tensors with the same stage names the PyTorch dumper
 uses, so `tests/test_parity.py` can correlate either direction:
 
-  text_encoder_video_encoding.npy   initial_latent.npy   positions.npy
-  transformer_step_XXX.npy          vae_input.npy        vae_output.npy
+  text_encoder_video_encoding.npy        initial_latent.npy   positions.npy
+  transformer_step_XXX.npy               vae_decoder_input_latent.npy
+  vae_decoder_output_pixels.npy          manifest.json
+
+Cross-framework RNG: torch.randn(seed) and jax PRNG produce DIFFERENT
+noise, so absolute stage comparison requires INJECTING the reference dump's
+initial latent (and text encoding, if Gemma isn't loaded here) via
+--reference-dir — every downstream stage then measures real model parity,
+not RNG parity. Without --reference-dir the dump is self-contained (useful
+for candidate-vs-candidate regression baselines).
 """
 
 from __future__ import annotations
@@ -39,6 +47,12 @@ def main():
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--prompt", default="A cat walking through grass")
+    parser.add_argument(
+        "--reference-dir", default=None,
+        help="torch dump dir: inject its initial_latent.npy (and "
+        "text_encoder_video_encoding.npy when --gemma-dir is unset) so "
+        "downstream stages compare model math, not RNG",
+    )
     args = parser.parse_args()
 
     import jax
@@ -88,6 +102,13 @@ def main():
         )(te_params, hidden, jnp.asarray(enc["attention_mask"]))
         context = te_out.video_encoding
         np.save(out / "text_encoder_video_encoding.npy", np.asarray(context))
+    elif args.reference_dir and (
+        Path(args.reference_dir) / "text_encoder_video_encoding.npy"
+    ).exists():
+        context = jnp.asarray(
+            np.load(Path(args.reference_dir) / "text_encoder_video_encoding.npy"),
+            jnp.float32,
+        )
     else:
         context = jax.random.normal(
             jax.random.PRNGKey(0),
@@ -103,9 +124,26 @@ def main():
         patchifier=VideoLatentPatchifier(1), target_shape=latent_shape, fps=24.0
     )
     state = tools.create_initial_state()
-    state = GaussianNoiser()(jax.random.PRNGKey(args.seed), state, 1.0)
-    np.save(out / "initial_latent.npy", np.asarray(state.latent))
-    np.save(out / "positions.npy", np.asarray(state.positions))
+    ref_init = (
+        Path(args.reference_dir) / "initial_latent.npy" if args.reference_dir else None
+    )
+    if ref_init is not None and ref_init.exists():
+        # inject the torch dump's noise: (B, C, T, H, W) * sigma_max,
+        # patchified into the state (the torch dumper scales by sigmas[0]=1)
+        init_5d = jnp.asarray(np.load(ref_init), jnp.float32)
+        state = state.replace(latent=tools.patchifier.patchify(init_5d))
+    else:
+        state = GaussianNoiser()(jax.random.PRNGKey(args.seed), state, 1.0)
+    # dump in the torch dumper's 5D (B, C, T, H, W) layout
+    np.save(
+        out / "initial_latent.npy",
+        np.asarray(tools.unpatchify(state).latent),
+    )
+    # torch dumps PIXEL coords (get_pixel_coords, causal_fix=True); our state
+    # carries seconds on the temporal axis — multiply fps back out.
+    pos_pixels = np.asarray(state.positions).copy()
+    pos_pixels[:, 0] *= tools.fps
+    np.save(out / "positions.npy", pos_pixels)
 
     # --- per-step transformer dumps ---
     sigmas = np.asarray(DISTILLED_SIGMA_VALUES[: args.steps + 1], np.float32)
@@ -123,13 +161,23 @@ def main():
         latent = (latent.astype(jnp.float32) + v * (sigma_next - sigma)).astype(latent.dtype)
 
     final = tools.unpatchify(state.replace(latent=latent)).latent
-    np.save(out / "vae_input.npy", np.asarray(final))
+    np.save(out / "vae_decoder_input_latent.npy", np.asarray(final))
 
     decode = jax.jit(
         lambda p, z: video_decoder_apply(p, dec_cfg, z, timestep=0.05, noise_key=None)
     )
     video = decode(dec_params, final)
-    np.save(out / "vae_output.npy", np.asarray(video))
+    np.save(out / "vae_decoder_output_pixels.npy", np.asarray(video))
+
+    import json
+
+    manifest = {
+        "config": vars(args),
+        "sigmas": [float(s) for s in sigmas],
+        "stages": sorted(p.name for p in out.glob("*.npy")),
+    }
+    with open(out / "manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=2)
     print(f"dumped parity tensors to {out}")
 
 

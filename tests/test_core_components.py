@@ -376,3 +376,58 @@ class TestRMSNorm:
         w = jnp.full((8,), 2.0)
         out = rms_norm(x, w)
         np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-5)
+
+
+class TestFlopsAccounting:
+    """MFU accounting (bench.py detail) magnitudes and invariants."""
+
+    def test_dit_flops_scale_with_layers_and_rows(self):
+        from ltx2_tpu.models.transformer.model import LTXModelConfig
+        from ltx2_tpu.utils.flops import dit_step_flops
+
+        cfg1 = LTXModelConfig(num_layers=1, caption_channels=None)
+        cfg2 = LTXModelConfig(num_layers=2, caption_channels=None)
+        f1 = dit_step_flops(cfg1, 1024, 256)
+        f2 = dit_step_flops(cfg2, 1024, 256)
+        assert f2 > 1.9 * f1  # per-block dominates the once-only projections
+        assert dit_step_flops(cfg1, 1024, 256, rows=3) == 3 * f1
+        # text-KV caching removes the per-block context projections
+        assert dit_step_flops(cfg1, 1024, 256, text_kv_cached=True) < f1
+
+    def test_full_dit_magnitude(self):
+        """48-block @6144 tokens must land near the hand-derived ~176 TF
+        (8ND^2 + 4N^2D + 16ND^2 + cross terms, x48)."""
+        from ltx2_tpu.models.transformer.model import LTXModelConfig
+        from ltx2_tpu.utils.flops import dit_step_flops
+
+        cfg = LTXModelConfig(
+            num_attention_heads=32, attention_head_dim=128, num_layers=48,
+            cross_attention_dim=4096, caption_channels=None,
+        )
+        tf = dit_step_flops(cfg, 6144, 1024) / 1e12
+        assert 160 < tf < 200
+
+    def test_gemma_flops_magnitude(self):
+        """~2 * params * tokens is the classic transformer bound; Gemma-12B
+        at 1024 tokens should land in the 20-30 TF range."""
+        from ltx2_tpu.models.text_encoder.gemma3 import Gemma3Config
+        from ltx2_tpu.utils.flops import gemma_encode_flops
+
+        tf = gemma_encode_flops(Gemma3Config(), 1024) / 1e12
+        assert 18 < tf < 32
+
+    def test_vae_decoder_flops_positive_and_scales(self):
+        from ltx2_tpu.models.video_vae.decoder import VideoDecoderConfig
+        from ltx2_tpu.utils.flops import video_decoder_flops
+
+        cfg = VideoDecoderConfig()
+        f1 = video_decoder_flops(cfg, 4, 8, 8)
+        f2 = video_decoder_flops(cfg, 4, 8, 16)
+        assert f2 > 1.8 * f1  # ~linear in latent voxels
+
+    def test_mfu_report_fields(self):
+        from ltx2_tpu.utils.flops import mfu_report
+
+        r = mfu_report(197e12, 1.0)
+        assert r["pct_of_peak"] == 100.0
+        assert r["achieved_tflops_per_s"] == 197.0
