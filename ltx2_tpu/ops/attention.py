@@ -70,6 +70,52 @@ def _use_flash(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
     )
 
 
+# Masked flash: a KEY-ONLY additive mask (B, 1, 1, S) — the text cross-attn
+# padding mask — is exactly expressible as flash segment ids (q all segment
+# 1, padded keys segment 0), so CFG rows with real Gemma masks keep O(T)
+# memory instead of falling back to (B, H, N, S) einsum logits.
+_MASK_VALID_THRESHOLD = -1e30  # additive masks use -0.7 * finfo.max
+
+
+@lru_cache(maxsize=8)
+def _flash_attention_masked(block_q: int, block_kv: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    block_sizes = BlockSizes(
+        block_q=block_q,
+        block_k_major=block_kv,
+        block_k=block_kv,
+        block_b=1,
+    )
+
+    def run(q, k, v, scale, kv_valid):
+        seg_q = jnp.ones((q.shape[0], q.shape[2]), jnp.int32)
+        seg_kv = kv_valid.astype(jnp.int32)
+        return flash_attention(
+            q, k, v, segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
+            causal=False, sm_scale=scale, block_sizes=block_sizes,
+        )
+
+    return run
+
+
+def _use_flash_masked(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
+    if mask is None or jax.default_backend() != "tpu":
+        return False
+    if mask.ndim != 4 or mask.shape[2] != 1 or mask.shape[1] != 1:
+        return False  # query-dependent mask: einsum path
+    return (
+        q.shape[2] >= FLASH_MIN_TOKENS
+        and _pick_block(q.shape[2], FLASH_BLOCK_Q) is not None
+        and _pick_block(k.shape[2], FLASH_BLOCK_KV) is not None
+        and q.shape[-1] % 128 == 0
+    )
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -89,6 +135,12 @@ def sdpa(
         bq = _pick_block(q.shape[2], FLASH_BLOCK_Q)
         bkv = _pick_block(k.shape[2], FLASH_BLOCK_KV)
         return _flash_attention(bq, bkv)(q, k, v, scale)
+    if _use_flash_masked(q, k, mask):
+        bq = _pick_block(q.shape[2], FLASH_BLOCK_Q)
+        bkv = _pick_block(k.shape[2], FLASH_BLOCK_KV)
+        kv_valid = mask[:, 0, 0, :] > _MASK_VALID_THRESHOLD  # (B, S)
+        kv_valid = jnp.broadcast_to(kv_valid, (q.shape[0], k.shape[2]))
+        return _flash_attention_masked(bq, bkv)(q, k, v, scale, kv_valid)
     # Einsum fallback with fp32 softmax (short sequences, masked
     # cross-attention, CPU). Benchmarked on v5e at 6k tokens: 18 ms vs
     # 345 ms for jax.nn.dot_product_attention. The QK dot stores logits in

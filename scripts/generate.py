@@ -34,6 +34,14 @@ if os.environ.get("JAX_PLATFORMS"):
     import jax
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import re as _re
+
+    _m = _re.search(
+        r"xla_force_host_platform_device_count=(\d+)",
+        os.environ.get("XLA_FLAGS", ""),
+    )
+    if _m and os.environ["JAX_PLATFORMS"].startswith("cpu"):
+        jax.config.update("jax_num_cpu_devices", int(_m.group(1)))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -95,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-text-kv", action="store_true",
                    help="precompute text cross-attn K/V once per generation "
                         "(V1 checkpoints only; helps bf16 weights, not fp8)")
+    p.add_argument("--sp-devices", type=int, default=0,
+                   help="shard the video-token axis over this many devices "
+                   "(sequence parallelism / ring attention); 0 = off")
     p.add_argument("--gemma-fp8", action="store_true",
                    help="quantize Gemma matmul weights to fp8 at load "
                         "(12B text encoder fits a 16GB chip)")
@@ -483,6 +494,21 @@ def main(argv=None):
         tiling = tiling_config(args)
         images = parse_images(args)
         latent_channels = models["transformer_cfg"].in_channels
+
+        if args.sp_devices and args.sp_devices > 1:
+            import jax as _jax
+
+            from ltx2_tpu.parallel.mesh import create_mesh
+
+            if len(_jax.devices()) < args.sp_devices:
+                raise SystemExit(
+                    f"--sp-devices {args.sp_devices} but only "
+                    f"{len(_jax.devices())} devices visible"
+                )
+            models["sequence_mesh"] = create_mesh(
+                data=1, model=1, seq=args.sp_devices,
+                devices=_jax.devices()[: args.sp_devices],
+            )
 
         common = dict(
             height=args.height, width=args.width, num_frames=args.num_frames,

@@ -66,8 +66,8 @@ class TestCLISmoke:
         seen = {}
         real_make = one_stage_mod.make_video_denoise_loop
 
-        def spy_make(cfg, loop_cfg):
-            loop = real_make(cfg, loop_cfg)
+        def spy_make(cfg, loop_cfg, **kwargs):
+            loop = real_make(cfg, loop_cfg, **kwargs)
 
             def wrapped(params, video_state, sigmas, pos, neg, *a, **kw):
                 seen["latent_dtype"] = video_state.latent.dtype
