@@ -103,13 +103,18 @@ def rope_tables(
 def apply_rotary_pos_emb(
     q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Half-split rotation on (B, H, S, D) tensors (gemma3.py:117-139)."""
+    """Half-split rotation on (B, H, S, D) tensors (gemma3.py:117-139).
+
+    Rotation math in fp32 (cos/sin tables are fp32), result restored to the
+    input dtype so bf16 serving keeps a bf16 activation stream."""
     cos = cos[None, None]
     sin = sin[None, None]
 
     def rot(x):
-        x1, x2 = jnp.split(x, 2, axis=-1)
-        return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        xf = x.astype(jnp.float32)
+        x1, x2 = jnp.split(xf, 2, axis=-1)
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        return out.astype(x.dtype)
 
     return rot(q), rot(k)
 
