@@ -412,23 +412,19 @@ def precompute_text_kv(
     return out
 
 
-def ltx_model_apply(
+def prepare_stream_args(
     params: Params,
     cfg: LTXModelConfig,
     video: Optional[Modality] = None,
     audio: Optional[Modality] = None,
-    perturbations: Optional[BatchedPerturbationConfig] = None,
-    ca_scales: Optional[jnp.ndarray] = None,
     video_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     audio_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    text_kv: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None,
-) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Forward pass -> VELOCITY per enabled modality (model.py:776-881).
+) -> Tuple[Optional[StreamArgs], Optional[StreamArgs], bool, bool]:
+    """Run the preprocessors (model.py:72-410) for the enabled modalities.
 
-    ca_scales: optional (L,) per-block text cross-attn output scaling (the
-    late-block hook). video_pe/audio_pe: optional precomputed RoPE tables.
-    text_kv: optional precomputed per-layer text cross-attn K/V (see
-    precompute_text_kv; V1 only).
+    Returns (video_args, audio_args, run_video, run_audio). Shared by the
+    standard forward (ltx_model_apply) and the pipeline-parallel forward
+    (parallel/pipeline_parallel.py), which replaces only the block stack.
     """
     run_video = cfg.model_type.is_video_enabled() and video is not None
     run_audio = cfg.model_type.is_audio_enabled() and audio is not None
@@ -469,6 +465,31 @@ def ltx_model_apply(
                 gate_adaln_key="av_ca_v2a_gate_adaln_single",
                 inner_dim=cfg.audio_inner_dim,
             )
+
+    return video_args, audio_args, run_video, run_audio
+
+
+def ltx_model_apply(
+    params: Params,
+    cfg: LTXModelConfig,
+    video: Optional[Modality] = None,
+    audio: Optional[Modality] = None,
+    perturbations: Optional[BatchedPerturbationConfig] = None,
+    ca_scales: Optional[jnp.ndarray] = None,
+    video_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    audio_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    text_kv: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Forward pass -> VELOCITY per enabled modality (model.py:776-881).
+
+    ca_scales: optional (L,) per-block text cross-attn output scaling (the
+    late-block hook). video_pe/audio_pe: optional precomputed RoPE tables.
+    text_kv: optional precomputed per-layer text cross-attn K/V (see
+    precompute_text_kv; V1 only).
+    """
+    video_args, audio_args, run_video, run_audio = prepare_stream_args(
+        params, cfg, video, audio, video_pe=video_pe, audio_pe=audio_pe
+    )
 
     batch = (video_args or audio_args).x.shape[0]
     pmasks = _perturbation_mask_array(perturbations, cfg.num_layers, batch)

@@ -5,6 +5,7 @@ the reference is single-device, SURVEY.md §2.12)."""
 from ltx2_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    PIPE_AXIS,
     SEQ_AXIS,
     create_mesh,
     replicated,
@@ -17,6 +18,10 @@ from ltx2_tpu.parallel.runtime import (
     axis_layout,
     create_hybrid_mesh,
     initialize_distributed,
+)
+from ltx2_tpu.parallel.pipeline_parallel import (
+    make_pipeline_parallel_forward,
+    shard_pipeline_params,
 )
 from ltx2_tpu.parallel.sequence_parallel import (
     make_sequence_parallel_forward,
@@ -33,6 +38,7 @@ from ltx2_tpu.parallel.sharding import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
     "SEQ_AXIS",
     "create_mesh",
     "replicated",
@@ -44,6 +50,8 @@ __all__ = [
     "axis_layout",
     "create_hybrid_mesh",
     "initialize_distributed",
+    "make_pipeline_parallel_forward",
+    "shard_pipeline_params",
     "make_sequence_parallel_forward",
     "modality_specs",
     "DIT_SHARDING_RULES",

@@ -19,31 +19,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 
 
 def create_mesh(
     data: int = 1,
     model: Optional[int] = None,
     seq: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, model[, seq]) mesh.
+    """Build a (data[, pipe][, seq], model) mesh.
 
     model=None takes every remaining device. The model axis is innermost so
-    TP collectives ride the fastest ICI links.
+    TP collectives ride the fastest ICI links; the pipe axis is outermost —
+    pipeline stages exchange one small point-to-point activation per tick
+    and tolerate the slowest links (DCN across hosts).
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if model is None:
-        model = n // (data * seq)
-    assert data * model * seq == n, (
-        f"mesh {data}x{model}x{seq} != {n} devices"
+        model = n // (data * seq * pipe)
+    assert data * model * seq * pipe == n, (
+        f"mesh {data}x{pipe}x{seq}x{model} != {n} devices"
     )
-    dev_array = np.asarray(devices).reshape(data, seq, model)
-    if seq == 1:
-        return Mesh(dev_array.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
-    return Mesh(dev_array, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+    dev_array = np.asarray(devices).reshape(data, pipe, seq, model)
+    axes = [(DATA_AXIS, data), (PIPE_AXIS, pipe), (SEQ_AXIS, seq), (MODEL_AXIS, model)]
+    # Keep historical shapes: drop singleton pipe/seq axes (data/model always
+    # present so existing sharding rules apply unchanged).
+    keep = [i for i, (name, size) in enumerate(axes)
+            if name in (DATA_AXIS, MODEL_AXIS) or size > 1]
+    dev_array = dev_array.reshape([axes[i][1] for i in keep])
+    return Mesh(dev_array, tuple(axes[i][0] for i in keep))
 
 
 def single_device_mesh() -> Mesh:

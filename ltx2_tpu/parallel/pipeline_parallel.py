@@ -1,0 +1,310 @@
+"""Pipeline-parallel DiT execution: the 48-block stack staged over a mesh axis.
+
+The reference has no distributed runtime (SURVEY.md §2.12); this is new
+TPU-first design completing the parallelism matrix (DP / TP / SP / PP):
+
+- The block stack's STACKED (L, ...) parameter layout (model.py) makes PP a
+  pure sharding decision: each of P stages holds L/P contiguous blocks —
+  `transformer_blocks` leaves shard along their leading layer axis over the
+  'pipe' mesh axis, so per-device weight HBM is ~1/P. This is the scaling
+  lever when a model does NOT fit one chip and TP's all-reduce latency
+  dominates: PP's only communication is one point-to-point activation
+  ppermute per stage per microbatch, which rides a single ICI hop.
+
+- Schedule: GPipe over M microbatches split from the BATCH axis. In the
+  denoise loops the batch rows are guidance passes x clips (pass-major
+  batched CFG), so M microbatches are natural and bubble overhead is
+  (P-1)/(M+P-1). All devices run the same program over M+P-1 "ticks": at
+  tick t, stage s applies its local blocks to microbatch (t-s), then the
+  activation rotates one stage forward via lax.ppermute. Out-of-range
+  (bubble) ticks compute on don't-care data and are never recorded.
+
+- Preprocessing (patchify proj, AdaLN tables, RoPE) and the output heads
+  are token-pointwise and tiny relative to the blocks; they run replicated
+  on every stage, which keeps the shard_map region self-contained and
+  avoids stage-0/stage-(P-1) special-casing outside the loop.
+
+Composes with the denoise loops via pipelines/denoise.py's `pipeline_axis`
+option, mirroring how sequence parallelism is wired.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ltx2_tpu.components.perturbations import BatchedPerturbationConfig
+from ltx2_tpu.models.transformer.blocks import av_block_apply
+from ltx2_tpu.models.transformer.model import (
+    LTXModelConfig,
+    Modality,
+    _perturbation_mask_array,
+    _process_output,
+    prepare_stream_args,
+)
+from ltx2_tpu.parallel.mesh import PIPE_AXIS
+
+
+def _dyn(tree, i, axis=0):
+    """tree_map dynamic_index_in_dim over a pytree (None leaves preserved)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, i, axis, keepdims=False), tree
+    )
+
+
+def _to_microbatches(tree, m: int):
+    """Reshape every leaf's leading batch dim B -> (M, B//M)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:]), tree
+    )
+
+
+def pipeline_block_stack(
+    params,
+    cfg: LTXModelConfig,
+    video_args,
+    audio_args,
+    run_video: bool,
+    run_audio: bool,
+    *,
+    axis: str,
+    num_microbatches: int,
+    perturbations: Optional[BatchedPerturbationConfig] = None,
+    ca_scales: Optional[jnp.ndarray] = None,
+) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Run the transformer block stack GPipe-pipelined over mesh axis `axis`.
+
+    MUST run inside shard_map with `params['transformer_blocks']` sharded
+    along its leading (L, ...) layer axis over `axis` and everything else
+    replicated. Returns the final (vx, ax) hidden states, replicated.
+    """
+    n_stages = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    m = num_microbatches
+
+    if cfg.num_layers % n_stages != 0:
+        raise ValueError(
+            f"num_layers {cfg.num_layers} must divide pipeline stages {n_stages}"
+        )
+    layers_local = cfg.num_layers // n_stages
+
+    batch = (video_args or audio_args).x.shape[0]
+    if batch % m != 0:
+        raise ValueError(f"batch {batch} must divide microbatches {m}")
+    mb = batch // m
+
+    # Per-layer scan inputs: block params arrive pre-sharded (L/P, ...);
+    # masks/ca_scales are computed replicated at global L and sliced locally.
+    pmasks = _perturbation_mask_array(perturbations, cfg.num_layers, batch)
+    pmasks = jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_slice_in_dim(
+            a, idx * layers_local, layers_local, 0
+        ).reshape(layers_local, m, mb),
+        pmasks,
+    )
+    if ca_scales is None:
+        ca_scales = jnp.ones((cfg.num_layers,), jnp.float32)
+    ca_local = jax.lax.dynamic_slice_in_dim(ca_scales, idx * layers_local, layers_local, 0)
+
+    video_cfg = cfg.video_stream_config() if run_video else None
+    audio_cfg = cfg.audio_stream_config() if run_audio else None
+
+    # Microbatched per-sample args: every StreamArgs leaf is (B, ...).
+    v_mb = _to_microbatches(video_args, m) if run_video else None
+    a_mb = _to_microbatches(audio_args, m) if run_audio else None
+
+    def local_blocks(vx, ax, v_in, a_in, masks_mb):
+        """Apply this stage's L/P blocks (same scan body as ltx_model_apply)."""
+        xs = {"p": params["transformer_blocks"], "masks": masks_mb, "ca": ca_local}
+
+        def block_step(carry, xs_l):
+            cvx, cax = carry
+            v = v_in.replace(x=cvx) if run_video else None
+            a = a_in.replace(x=cax) if run_audio else None
+            v_out, a_out = av_block_apply(
+                xs_l["p"], v, a, video_cfg, audio_cfg,
+                rope_type=cfg.rope_type, norm_eps=cfg.norm_eps,
+                perturb=xs_l["masks"], ca_scale=xs_l["ca"],
+            )
+            return (
+                v_out.x if run_video else cvx,
+                a_out.x if run_audio else cax,
+            ), None
+
+        if cfg.remat:
+            block_step = jax.checkpoint(block_step)
+        (vx, ax), _ = jax.lax.scan(block_step, (vx, ax), xs)
+        return vx, ax
+
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    zeros_v = (
+        jnp.zeros_like(v_mb.x[0]) if run_video else jnp.zeros((mb, 0, 1), cfg.dtype)
+    )
+    zeros_a = (
+        jnp.zeros_like(a_mb.x[0]) if run_audio else jnp.zeros((mb, 0, 1), cfg.dtype)
+    )
+    v_outs = jnp.zeros((m, *zeros_v.shape), zeros_v.dtype)
+    a_outs = jnp.zeros((m, *zeros_a.shape), zeros_a.dtype)
+
+    def tick(carry, t):
+        vx, ax, v_outs, a_outs = carry
+        mb_id = jnp.clip(t - idx, 0, m - 1)
+        v_in = _dyn(v_mb, mb_id) if run_video else None
+        a_in = _dyn(a_mb, mb_id) if run_audio else None
+        masks_mb = _dyn(pmasks, mb_id, axis=1)  # (L/P, mb) per type
+
+        # Stage 0 injects a fresh microbatch; later stages use the rotated
+        # activation from the previous tick.
+        is_first = idx == 0
+        if run_video:
+            vx = jnp.where(is_first, v_in.x, vx)
+        if run_audio:
+            ax = jnp.where(is_first, a_in.x, ax)
+
+        vx, ax = local_blocks(vx, ax, v_in, a_in, masks_mb)
+
+        # Last stage records microbatch (t - (P-1)) when in range.
+        record = (idx == n_stages - 1) & (t - idx >= 0) & (t - idx < m)
+        if run_video:
+            v_upd = jax.lax.dynamic_update_index_in_dim(v_outs, vx, mb_id, 0)
+            v_outs = jnp.where(record, v_upd, v_outs)
+        if run_audio:
+            a_upd = jax.lax.dynamic_update_index_in_dim(a_outs, ax, mb_id, 0)
+            a_outs = jnp.where(record, a_upd, a_outs)
+
+        # Rotate the activation one stage forward (single ICI hop).
+        vx = jax.lax.ppermute(vx, axis, perm)
+        ax = jax.lax.ppermute(ax, axis, perm)
+        return (vx, ax, v_outs, a_outs), None
+
+    ticks = jnp.arange(m + n_stages - 1)
+    # The carry becomes device-varying across 'pipe' inside the loop (ppermute
+    # + axis_index-dependent writes); mark the zero-init accordingly so the
+    # scan carry types are stable.
+    init = jax.tree_util.tree_map(
+        lambda a: jax.lax.pcast(a, (axis,), to="varying"),
+        (zeros_v, zeros_a, v_outs, a_outs),
+    )
+    (_, _, v_outs, a_outs), _ = jax.lax.scan(tick, init, ticks)
+
+    # Outputs live on the last stage only; replicate for the output heads.
+    def replicate_from_last(outs, b_shape):
+        outs = jax.lax.psum(jnp.where(idx == n_stages - 1, outs, 0.0), axis)
+        return outs.reshape(batch, *b_shape[1:])
+
+    vx_full = replicate_from_last(v_outs, zeros_v.shape) if run_video else None
+    ax_full = replicate_from_last(a_outs, zeros_a.shape) if run_audio else None
+    return vx_full, ax_full
+
+
+def _pp_velocity(params, cfg, video, audio, *, axis, num_microbatches,
+                 perturbations, ca_scales, video_pe):
+    """Full forward with the pipelined block stack -> velocity per modality."""
+    video_args, audio_args, run_video, run_audio = prepare_stream_args(
+        params, cfg, video, audio, video_pe=video_pe
+    )
+    vx, ax = pipeline_block_stack(
+        params, cfg, video_args, audio_args, run_video, run_audio,
+        axis=axis, num_microbatches=num_microbatches,
+        perturbations=perturbations, ca_scales=ca_scales,
+    )
+    video_out = audio_out = None
+    if run_video:
+        video_out = _process_output(
+            params["scale_shift_table"], cfg.norm_eps, params["proj_out"],
+            vx, video_args.embedded_timestep,
+        ).astype(jnp.float32)
+    if run_audio:
+        audio_out = _process_output(
+            params["audio_scale_shift_table"], cfg.norm_eps, params["audio_proj_out"],
+            ax, audio_args.embedded_timestep,
+        ).astype(jnp.float32)
+    if run_video and run_audio:
+        return video_out, audio_out
+    return video_out if run_video else audio_out
+
+
+def _x0(modality: Modality, velocity: jnp.ndarray) -> jnp.ndarray:
+    t = modality.timesteps.astype(jnp.float32)
+    t = t[:, None, None] if t.ndim == 1 else t[:, :, None]
+    return modality.latent.astype(jnp.float32) - t * velocity
+
+
+def block_param_specs(params, axis: str = PIPE_AXIS):
+    """PartitionSpec pytree: transformer_blocks sharded on their leading
+    layer axis over `axis`; everything else replicated."""
+    def spec_for(path, leaf):
+        top = getattr(path[0], "key", None)
+        if top == "transformer_blocks":
+            return P(axis)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_pipeline_params(mesh: Mesh, params, axis: str = PIPE_AXIS):
+    """Place the param tree: blocks layer-sharded over `axis`, rest replicated."""
+    from jax.sharding import NamedSharding
+
+    specs = block_param_specs(params, axis)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params, specs,
+    )
+
+
+def make_pipeline_parallel_forward(
+    mesh: Mesh,
+    cfg: LTXModelConfig,
+    num_microbatches: int = 2,
+    axis: str = PIPE_AXIS,
+    x0: bool = True,
+    perturbations: Optional[BatchedPerturbationConfig] = None,
+    ca_scales: Optional[jnp.ndarray] = None,
+):
+    """Build a jitted pipeline-parallel forward: (params, video[, audio]) -> out.
+
+    Block params shard along the layer axis over `axis` (per-device weight
+    HBM ~1/P); activations flow stage-to-stage via ppermute in a GPipe
+    schedule with `num_microbatches` drawn from the batch axis. The batch
+    must divide num_microbatches; cfg.num_layers must divide the stage count.
+    """
+    if cfg.sequence_axis is not None:
+        raise ValueError("pipeline parallelism does not compose with sequence_axis yet")
+    pp_cfg = dataclasses.replace(cfg, remat=cfg.remat)
+
+    def forward(params, video, audio, video_pe):
+        out = _pp_velocity(
+            params, pp_cfg, video, audio,
+            axis=axis, num_microbatches=num_microbatches,
+            perturbations=perturbations, ca_scales=ca_scales, video_pe=video_pe,
+        )
+        if not x0:
+            return out
+        if isinstance(out, tuple):
+            return _x0(video, out[0]), _x0(audio, out[1])
+        return _x0(video if video is not None else audio, out)
+
+    def run(params, video: Optional[Modality] = None,
+            audio: Optional[Modality] = None, video_pe=None):
+        param_specs = block_param_specs(params, axis)
+        mod_specs = lambda mod: (
+            None if mod is None else jax.tree_util.tree_map(lambda _: P(), mod)
+        )
+        pe_specs = None if video_pe is None else (P(), P())
+        out_specs = P()
+        if video is not None and audio is not None:
+            out_specs = (P(), P())
+        fn = jax.shard_map(
+            forward,
+            mesh=mesh,
+            in_specs=(param_specs, mod_specs(video), mod_specs(audio), pe_specs),
+            out_specs=out_specs,
+        )
+        return jax.jit(fn)(params, video, audio, video_pe)
+
+    return run

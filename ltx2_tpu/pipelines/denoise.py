@@ -233,12 +233,64 @@ def _make_sp_forward(
     return run
 
 
+def _make_pp_forward(
+    model_cfg: LTXModelConfig,
+    mesh: Mesh,
+    axis: str,
+    num_microbatches: int,
+    perturb,
+    ca_scales,
+    n_modalities: int,
+):
+    """Pipeline-parallel x0 forward for use INSIDE the denoise scan.
+
+    Block params shard along the layer axis over `axis` (per-stage weight
+    HBM ~1/P); the batch rows (guidance passes x clips) become GPipe
+    microbatches (parallel/pipeline_parallel.py). Same call signature as
+    _make_sp_forward so the loops treat both uniformly; text_kv caching is
+    unsupported under PP (its (L, ...) leaves would need layer sharding).
+    """
+    from ltx2_tpu.parallel.pipeline_parallel import (
+        _pp_velocity,
+        _x0,
+        block_param_specs,
+    )
+
+    def forward(params, video, audio, video_pe):
+        return _pp_velocity(
+            params, model_cfg, video, audio,
+            axis=axis, num_microbatches=num_microbatches,
+            perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
+        )
+
+    def run(params, video, audio, video_pe, _ca_scales, text_kv):
+        assert text_kv is None, "text KV caching is incompatible with PP"
+        param_specs = block_param_specs(params, axis)
+        v_specs = None if video is None else jax.tree_util.tree_map(lambda _: P(), video)
+        a_specs = None if audio is None else jax.tree_util.tree_map(lambda _: P(), audio)
+        pe_specs = None if video_pe is None else (P(), P())
+        out_specs = (P(), P()) if n_modalities == 2 else P()
+        vel = jax.shard_map(
+            forward,
+            mesh=mesh,
+            in_specs=(param_specs, v_specs, a_specs, pe_specs),
+            out_specs=out_specs,
+        )(params, video, audio, video_pe)
+        if n_modalities == 2:
+            return _x0(video, vel[0]), _x0(audio, vel[1])
+        return _x0(video, vel)
+
+    return run
+
+
 @lru_cache(maxsize=32)
 def make_video_denoise_loop(
     model_cfg: LTXModelConfig,
     loop_cfg: DenoiseLoopConfig,
     mesh: Optional[Mesh] = None,
     sequence_axis: str = "seq",
+    pipeline_axis: Optional[str] = None,
+    pipeline_microbatches: int = 0,
 ):
     """Build the jitted video-only denoise loop.
 
@@ -249,6 +301,9 @@ def make_video_denoise_loop(
     With `mesh`, the DiT forward inside the scan runs token-sharded over
     `sequence_axis` (ring attention; SURVEY §2.12) — the whole 121f+
     generation executes end-to-end with per-device activations ~1/n_seq.
+    With `pipeline_axis` instead, the block stack runs GPipe-pipelined over
+    that mesh axis (per-stage weight HBM ~1/P); microbatches default to the
+    guidance rows (0 = rows).
     """
     rows = loop_cfg.rows
     ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
@@ -282,7 +337,13 @@ def make_video_denoise_loop(
         clean = state.clean_latent
 
         sp_forward = None
-        if mesh is not None:
+        if mesh is not None and pipeline_axis is not None:
+            assert text_kv is None, "cache_text_kv is incompatible with pipeline_axis"
+            sp_forward = _make_pp_forward(
+                model_cfg, mesh, pipeline_axis,
+                pipeline_microbatches or rows, perturb, ca_scales, n_modalities=1,
+            )
+        elif mesh is not None:
             _check_seq_divisible(
                 state.latent.shape[1], mesh, sequence_axis, "video"
             )
@@ -372,6 +433,8 @@ def make_av_denoise_loop(
     loop_cfg: DenoiseLoopConfig,
     mesh: Optional[Mesh] = None,
     sequence_axis: str = "seq",
+    pipeline_axis: Optional[str] = None,
+    pipeline_microbatches: int = 0,
 ):
     """Joint audio-video denoise loop (one_stage.py:466-729), batched rows.
 
@@ -379,7 +442,9 @@ def make_av_denoise_loop(
                pos_v_ctx, neg_v_ctx, pos_a_ctx, neg_a_ctx)
     -> (video_state, audio_state). With `mesh`, both modalities run
     token-sharded over `sequence_axis` inside the scan (A<->V cross-modal
-    attention all-gathers the other modality's K/V over the ring).
+    attention all-gathers the other modality's K/V over the ring); with
+    `pipeline_axis` instead, the block stack runs GPipe-pipelined over that
+    axis with the guidance rows as microbatches.
     """
     rows = loop_cfg.rows
     ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
@@ -416,7 +481,13 @@ def make_av_denoise_loop(
         a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
 
         sp_forward = None
-        if mesh is not None:
+        if mesh is not None and pipeline_axis is not None:
+            assert text_kv is None, "cache_text_kv is incompatible with pipeline_axis"
+            sp_forward = _make_pp_forward(
+                model_cfg, mesh, pipeline_axis,
+                pipeline_microbatches or rows, perturb, ca_scales, n_modalities=2,
+            )
+        elif mesh is not None:
             _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
             _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
             sp_forward = _make_sp_forward(

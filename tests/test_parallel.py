@@ -450,3 +450,179 @@ class TestGemmaTP:
             )
         )
         np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+class TestPipelineParallel:
+    """Round-2: GPipe pipeline parallelism over the block stack — the
+    stacked (L, ...) param layout shards along the layer axis over 'pipe',
+    activations rotate stage-to-stage via ppermute."""
+
+    def test_video_forward_matches(self):
+        from ltx2_tpu.parallel.pipeline_parallel import make_pipeline_parallel_forward
+
+        cfg = tiny_config(num_layers=4)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)  # batch 2 -> 2 microbatches
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+
+        mesh = create_mesh(data=1, model=1, pipe=4, devices=jax.devices()[:4])
+        pp = make_pipeline_parallel_forward(mesh, cfg, num_microbatches=2, x0=False)
+        got = np.asarray(pp(params, video))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_av_forward_matches_with_stg(self):
+        from ltx2_tpu.components.perturbations import create_stg_perturbation
+        from ltx2_tpu.components.perturbations import (
+            BatchedPerturbationConfig,
+            PerturbationConfig,
+        )
+        from ltx2_tpu.models.transformer.model import LTXModelType
+        from ltx2_tpu.parallel.pipeline_parallel import make_pipeline_parallel_forward
+        from tests.test_dit import make_audio_modality
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo, num_layers=4)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)
+        audio = make_audio_modality(cfg)
+        # Per-sample perturbation: row 1 skips self-attn in block 1.
+        pert = BatchedPerturbationConfig(
+            perturbations=(
+                PerturbationConfig.empty(),
+                create_stg_perturbation(skip_video_self_attn=True, blocks=[1]),
+            )
+        )
+        expected_v, expected_a = jitted_forward(cfg, perturbations=pert)(
+            params, video, audio
+        )
+
+        mesh = create_mesh(data=1, model=1, pipe=4, devices=jax.devices()[:4])
+        pp = make_pipeline_parallel_forward(
+            mesh, cfg, num_microbatches=2, x0=False, perturbations=pert
+        )
+        got_v, got_a = pp(params, video, audio)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(expected_v), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(expected_a), atol=5e-5)
+
+    def test_x0_matches(self):
+        from ltx2_tpu.parallel.pipeline_parallel import make_pipeline_parallel_forward
+
+        cfg = tiny_config(num_layers=4)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)
+        expected = np.asarray(jitted_forward(cfg, x0=True)(params, video))
+
+        mesh = create_mesh(data=1, model=1, pipe=2, devices=jax.devices()[:2])
+        pp = make_pipeline_parallel_forward(mesh, cfg, num_microbatches=2, x0=True)
+        got = np.asarray(pp(params, video))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_params_actually_sharded(self):
+        from ltx2_tpu.parallel.pipeline_parallel import shard_pipeline_params
+
+        cfg = tiny_config(num_layers=8)
+        params = cached_params(cfg)
+        mesh = create_mesh(data=1, model=1, pipe=8)
+        sharded = shard_pipeline_params(mesh, params)
+        q = sharded["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        # 8 layers over 8 stages: one block per device.
+        assert q.addressable_shards[0].data.shape[0] == 1
+        assert len(q.addressable_shards) == 8
+
+    def test_bad_divisibility_rejected(self):
+        from ltx2_tpu.parallel.pipeline_parallel import make_pipeline_parallel_forward
+
+        cfg = tiny_config(num_layers=3)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)
+        mesh = create_mesh(data=1, model=1, pipe=2, devices=jax.devices()[:2])
+        with pytest.raises(ValueError, match="divide"):
+            make_pipeline_parallel_forward(mesh, cfg, num_microbatches=2)(params, video)
+
+
+class TestPipelineParallelDenoiseLoop:
+    """Pipeline parallelism wired INTO the scanned denoise loop — guidance
+    rows become the GPipe microbatches."""
+
+    def _setup(self, cfg):
+        from ltx2_tpu.components import GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.types import VideoLatentShape
+
+        shape = VideoLatentShape(
+            batch=1, channels=cfg.in_channels, frames=2, height=2, width=3
+        )
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = GaussianNoiser()(
+            jax.random.PRNGKey(0), tools.create_initial_state(), 1.0
+        )
+        sigmas = jnp.asarray([1.0, 0.6, 0.2, 0.0])
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(1), (1, 5, cfg.caption_channels)
+        )
+        return state, sigmas, ctx
+
+    def test_video_loop_matches_unsharded(self):
+        from ltx2_tpu.components import CFGGuider
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+
+        cfg = tiny_config(num_layers=4)
+        params = cached_params(cfg)
+        state, sigmas, ctx = self._setup(cfg)
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(3.0))  # 2 rows -> M=2
+        expected = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg)(params, state, sigmas, ctx, ctx).latent
+        )
+        mesh = create_mesh(data=1, model=1, pipe=4, devices=jax.devices()[:4])
+        pp_loop = make_video_denoise_loop(cfg, loop_cfg, mesh=mesh, pipeline_axis="pipe")
+        got = np.asarray(pp_loop(params, state, sigmas, ctx, ctx).latent)
+        np.testing.assert_allclose(got, expected, atol=5e-4)
+
+    def test_video_loop_pp_with_stg(self):
+        """STG adds a third row (3 microbatches) with per-row perturbations."""
+        from ltx2_tpu.components import CFGGuider
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+
+        cfg = tiny_config(num_layers=2)
+        params = cached_params(cfg)
+        state, sigmas, ctx = self._setup(cfg)
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(3.0), stg_scale=1.0)
+        expected = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg)(params, state, sigmas, ctx, ctx).latent
+        )
+        mesh = create_mesh(data=1, model=1, pipe=2, devices=jax.devices()[:2])
+        pp_loop = make_video_denoise_loop(cfg, loop_cfg, mesh=mesh, pipeline_axis="pipe")
+        got = np.asarray(pp_loop(params, state, sigmas, ctx, ctx).latent)
+        np.testing.assert_allclose(got, expected, atol=5e-4)
+
+    def test_av_loop_matches_unsharded(self):
+        from ltx2_tpu.components import AudioPatchifier, CFGGuider, GaussianNoiser
+        from ltx2_tpu.conditioning.tools import AudioLatentTools
+        from ltx2_tpu.models.transformer.model import LTXModelType
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_av_denoise_loop
+        from ltx2_tpu.types import AudioLatentShape
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo, num_layers=4)
+        params = cached_params(cfg)
+        v_state, sigmas, ctx = self._setup(cfg)
+        a_shape = AudioLatentShape(
+            batch=1, channels=cfg.audio_in_channels, frames=8, mel_bins=1
+        )
+        a_tools = AudioLatentTools(patchifier=AudioPatchifier(1), target_shape=a_shape)
+        a_state = GaussianNoiser()(
+            jax.random.PRNGKey(3), a_tools.create_initial_state(), 1.0
+        )
+        a_ctx = jax.random.normal(
+            jax.random.PRNGKey(4), (1, 5, cfg.caption_channels or cfg.audio_inner_dim)
+        )
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(2.0), audio_guider=CFGGuider(2.0))
+        args = (params, v_state, a_state, sigmas, ctx, ctx, a_ctx, a_ctx)
+        ev, ea = make_av_denoise_loop(cfg, loop_cfg)(*args)
+        mesh = create_mesh(data=1, model=1, pipe=4, devices=jax.devices()[:4])
+        gv, ga = make_av_denoise_loop(cfg, loop_cfg, mesh=mesh, pipeline_axis="pipe")(*args)
+        np.testing.assert_allclose(np.asarray(gv.latent), np.asarray(ev.latent), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(ga.latent), np.asarray(ea.latent), atol=5e-4)
