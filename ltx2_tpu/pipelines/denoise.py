@@ -283,6 +283,19 @@ def _make_pp_forward(
     return run
 
 
+def mesh_loop_kwargs(sequence_mesh=None, pipeline_mesh=None) -> dict:
+    """Loop-factory kwargs for the configured multi-chip mode.
+
+    sequence_mesh -> token sharding (ring attention); pipeline_mesh ->
+    GPipe block-stack staging over the 'pipe' axis. Mutually exclusive.
+    """
+    if pipeline_mesh is not None:
+        if sequence_mesh is not None:
+            raise ValueError("set sequence_mesh OR pipeline_mesh, not both")
+        return {"mesh": pipeline_mesh, "pipeline_axis": "pipe"}
+    return {"mesh": sequence_mesh}
+
+
 @lru_cache(maxsize=32)
 def make_video_denoise_loop(
     model_cfg: LTXModelConfig,
@@ -695,6 +708,8 @@ def make_multimodal_av_denoise_loop(
     mm: MultiModalLoopConfig,
     mesh: Optional[Mesh] = None,
     sequence_axis: str = "seq",
+    pipeline_axis: Optional[str] = None,
+    pipeline_microbatches: int = 0,
 ):
     """Joint AV denoise loop under the MultiModalGuider (two_stage.py stage 1).
 
@@ -731,7 +746,12 @@ def make_multimodal_av_denoise_loop(
         a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
 
         sp_forward = None
-        if mesh is not None:
+        if mesh is not None and pipeline_axis is not None:
+            sp_forward = _make_pp_forward(
+                model_cfg, mesh, pipeline_axis,
+                pipeline_microbatches or rows, perturb, None, n_modalities=2,
+            )
+        elif mesh is not None:
             _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
             _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
             sp_forward = _make_sp_forward(

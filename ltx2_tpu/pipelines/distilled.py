@@ -39,6 +39,7 @@ from ltx2_tpu.pipelines.denoise import (
     DenoiseLoopConfig,
     make_av_denoise_loop,
     make_video_denoise_loop,
+    mesh_loop_kwargs,
 )
 from ltx2_tpu.pipelines.one_stage import OneStagePipeline
 from ltx2_tpu.types import AudioLatentShape, VideoLatentShape, VideoPixelShape
@@ -185,7 +186,7 @@ class DistilledPipeline(OneStagePipeline):
                     latent=channelwise_normalize_audio(audio_state.latent)
                 )
             loop = make_av_denoise_loop(
-                self.transformer_cfg, loop_cfg, mesh=self.sequence_mesh
+                self.transformer_cfg, loop_cfg, **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh)
             )
             video_state, audio_state = loop(
                 self.transformer_params, video_state, audio_state, sig,
@@ -193,7 +194,7 @@ class DistilledPipeline(OneStagePipeline):
             )
         else:
             loop = make_video_denoise_loop(
-                self.transformer_cfg, loop_cfg, mesh=self.sequence_mesh
+                self.transformer_cfg, loop_cfg, **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh)
             )
             video_state = loop(
                 self.transformer_params, video_state, sig, text_encoding, text_encoding

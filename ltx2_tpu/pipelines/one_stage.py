@@ -49,6 +49,7 @@ from ltx2_tpu.pipelines.denoise import (
     DenoiseLoopConfig,
     make_av_denoise_loop,
     make_video_denoise_loop,
+    mesh_loop_kwargs,
 )
 from ltx2_tpu.types import (
     AudioLatentShape,
@@ -126,10 +127,14 @@ class OneStagePipeline:
         vocoder_params=None,
         vocoder_cfg=None,
         sequence_mesh=None,
+        pipeline_mesh=None,
     ):
         # Optional jax.sharding.Mesh with a 'seq' axis: the denoise loops run
         # token-sharded (ring attention) end-to-end (SURVEY §2.12).
         self.sequence_mesh = sequence_mesh
+        # Optional Mesh with a 'pipe' axis: block stack GPipe-pipelined
+        # (params layer-sharded; shard with shard_pipeline_params first).
+        self.pipeline_mesh = pipeline_mesh
         self.transformer_params = transformer_params
         self.transformer_cfg = transformer_cfg
         self.video_encoder_params = video_encoder_params
@@ -297,7 +302,8 @@ class OneStagePipeline:
             audio_state = noiser(audio_noise_key, audio_state, noise_scale=1.0)
 
             loop = make_av_denoise_loop(
-                self.transformer_cfg, loop_cfg, mesh=self.sequence_mesh
+                self.transformer_cfg, loop_cfg,
+                **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh),
             )
             video_state, audio_state = loop(
                 self.transformer_params, video_state, audio_state, sigmas,
@@ -306,7 +312,8 @@ class OneStagePipeline:
             )
         else:
             loop = make_video_denoise_loop(
-                self.transformer_cfg, loop_cfg, mesh=self.sequence_mesh
+                self.transformer_cfg, loop_cfg,
+                **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh),
             )
             video_state = loop(
                 self.transformer_params, video_state, sigmas,

@@ -20,7 +20,7 @@ import numpy as np
 from ltx2_tpu.components import CFGGuider, GaussianNoiser, LTX2Scheduler
 from ltx2_tpu.conditioning.tools import VideoLatentTools
 from ltx2_tpu.models.video_vae import TilingConfig
-from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop, mesh_loop_kwargs
 from ltx2_tpu.pipelines.one_stage import OneStagePipeline
 from ltx2_tpu.types import LatentState, VideoLatentShape
 
@@ -167,7 +167,7 @@ class RetakePipeline(OneStagePipeline):
         loop = make_video_denoise_loop(
             self.transformer_cfg,
             DenoiseLoopConfig(guider=CFGGuider(scale=config.cfg_scale)),
-            mesh=self.sequence_mesh,
+            **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh),
         )
         state = loop(
             self.transformer_params, state, sigmas, positive_encoding, negative_encoding

@@ -44,6 +44,7 @@ from ltx2_tpu.pipelines.denoise import (
     MultiModalLoopConfig,
     make_multimodal_av_denoise_loop,
     make_video_denoise_loop,
+    mesh_loop_kwargs,
 )
 from ltx2_tpu.pipelines.distilled import DistilledPipeline
 from ltx2_tpu.types import AudioLatentShape, VideoLatentShape, VideoPixelShape
@@ -171,7 +172,7 @@ class TwoStagePipeline(DistilledPipeline):
                 modality_scale=config.modality_scale,
             )
             loop = make_multimodal_av_denoise_loop(
-                self.transformer_cfg, mm, mesh=self.sequence_mesh
+                self.transformer_cfg, mm, **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh)
             )
             video_state, audio_state = loop(
                 self.transformer_params, video_state, audio_state, sigmas,
@@ -188,7 +189,7 @@ class TwoStagePipeline(DistilledPipeline):
                 DenoiseLoopConfig(
                     guider=guider, uniform_timesteps=not conditionings
                 ),
-                mesh=self.sequence_mesh,
+                **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh),
             )
             video_state = loop(
                 self.transformer_params, video_state, sigmas,

@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sp-devices", type=int, default=0,
                    help="shard the video-token axis over this many devices "
                    "(sequence parallelism / ring attention); 0 = off")
+    p.add_argument("--pp-stages", type=int, default=0,
+                   help="stage the 48-block stack over this many devices "
+                   "(GPipe pipeline parallelism; weights layer-sharded, "
+                   "guidance rows as microbatches); 0 = off")
     p.add_argument("--gemma-fp8", action="store_true",
                    help="quantize Gemma matmul weights to fp8 at load "
                         "(12B text encoder fits a 16GB chip)")
@@ -508,6 +512,32 @@ def main(argv=None):
             models["sequence_mesh"] = create_mesh(
                 data=1, model=1, seq=args.sp_devices,
                 devices=_jax.devices()[: args.sp_devices],
+            )
+
+        if args.pp_stages and args.pp_stages > 1:
+            import jax as _jax
+
+            from ltx2_tpu.parallel.mesh import create_mesh
+            from ltx2_tpu.parallel.pipeline_parallel import shard_pipeline_params
+
+            if args.sp_devices and args.sp_devices > 1:
+                raise SystemExit("--pp-stages and --sp-devices are mutually exclusive")
+            if len(_jax.devices()) < args.pp_stages:
+                raise SystemExit(
+                    f"--pp-stages {args.pp_stages} but only "
+                    f"{len(_jax.devices())} devices visible"
+                )
+            if models["transformer_cfg"].num_layers % args.pp_stages != 0:
+                raise SystemExit(
+                    f"--pp-stages {args.pp_stages} must divide "
+                    f"{models['transformer_cfg'].num_layers} transformer blocks"
+                )
+            models["pipeline_mesh"] = create_mesh(
+                data=1, model=1, pipe=args.pp_stages,
+                devices=_jax.devices()[: args.pp_stages],
+            )
+            models["transformer_params"] = shard_pipeline_params(
+                models["pipeline_mesh"], models["transformer_params"]
             )
 
         common = dict(

@@ -55,6 +55,14 @@ class TestCLISmoke:
         wav = tmp_path / "out.wav"
         assert wav.exists() and wav.stat().st_size > 44  # non-empty PCM
 
+    def test_one_stage_pp_stages(self, tmp_path):
+        """--pp-stages on the virtual 8-CPU mesh: the denoise loop runs
+        GPipe-pipelined (placeholder DiT has 4 blocks -> 4 stages) and must
+        match the single-device output to pixel rounding."""
+        ref = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7")
+        pp = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7", "--pp-stages", "4")
+        assert np.abs(ref.astype(np.int32) - pp.astype(np.int32)).max() <= 1
+
     def test_one_stage_bfloat16(self, tmp_path, monkeypatch):
         """--dtype bfloat16 must reach the denoise loop (policy: bf16
         weights/activations with fp32 islands). Guards the dead plumbing
