@@ -71,7 +71,12 @@ def apply_split_rotary_emb(
 
     needs_reshape = False
     if x.ndim != 4 and cos_freqs.ndim == 4:
-        b, h, t, _ = cos_freqs.shape
+        # Batch/tokens come from the INPUT; only the head count comes from
+        # the table (the connector precomputes cos/sin at batch 1 and
+        # broadcasts — reference rope.py:114-119 reads b from cos, which
+        # silently assumes batch-1 tables for flat inputs).
+        b, t = x.shape[0], x.shape[1]
+        h = cos_freqs.shape[1]
         x = x.reshape(b, t, h, -1).transpose(0, 2, 1, 3)
         needs_reshape = True
 
