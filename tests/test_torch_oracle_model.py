@@ -714,3 +714,84 @@ class TestFullModelOracle:
         )
         assert_close(got_v, want_v, rtol=5e-4, atol=1e-3, msg="STG skip video")
         assert_close(got_a, want_a, rtol=5e-4, atol=1e-3, msg="STG skip audio")
+
+
+class TestDenoiseLoopOracle:
+    """Generation-level parity: the jitted scanned denoise loop (batched-CFG
+    rows, per-token timesteps from the denoise mask, post-process blending,
+    Euler steps) vs an independent torch loop built on the torch DiT oracle.
+    This is the executed equivalent of the reference's per-stage golden-
+    tensor parity (docs/PARITY.md) on random weights — scheduler sigmas in,
+    final latent out."""
+
+    def test_cfg_loop_with_conditioning(self):
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+
+        cfg, params = build_jax_model(num_layers=2)
+
+        shape = VideoLatentShape(
+            batch=1, channels=cfg.in_channels, frames=2, height=3, width=3
+        )
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = GaussianNoiser()(
+            jax.random.PRNGKey(0), tools.create_initial_state(), 1.0
+        )
+        # Token-level conditioning: first 5 tokens partially frozen.
+        mask = np.ones((1, 18, 1), np.float32)
+        mask[:, :5] = 0.25
+        clean = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(9), state.latent.shape)
+        )
+        state = state.replace(
+            denoise_mask=jnp.asarray(mask), clean_latent=jnp.asarray(clean)
+        )
+
+        sigmas = np.asarray([1.0, 0.6, 0.2, 0.0], np.float32)
+        g = torch.Generator().manual_seed(40)
+        pos_ctx = torch.randn(1, 7, cfg.caption_channels, generator=g)
+        neg_ctx = torch.randn(1, 7, cfg.caption_channels, generator=g)
+
+        loop = make_video_denoise_loop(cfg, DenoiseLoopConfig(guider=CFGGuider(3.0)))
+        got = np.asarray(
+            loop(params, state, jnp.asarray(sigmas), t2j(pos_ctx), t2j(neg_ctx)).latent
+        )
+
+        # Independent torch loop on the torch DiT oracle.
+        tp = tree_to_torch(params)
+        ocfg = oracle_cfg(cfg)
+        latent = torch.from_numpy(np.asarray(state.latent, np.float32))
+        positions = torch.from_numpy(np.asarray(state.positions, np.float32))
+        mask_t = torch.from_numpy(mask)
+        clean_t = torch.from_numpy(clean.astype(np.float32))
+        scale = 3.0
+
+        for i in range(len(sigmas) - 1):
+            sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+            tok_t = (mask_t[..., 0] * sigma)  # (1, N) per-token timesteps
+
+            def fwd(ctx):
+                mod = {
+                    "latent": latent,
+                    "context": ctx,
+                    "timesteps": tok_t,
+                    "positions": positions,
+                    "sigma": torch.full((1,), sigma),
+                }
+                vel = torch_ltx_forward(tp, ocfg, video=mod)
+                return torch_x0(mod, vel)
+
+            cond, uncond = fwd(pos_ctx), fwd(neg_ctx)
+            denoised = cond + (scale - 1.0) * (cond - uncond)
+            denoised = denoised * mask_t + clean_t * (1 - mask_t)
+            velocity = (latent - denoised) / sigma
+            latent = latent + velocity * (sigma_next - sigma)
+
+        np.testing.assert_allclose(
+            got, latent.numpy(), rtol=1e-3, atol=2e-3,
+            err_msg="denoise loop vs torch oracle loop",
+        )
