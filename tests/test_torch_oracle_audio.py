@@ -322,3 +322,117 @@ class TestVocoderOracle:
             {"act": {"alpha": alpha, "beta": beta}}, x
         )
         assert_close(got, want, rtol=1e-4, atol=1e-5, msg="activation1d")
+
+
+# ---------------------------------------------------------------------------
+# BWE chain oracle (vocoder.py:554-652): vocoder -> mel re-analysis -> BWE
+# residual + hann-resampled skip -> clip
+# ---------------------------------------------------------------------------
+
+
+def oracle_hann_resample_filter(ratio):
+    """torchaudio-style hann-sinc resample filter (reference
+    vocoder.py:317-341), independent numpy implementation. Returns
+    (filter, pad, pad_left, pad_right)."""
+    rolloff, width_taps = 0.99, 6
+    width = math.ceil(width_taps / rolloff)
+    k = 2 * width * ratio + 1
+    t = np.arange(k) / ratio - width
+    tr = t * rolloff
+    tc = np.clip(tr, -width_taps, width_taps)
+    window = np.cos(tc * math.pi / width_taps / 2) ** 2
+    safe = np.where(tr == 0, 1.0, np.pi * tr)
+    sinc = np.where(tr == 0, 1.0, np.sin(np.pi * tr) / safe)
+    filt = (sinc * window * rolloff / ratio).astype(np.float32)
+    return (
+        torch.from_numpy(filt.reshape(1, 1, -1)),
+        width,
+        2 * width * ratio,
+        k - ratio,
+    )
+
+
+def torch_hann_upsample(x, ratio):
+    filt, pad, pad_left, pad_right = oracle_hann_resample_filter(ratio)
+    x = replicate_pad(x, pad, pad)
+    x = ratio * depthwise_T(x, filt, stride=ratio)
+    return x[:, :, pad_left : x.shape[2] - pad_right]
+
+
+def torch_mel_spectrogram(tp, cfg, y):
+    """MelSTFT re-analysis (vocoder.py:460-551): conv1d with the DFT
+    forward_basis, causal left pad win-hop, log-mel."""
+    if y.ndim == 2:
+        y = y[:, None, :]
+    left = max(0, cfg.win_length - cfg.hop_length)
+    if left:
+        y = F.pad(y, (left, 0))
+    basis = tp["stft_fn"]["forward_basis"]
+    spec = F.conv1d(y, basis, stride=cfg.hop_length)
+    n_freqs = spec.shape[1] // 2
+    mag = torch.sqrt(spec[:, :n_freqs] ** 2 + spec[:, n_freqs:] ** 2)
+    mel = torch.einsum("mf,bft->bmt", tp["mel_basis"], mag)
+    return torch.log(torch.clamp(mel, min=1e-5))
+
+
+class TestBWEChainOracle:
+    def test_full_bwe_chain(self):
+        """Vocoder @low-rate -> MelSTFT re-analysis -> BWE generator
+        residual + hann-sinc upsampled skip -> clip, vs the independent
+        torch composition (incl. independently computed hann filter)."""
+        from dataclasses import replace
+
+        from ltx2_tpu.models.audio_vae.vocoder import (
+            MelSTFTConfig,
+            VocoderConfig,
+            VocoderWithBWEConfig,
+            init_vocoder_with_bwe,
+            vocoder_with_bwe_apply,
+        )
+
+        voc = VocoderConfig(
+            resblock_kernel_sizes=(3,),
+            upsample_rates=(2,),
+            upsample_kernel_sizes=(4,),
+            resblock_dilation_sizes=((1, 3),),
+            upsample_initial_channel=8,
+            resblock="AMP1",
+            in_channels_override=4,
+        )
+        bwe = replace(
+            voc, in_channels_override=None, apply_final_activation=False
+        )
+        cfg = VocoderWithBWEConfig(
+            vocoder=voc, bwe=bwe,
+            mel_stft=MelSTFTConfig(
+                filter_length=8, hop_length=4, win_length=8, n_mel_channels=6
+            ),
+            input_sampling_rate=1, output_sampling_rate=2, hop_length=4,
+        )
+        params = randomize(
+            init_vocoder_with_bwe(jax.random.PRNGKey(5), cfg), seed=35, scale=0.05
+        )
+        g = torch.Generator().manual_seed(36)
+        mel = torch.randn(1, 2, 8, 2, generator=g)  # (B, stereo, T, mel=2)
+
+        got = vocoder_with_bwe_apply(params, cfg, t2j(mel))
+
+        tp = tree_to_torch(params)
+        x = torch_vocoder(tp["vocoder"], cfg.vocoder, mel)
+        length_low = x.shape[2]
+        out_len = length_low * 2
+        rem = length_low % cfg.hop_length
+        if rem:
+            x = F.pad(x, (0, cfg.hop_length - rem))
+        b, n_ch, t = x.shape
+        mel2 = torch_mel_spectrogram(tp["mel_stft"], cfg.mel_stft, x.reshape(b * n_ch, t))
+        mel2 = mel2.reshape(b, n_ch, mel2.shape[1], mel2.shape[2])
+        bwe_cfg = replace(
+            cfg.bwe, in_channels_override=n_ch * cfg.mel_stft.n_mel_channels
+        )
+        residual = torch_vocoder(tp["bwe_generator"], bwe_cfg, mel2.permute(0, 1, 3, 2))
+        skip = torch_hann_upsample(x, 2)
+        n = min(residual.shape[2], skip.shape[2])
+        want = torch.clamp(residual[:, :, :n] + skip[:, :, :n], -1, 1)[:, :, :out_len]
+
+        assert_close(got, want, rtol=1e-3, atol=1e-4, msg="BWE chain")
