@@ -257,6 +257,20 @@ def shard_pipeline_params(mesh: Mesh, params, axis: str = PIPE_AXIS):
     )
 
 
+def pipeline_device_put(mesh: Mesh, axis: str = PIPE_AXIS):
+    """Loader `device_put` hook: stacked (L, ...) block leaves land DIRECTLY
+    layer-sharded over `axis` as they stream in — per-stage HBM stays ~1/P
+    during load, which is the point of PP (a model too big for one chip
+    must never be staged whole on one chip)."""
+    from jax.sharding import NamedSharding
+
+    def put(path: str, arr):
+        spec = P(axis) if path.startswith("transformer_blocks.") else P()
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return put
+
+
 def make_pipeline_parallel_forward(
     mesh: Mesh,
     cfg: LTXModelConfig,

@@ -79,6 +79,20 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def tp_device_put(mesh: Mesh):
+    """Loader `device_put` hook: checkpoint leaves land DIRECTLY on their TP
+    shards as they stream in (no full-tree staging on one chip — required
+    when the model does not fit a single device's HBM). `path` is the
+    loader's '.'-joined tree path."""
+
+    def put(path: str, arr):
+        return jax.device_put(
+            arr, NamedSharding(mesh, spec_for_path(path.replace(".", "/")))
+        )
+
+    return put
+
+
 # ---------------------------------------------------------------------------
 # Gemma-3 text encoder TP (12B: QKV/MLP sharded over 'model')
 # ---------------------------------------------------------------------------

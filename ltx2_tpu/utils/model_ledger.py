@@ -36,6 +36,10 @@ class ModelLedger:
     include_audio: bool = False
     keep_fp8: bool = False  # serving mode: fp8 weights stay quantized in HBM
     gemma_fp8: bool = False  # quantize Gemma matmul weights to fp8 at load
+    # Loader placement hook fn(tree_path, np_array) -> device array: DiT
+    # leaves stream DIRECTLY onto their mesh shards (TP: tp_device_put;
+    # PP: pipeline_device_put) instead of staging the full tree on one chip.
+    transformer_device_put: Optional[object] = None
     _cache: Dict[str, object] = field(default_factory=dict, repr=False)
 
     # -- helpers -----------------------------------------------------------
@@ -79,12 +83,19 @@ class ModelLedger:
             # keep_fp8 (would need dequant->fuse->requant); fall back to the
             # dequantized load when LoRAs are present.
             keep_fp8 = self.keep_fp8 and not self.loras
+            if self.transformer_device_put is not None and self.loras:
+                raise ValueError(
+                    "sharded loading (transformer_device_put) is incompatible "
+                    "with LoRA fusion, which runs on the host tree before "
+                    "placement — load unsharded and re-place, or drop LoRAs"
+                )
             params = load_transformer_params(
                 self.checkpoint_path,
                 include_audio=self.include_audio,
                 target_dtype=self.target_dtype,
                 num_layers=cfg.num_layers,
                 keep_fp8=keep_fp8,
+                device_put=self.transformer_device_put,
             )
             if self.loras:
                 params = fuse_lora_into_params(params, self.loras)

@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stage the 48-block stack over this many devices "
                    "(GPipe pipeline parallelism; weights layer-sharded, "
                    "guidance rows as microbatches); 0 = off")
+    p.add_argument("--tp-devices", type=int, default=0,
+                   help="tensor-parallel the DiT over this many devices "
+                   "(Megatron QKV/FFN sharding, GSPMD collectives); "
+                   "weights stream directly onto their shards; 0 = off")
     p.add_argument("--gemma-fp8", action="store_true",
                    help="quantize Gemma matmul weights to fp8 at load "
                         "(12B text encoder fits a 16GB chip)")
@@ -303,7 +307,58 @@ def encode_prompts(args, ledger, dit_cfg):
     return result
 
 
-def build_models(args):
+def _place_transformer(params, cfg, args, meshes):
+    """Placeholder-mode re-placement + PP divisibility validation (checkpoint
+    loads already stream sharded via the ledger's device_put hook)."""
+    if "pipeline_mesh" in meshes:
+        if cfg.num_layers % args.pp_stages != 0:
+            raise SystemExit(
+                f"--pp-stages {args.pp_stages} must divide "
+                f"{cfg.num_layers} transformer blocks"
+            )
+        from ltx2_tpu.parallel.pipeline_parallel import shard_pipeline_params
+
+        return shard_pipeline_params(meshes["pipeline_mesh"], params)
+    if "tp_mesh" in meshes:
+        from ltx2_tpu.parallel.sharding import shard_dit_params
+
+        return shard_dit_params(meshes["tp_mesh"], params)
+    return params
+
+
+def build_meshes(args):
+    """Multi-chip flags -> meshes, built BEFORE weight loading so checkpoint
+    leaves can stream directly onto their shards (no single-chip staging)."""
+    modes = [
+        ("sp-devices", args.sp_devices),
+        ("pp-stages", args.pp_stages),
+        ("tp-devices", args.tp_devices),
+    ]
+    active = [(m, n) for m, n in modes if n and n > 1]
+    if not active:
+        return {}
+    if len(active) > 1:
+        raise SystemExit(
+            "--sp-devices / --pp-stages / --tp-devices are mutually exclusive"
+        )
+    import jax as _jax
+
+    from ltx2_tpu.parallel.mesh import create_mesh
+
+    mode, n = active[0]
+    if len(_jax.devices()) < n:
+        raise SystemExit(
+            f"--{mode} {n} but only {len(_jax.devices())} devices visible"
+        )
+    devices = _jax.devices()[:n]
+    if mode == "sp-devices":
+        return {"sequence_mesh": create_mesh(data=1, model=1, seq=n, devices=devices)}
+    if mode == "pp-stages":
+        return {"pipeline_mesh": create_mesh(data=1, model=1, pipe=n, devices=devices)}
+    return {"tp_mesh": create_mesh(data=1, model=n, devices=devices)}
+
+
+def build_models(args, meshes=None):
     """Transformer + VAEs (+audio) from the checkpoint, or random placeholders."""
     import jax
     import jax.numpy as jnp
@@ -342,6 +397,7 @@ def build_models(args):
         dec_params = jax.jit(lambda k: init_video_decoder(k, dec_cfg))(jax.random.PRNGKey(1))
         enc_cfg = VideoEncoderConfig()
         enc_params = None  # encoder only needed for image conditioning
+        dit_params = _place_transformer(dit_params, dit_cfg, args, meshes or {})
         models = dict(
             transformer_params=dit_params, transformer_cfg=dit_cfg,
             video_decoder_params=dec_params, video_decoder_cfg=dec_cfg,
@@ -376,6 +432,17 @@ def build_models(args):
 
     from ltx2_tpu.utils.model_ledger import ModelLedger
 
+    meshes = meshes or {}
+    device_put = None
+    if "pipeline_mesh" in meshes:
+        from ltx2_tpu.parallel.pipeline_parallel import pipeline_device_put
+
+        device_put = pipeline_device_put(meshes["pipeline_mesh"])
+    elif "tp_mesh" in meshes:
+        from ltx2_tpu.parallel.sharding import tp_device_put
+
+        device_put = tp_device_put(meshes["tp_mesh"])
+
     ledger = ModelLedger(
         checkpoint_path=args.checkpoint,
         gemma_path=args.gemma_dir,
@@ -386,6 +453,7 @@ def build_models(args):
         include_audio=include_audio,
         keep_fp8=args.fp8_serving,
         gemma_fp8=args.gemma_fp8,
+        transformer_device_put=device_put,
     )
     with phase("weight_loading"):
         dit_params, dit_cfg = ledger.transformer()
@@ -487,7 +555,11 @@ def main(argv=None):
     from ltx2_tpu.utils.profiling import log, phase, phase_report, trace
 
     with trace(args.profile_dir):
-        models, ledger = build_models(args)
+        meshes = build_meshes(args)
+        models, ledger = build_models(args, meshes)
+        for key in ("sequence_mesh", "pipeline_mesh"):
+            if key in meshes:
+                models[key] = meshes[key]
         embeddings = encode_prompts(args, ledger, models["transformer_cfg"])
 
         pos = embeddings["positive"]
@@ -498,47 +570,6 @@ def main(argv=None):
         tiling = tiling_config(args)
         images = parse_images(args)
         latent_channels = models["transformer_cfg"].in_channels
-
-        if args.sp_devices and args.sp_devices > 1:
-            import jax as _jax
-
-            from ltx2_tpu.parallel.mesh import create_mesh
-
-            if len(_jax.devices()) < args.sp_devices:
-                raise SystemExit(
-                    f"--sp-devices {args.sp_devices} but only "
-                    f"{len(_jax.devices())} devices visible"
-                )
-            models["sequence_mesh"] = create_mesh(
-                data=1, model=1, seq=args.sp_devices,
-                devices=_jax.devices()[: args.sp_devices],
-            )
-
-        if args.pp_stages and args.pp_stages > 1:
-            import jax as _jax
-
-            from ltx2_tpu.parallel.mesh import create_mesh
-            from ltx2_tpu.parallel.pipeline_parallel import shard_pipeline_params
-
-            if args.sp_devices and args.sp_devices > 1:
-                raise SystemExit("--pp-stages and --sp-devices are mutually exclusive")
-            if len(_jax.devices()) < args.pp_stages:
-                raise SystemExit(
-                    f"--pp-stages {args.pp_stages} but only "
-                    f"{len(_jax.devices())} devices visible"
-                )
-            if models["transformer_cfg"].num_layers % args.pp_stages != 0:
-                raise SystemExit(
-                    f"--pp-stages {args.pp_stages} must divide "
-                    f"{models['transformer_cfg'].num_layers} transformer blocks"
-                )
-            models["pipeline_mesh"] = create_mesh(
-                data=1, model=1, pipe=args.pp_stages,
-                devices=_jax.devices()[: args.pp_stages],
-            )
-            models["transformer_params"] = shard_pipeline_params(
-                models["pipeline_mesh"], models["transformer_params"]
-            )
 
         common = dict(
             height=args.height, width=args.width, num_frames=args.num_frames,

@@ -626,3 +626,61 @@ class TestPipelineParallelDenoiseLoop:
         gv, ga = make_av_denoise_loop(cfg, loop_cfg, mesh=mesh, pipeline_axis="pipe")(*args)
         np.testing.assert_allclose(np.asarray(gv.latent), np.asarray(ev.latent), atol=5e-4)
         np.testing.assert_allclose(np.asarray(ga.latent), np.asarray(ea.latent), atol=5e-4)
+
+
+class TestShardedLoading:
+    """Checkpoint leaves stream DIRECTLY onto their mesh shards via the
+    loader's device_put hook — no single-chip staging of the full tree
+    (the point of PP/TP when the model outgrows one device's HBM)."""
+
+    def _write_ckpt(self, tmp_path, num_layers=4):
+        from tests.helpers import params_to_checkpoint
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+
+        cfg = tiny_config(num_layers=num_layers)
+        params = cached_params(cfg)
+        path = str(tmp_path / "m.safetensors")
+        write_safetensors(path, params_to_checkpoint(params))
+        return cfg, params, path
+
+    def test_pipeline_sharded_load(self, tmp_path):
+        from ltx2_tpu.loader.weight_loader import load_transformer_params
+        from ltx2_tpu.parallel.pipeline_parallel import pipeline_device_put
+
+        cfg, params, path = self._write_ckpt(tmp_path)
+        mesh = create_mesh(data=1, model=1, pipe=4, devices=jax.devices()[:4])
+        loaded = load_transformer_params(
+            path, target_dtype="float32", num_layers=cfg.num_layers,
+            device_put=pipeline_device_put(mesh),
+        )
+        q = loaded["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        # 4 layers over 4 stages: each shard holds exactly one block.
+        assert q.addressable_shards[0].data.shape[0] == 1
+        assert len(q.addressable_shards) == 4
+        # Values identical to the unsharded tree.
+        np.testing.assert_allclose(
+            np.asarray(q), np.asarray(params["transformer_blocks"]["attn1"]["to_q"]["weight"]),
+            atol=1e-6,
+        )
+        # Non-block leaves replicate.
+        top = loaded["proj_out"]["weight"]
+        assert top.sharding.is_fully_replicated
+
+    def test_tp_sharded_load_and_forward(self, tmp_path):
+        from ltx2_tpu.loader.weight_loader import load_transformer_params
+        from ltx2_tpu.parallel.sharding import tp_device_put
+
+        cfg, params, path = self._write_ckpt(tmp_path)
+        mesh = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+        loaded = load_transformer_params(
+            path, target_dtype="float32", num_layers=cfg.num_layers,
+            device_put=tp_device_put(mesh),
+        )
+        q = loaded["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        # Column-parallel: out-features (dim 1 of the stacked leaf) split.
+        assert q.addressable_shards[0].data.shape[1] == q.shape[1] // 2
+        # The sharded load must compute the same forward as the host tree.
+        video = make_video_modality(cfg)
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+        got = np.asarray(jitted_forward(cfg)(loaded, video))
+        np.testing.assert_allclose(got, expected, atol=2e-5)
