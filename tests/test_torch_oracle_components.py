@@ -1,0 +1,221 @@
+"""Torch/numpy-oracle parity for the diffusion machinery: schedulers and
+guiders.
+
+Sigma schedules shape every generated frame and guidance algebra decides
+what the model's predictions become — divergence here is invisible to
+shape tests. Each component is asserted against an independent
+torch/numpy implementation of the reference formulas
+(LTX_2_MLX/components/schedulers.py / guiders.py, cited per function).
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from tests.test_torch_oracle import assert_close, t2j
+
+torch.manual_seed(0)
+
+
+# ---------------------------------------------------------------------------
+# Schedulers (schedulers.py:22-253)
+# ---------------------------------------------------------------------------
+
+
+def oracle_ltx2_sigmas(steps, tokens, max_shift=2.05, base_shift=0.95,
+                       stretch=True, terminal=0.1):
+    """LTX2Scheduler.execute (schedulers.py:22-102), torch implementation."""
+    sigmas = torch.linspace(1.0, 0.0, steps + 1, dtype=torch.float64)
+    mm = (max_shift - base_shift) / (4096 - 1024)
+    b = base_shift - mm * 1024
+    exp_shift = math.exp(tokens * mm + b)
+    safe = torch.where(sigmas != 0, sigmas, torch.ones_like(sigmas))
+    shifted = torch.where(
+        sigmas != 0, exp_shift / (exp_shift + (1.0 / safe - 1.0)),
+        torch.zeros_like(sigmas),
+    )
+    sigmas = shifted
+    if stretch and steps > 0:
+        one_minus = 1.0 - sigmas
+        scale_factor = float(one_minus[steps - 1]) / (1.0 - terminal)
+        stretched = 1.0 - one_minus / scale_factor
+        sigmas = torch.where(sigmas != 0, stretched, sigmas)
+    return sigmas.float()
+
+
+def oracle_linquad_sigmas(steps, threshold_noise=0.025, linear_steps=None):
+    """LinearQuadraticScheduler.execute (schedulers.py:105-165)."""
+    if steps == 1:
+        return torch.tensor([1.0, 0.0])
+    if linear_steps is None:
+        linear_steps = steps // 2
+    linear = [i * threshold_noise / linear_steps for i in range(linear_steps)]
+    diff = linear_steps - threshold_noise * steps
+    qsteps = steps - linear_steps
+    quad = []
+    if qsteps > 0:
+        qc = diff / (linear_steps * qsteps**2)
+        lc = threshold_noise / linear_steps - 2 * diff / (qsteps**2)
+        const = qc * (linear_steps**2)
+        quad = [qc * i**2 + lc * i + const for i in range(linear_steps, steps)]
+    sched = linear + quad + [1.0]
+    return torch.tensor([1.0 - x for x in sched], dtype=torch.float32)
+
+
+def oracle_beta_sigmas(steps, alpha=0.6, beta=0.6, shift=2.37, n=10000):
+    """BetaScheduler.execute (schedulers.py:168-231,236-253)."""
+    import scipy.stats
+
+    timesteps = np.arange(1, n + 1) / n
+    model_sigmas = np.array(
+        [math.exp(shift) / (math.exp(shift) + (1 / t - 1) ** 1.0) for t in timesteps]
+    )
+    total = len(model_sigmas) - 1
+    ts = 1 - np.linspace(0, 1, steps, endpoint=False)
+    ts = np.rint(scipy.stats.beta.ppf(ts, alpha, beta) * total).tolist()
+    ts = list(dict.fromkeys(ts))
+    return torch.tensor(
+        [float(model_sigmas[int(t)]) for t in ts] + [0.0], dtype=torch.float32
+    )
+
+
+class TestSchedulerOracle:
+    def test_ltx2_token_dependent_shift(self):
+        from ltx2_tpu.components.schedulers import LTX2Scheduler
+
+        for steps, tokens in [(8, 1024), (30, 4096), (20, 6144), (8, 2345)]:
+            got = LTX2Scheduler().execute(steps, tokens=tokens)
+            want = oracle_ltx2_sigmas(steps, tokens)
+            assert_close(jnp.asarray(got), want, rtol=1e-5, atol=1e-6,
+                         msg=f"LTX2 sigmas steps={steps} tokens={tokens}")
+
+    def test_ltx2_no_stretch(self):
+        from ltx2_tpu.components.schedulers import LTX2Scheduler
+
+        got = LTX2Scheduler().execute(10, tokens=4096, stretch=False)
+        want = oracle_ltx2_sigmas(10, 4096, stretch=False)
+        assert_close(jnp.asarray(got), want, rtol=1e-5, atol=1e-6, msg="no stretch")
+
+    def test_linear_quadratic(self):
+        from ltx2_tpu.components.schedulers import LinearQuadraticScheduler
+
+        for steps, ln in [(30, None), (8, 3), (1, None), (12, 6)]:
+            got = LinearQuadraticScheduler().execute(steps, linear_steps=ln)
+            want = oracle_linquad_sigmas(steps, linear_steps=ln)
+            assert_close(jnp.asarray(got), want, rtol=1e-5, atol=1e-6,
+                         msg=f"linquad steps={steps}")
+
+    def test_beta(self):
+        from ltx2_tpu.components.schedulers import BetaScheduler
+
+        for steps in (8, 30):
+            got = BetaScheduler().execute(steps)
+            want = oracle_beta_sigmas(steps)
+            assert got.shape == tuple(want.shape)
+            assert_close(jnp.asarray(got), want, rtol=1e-5, atol=1e-6,
+                         msg=f"beta steps={steps}")
+
+    def test_distilled_table(self):
+        """The hard-coded 8-step distilled schedule + stage-2 tail
+        (schedulers.py:236-253)."""
+        from ltx2_tpu.components.schedulers import (
+            DISTILLED_SIGMA_VALUES,
+            STAGE_2_DISTILLED_SIGMA_VALUES,
+        )
+
+        np.testing.assert_allclose(
+            DISTILLED_SIGMA_VALUES,
+            [1.0, 0.99375, 0.9875, 0.98125, 0.975, 0.909375, 0.725, 0.421875, 0.0],
+        )
+        np.testing.assert_allclose(
+            STAGE_2_DISTILLED_SIGMA_VALUES, [0.909375, 0.725, 0.421875, 0.0]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Guiders (guiders.py:25-306)
+# ---------------------------------------------------------------------------
+
+
+def torch_projection_coef(a, b):
+    """projection_coef (guiders.py:290-306)."""
+    bsz = a.shape[0]
+    af, bf = a.reshape(bsz, -1), b.reshape(bsz, -1)
+    dot = (af * bf).sum(dim=1, keepdim=True)
+    sq = (bf * bf).sum(dim=1, keepdim=True) + 1e-8
+    return (dot / sq).reshape(bsz, *([1] * (a.ndim - 1)))
+
+
+def torch_apg_delta(cond, uncond, scale, eta, norm_threshold,
+                    momentum=None, running_avg=None, legacy=False):
+    """LtxAPGGuider.delta (guiders.py:105-152) / LegacyStatefulAPGGuider
+    (guiders.py:157-205)."""
+    guidance = cond - uncond
+    if legacy and momentum:
+        running_avg = (
+            guidance if running_avg is None else momentum * running_avg + guidance
+        )
+        guidance = running_avg
+    if norm_threshold > 0:
+        gnorm = torch.sqrt(
+            (guidance * guidance).sum(dim=(-1, -2, -3), keepdim=True)
+        )
+        guidance = guidance * torch.minimum(
+            torch.ones_like(guidance), norm_threshold / gnorm
+        )
+    coeff = torch_projection_coef(guidance, cond)
+    g_par = coeff * cond
+    g_apg = g_par * eta + (guidance - g_par)
+    mult = scale if legacy else (scale - 1)
+    return g_apg * mult, running_avg
+
+
+class TestGuiderOracle:
+    def _pair(self, seed=50, shape=(2, 3, 4, 5)):
+        g = torch.Generator().manual_seed(seed)
+        return torch.randn(*shape, generator=g), torch.randn(*shape, generator=g)
+
+    def test_cfg_star_rescaling(self):
+        """CFG*: uncond rescaled by projection onto cond (guiders.py:50-76)."""
+        from ltx2_tpu.components.guiders import CFGStarRescalingGuider
+
+        cond, uncond = self._pair()
+        got = CFGStarRescalingGuider(scale=3.0).guide(t2j(cond), t2j(uncond))
+        rescaled = torch_projection_coef(cond, uncond) * uncond
+        want = cond + (3.0 - 1) * (cond - rescaled)
+        assert_close(got, want, rtol=1e-5, atol=1e-6, msg="CFG*")
+
+    def test_apg(self):
+        """APG: parallel/orthogonal decomposition with norm clamp
+        (guiders.py:105-152)."""
+        from ltx2_tpu.components.guiders import LtxAPGGuider
+
+        cond, uncond = self._pair(51)
+        for eta, thr in [(1.0, 0.0), (0.5, 2.0), (0.0, 0.5)]:
+            guider = LtxAPGGuider(scale=4.0, eta=eta, norm_threshold=thr)
+            got = guider.guide(t2j(cond), t2j(uncond))
+            delta, _ = torch_apg_delta(cond, uncond, 4.0, eta, thr)
+            assert_close(got, cond + delta, rtol=1e-4, atol=1e-5,
+                         msg=f"APG eta={eta} thr={thr}")
+
+    def test_stateful_apg_momentum(self):
+        """Legacy stateful APG: the momentum EMA carries across calls and
+        the delta multiplier is `scale` (not scale-1) (guiders.py:157-205)."""
+        from ltx2_tpu.components.guiders import LegacyStatefulAPGGuider
+
+        guider = LegacyStatefulAPGGuider(
+            scale=2.0, eta=0.5, norm_threshold=5.0, momentum=-0.75
+        )
+        running = None
+        carry = None  # our guider threads the EMA explicitly (scan-friendly)
+        for seed in (52, 53, 54):
+            cond, uncond = self._pair(seed)
+            got, carry = guider.guide(t2j(cond), t2j(uncond), carry)
+            delta, running = torch_apg_delta(
+                cond, uncond, 2.0, 0.5, 5.0,
+                momentum=-0.75, running_avg=running, legacy=True,
+            )
+            assert_close(got, cond + delta, rtol=1e-4, atol=1e-5,
+                         msg=f"stateful APG step seed={seed}")
