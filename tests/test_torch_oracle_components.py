@@ -219,3 +219,58 @@ class TestGuiderOracle:
             )
             assert_close(got, cond + delta, rtol=1e-4, atol=1e-5,
                          msg=f"stateful APG step seed={seed}")
+
+
+class TestTopPSamplingOracle:
+    """Nucleus sampling (reference prompt_enhancement.py:292-338): the
+    deterministic part — nucleus support + renormalized distribution — is
+    asserted exactly; the stochastic part by Monte-Carlo frequency match."""
+
+    def _oracle_nucleus(self, logits, p, temperature):
+        probs = torch.softmax(logits.float() / temperature, dim=-1)
+        sorted_probs, sorted_idx = torch.sort(probs, descending=True, dim=-1)
+        cum = torch.cumsum(sorted_probs, dim=-1)
+        keep = (cum - sorted_probs) <= p  # crossing token included
+        kept = torch.where(keep, sorted_probs, torch.zeros_like(sorted_probs))
+        kept = kept / kept.sum(dim=-1, keepdim=True)
+        dist = torch.zeros_like(probs)
+        dist.scatter_(1, sorted_idx, kept)
+        return dist  # (B, V) renormalized nucleus distribution
+
+    def test_empirical_distribution_matches(self):
+        import jax
+        from ltx2_tpu.models.text_encoder.generation import sample_top_p
+
+        g = torch.Generator().manual_seed(70)
+        logits = torch.randn(1, 16, generator=g) * 2.0
+        p, temp = 0.8, 0.7
+        want = self._oracle_nucleus(logits, p, temp)[0].numpy()
+
+        n = 4096
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        batched = jax.vmap(lambda k: sample_top_p(k, t2j(logits), p, temp)[0])
+        samples = np.asarray(batched(keys))
+
+        counts = np.bincount(samples, minlength=16) / n
+        # Tokens outside the nucleus must NEVER be sampled.
+        outside = want == 0
+        assert counts[outside].sum() == 0, "sampled outside the nucleus"
+        # Inside: empirical frequency within 4 sigma of the oracle prob.
+        for tok in np.nonzero(~outside)[0]:
+            sigma = math.sqrt(want[tok] * (1 - want[tok]) / n)
+            assert abs(counts[tok] - want[tok]) < 4 * sigma + 1e-3, (
+                f"token {tok}: {counts[tok]:.4f} vs {want[tok]:.4f}"
+            )
+
+    def test_greedy_is_argmax(self):
+        """temperature/top_p = 0 selects argmax (greedy decode)."""
+        import jax
+        from ltx2_tpu.models.text_encoder.generation import sample_top_p
+
+        g = torch.Generator().manual_seed(71)
+        logits = torch.randn(3, 32, generator=g)
+        # top_p ~ 0: nucleus = the single highest-probability token.
+        got = sample_top_p(jax.random.PRNGKey(1), t2j(logits), 1e-6, 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(got), logits.argmax(-1).numpy()
+        )
