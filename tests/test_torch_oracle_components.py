@@ -274,3 +274,105 @@ class TestTopPSamplingOracle:
         np.testing.assert_array_equal(
             np.asarray(got), logits.argmax(-1).numpy()
         )
+
+
+# ---------------------------------------------------------------------------
+# Positions (patchifiers.py:147-240, 287-347; tools.py:39-87) — these feed
+# RoPE, so any off-by-one poisons every attention layer.
+# ---------------------------------------------------------------------------
+
+
+def oracle_video_positions(batch, frames, height, width, patch=1,
+                           scale=(8, 32, 32), causal_fix=True, fps=None):
+    """get_patch_grid_bounds + get_pixel_coords (+ /fps temporal), torch."""
+    fc = torch.arange(0, frames, patch)
+    hc = torch.arange(0, height, patch)
+    wc = torch.arange(0, width, patch)
+    gf, gh, gw = torch.meshgrid(fc, hc, wc, indexing="ij")
+    starts = torch.stack([gf, gh, gw], dim=0)
+    ends = starts + torch.tensor([patch] * 3).reshape(3, 1, 1, 1)
+    coords = torch.stack([starts, ends], dim=-1).reshape(3, -1, 2)
+    coords = coords[None].expand(batch, 3, coords.shape[1], 2).float()
+    st = torch.tensor(scale, dtype=torch.float32).reshape(1, 3, 1, 1)
+    px = coords * st
+    if causal_fix:
+        t = torch.clamp(px[:, 0:1] + 1 - scale[0], min=0)
+        px = torch.cat([t, px[:, 1:]], dim=1)
+    if fps is not None:
+        px = torch.cat([px[:, 0:1] / fps, px[:, 1:]], dim=1)
+    return px
+
+
+def oracle_audio_positions(batch, frames, hop, sr, down=4, causal=True, shift=0):
+    """AudioPatchifier seconds timestamps (patchifiers.py:287-347), torch."""
+
+    def sec(a, b):
+        fr = torch.arange(a, b, dtype=torch.float32)
+        mel = fr * down
+        if causal:
+            mel = torch.clamp(mel + 1 - down, min=0)
+        return mel * hop / sr
+
+    start = sec(shift, frames + shift)
+    end = sec(shift + 1, frames + shift + 1)
+    return torch.stack([start, end], dim=-1)[None, None].expand(batch, 1, frames, 2)
+
+
+class TestPositionsOracle:
+    def test_video_pixel_coords_causal_fix(self):
+        from ltx2_tpu.components.patchifiers import (
+            SpatioTemporalScaleFactors,
+            VideoLatentPatchifier,
+            get_pixel_coords,
+        )
+        from ltx2_tpu.types import VideoLatentShape
+
+        shape = VideoLatentShape(batch=2, channels=4, frames=3, height=2, width=5)
+        pat = VideoLatentPatchifier(1)
+        for causal in (True, False):
+            bounds = pat.get_patch_grid_bounds(shape)
+            got = get_pixel_coords(
+                bounds, SpatioTemporalScaleFactors(8, 32, 32), causal_fix=causal
+            )
+            want = oracle_video_positions(2, 3, 2, 5, causal_fix=causal)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), want.numpy(),
+                err_msg=f"pixel coords causal={causal}",
+            )
+
+    def test_video_tools_full_position_chain(self):
+        """VideoLatentTools: bounds -> pixel coords (causal fix) -> temporal
+        axis in SECONDS (/fps) (tools.py:39-87)."""
+        from ltx2_tpu.components.patchifiers import VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.types import VideoLatentShape
+
+        shape = VideoLatentShape(batch=1, channels=4, frames=3, height=2, width=4)
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=25.0
+        )
+        state = tools.create_initial_state()
+        want = oracle_video_positions(1, 3, 2, 4, causal_fix=True, fps=25.0)
+        np.testing.assert_allclose(
+            np.asarray(state.positions), want.numpy(), rtol=1e-6,
+            err_msg="tools position chain",
+        )
+
+    def test_audio_seconds_positions(self):
+        """Audio timestamps: mel-frame causal offset, hop/sample-rate scaling,
+        the stage-2 shift parameter (patchifiers.py:287-347)."""
+        from ltx2_tpu.components.patchifiers import AudioPatchifier
+        from ltx2_tpu.types import AudioLatentShape
+
+        for causal, shift in [(True, 0), (False, 0), (True, 3)]:
+            pat = AudioPatchifier(
+                1, sample_rate=16000, hop_length=160,
+                audio_latent_downsample_factor=4, is_causal=causal, shift=shift,
+            )
+            shape = AudioLatentShape(batch=2, channels=8, frames=6, mel_bins=4)
+            got = pat.get_patch_grid_bounds(shape)
+            want = oracle_audio_positions(2, 6, 160, 16000, causal=causal, shift=shift)
+            np.testing.assert_allclose(
+                np.asarray(got), want.numpy(), rtol=1e-6,
+                err_msg=f"audio positions causal={causal} shift={shift}",
+            )
