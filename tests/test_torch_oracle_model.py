@@ -795,3 +795,81 @@ class TestDenoiseLoopOracle:
             got, latent.numpy(), rtol=1e-3, atol=2e-3,
             err_msg="denoise loop vs torch oracle loop",
         )
+
+
+class TestHeunStgLoopOracle:
+    """Generation-level oracle for the second-order path: Heun
+    predictor-corrector (incl. the final-step take-denoised special case,
+    one_stage.py:419-424) with 3-row guidance (CFG + STG perturbed pass,
+    self-attention skipped in all blocks)."""
+
+    def test_heun_stg_loop(self):
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+
+        cfg, params = build_jax_model(num_layers=2)
+        shape = VideoLatentShape(
+            batch=1, channels=cfg.in_channels, frames=2, height=2, width=3
+        )
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = GaussianNoiser()(
+            jax.random.PRNGKey(2), tools.create_initial_state(), 1.0
+        )
+        sigmas = np.asarray([1.0, 0.5, 0.0], np.float32)
+        g = torch.Generator().manual_seed(41)
+        pos_ctx = torch.randn(1, 7, cfg.caption_channels, generator=g)
+        neg_ctx = torch.randn(1, 7, cfg.caption_channels, generator=g)
+
+        loop_cfg = DenoiseLoopConfig(
+            guider=CFGGuider(3.0), stg_scale=1.5, stg_blocks=None, sampler="heun"
+        )
+        got = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg)(
+                params, state, jnp.asarray(sigmas), t2j(pos_ctx), t2j(neg_ctx)
+            ).latent
+        )
+
+        tp = tree_to_torch(params)
+        ocfg = oracle_cfg(cfg)
+        latent = torch.from_numpy(np.asarray(state.latent, np.float32))
+        positions = torch.from_numpy(np.asarray(state.positions, np.float32))
+        ones = torch.ones(1, 12, 1)
+        scale, stg = 3.0, 1.5
+
+        def x0_eval(lat, sigma):
+            def fwd(ctx, skip=()):
+                mod = {
+                    "latent": lat,
+                    "context": ctx,
+                    "timesteps": torch.full((1, 12), sigma),
+                    "positions": positions,
+                    "sigma": torch.full((1,), sigma),
+                }
+                return torch_x0(mod, torch_ltx_forward(tp, ocfg, video=mod, skip=skip))
+
+            cond = fwd(pos_ctx)
+            uncond = fwd(neg_ctx)
+            perturbed = fwd(pos_ctx, skip=("video_self",))
+            denoised = cond + (scale - 1.0) * (cond - uncond)
+            return denoised + stg * (denoised - perturbed)
+
+        for i in range(len(sigmas) - 1):
+            s, sn = float(sigmas[i]), float(sigmas[i + 1])
+            d1 = x0_eval(latent, s)
+            predicted = latent + (latent - d1) / s * (sn - s)
+            d2 = x0_eval(predicted, sn)
+            if sn == 0:
+                latent = d1
+            else:
+                v1 = (latent - d1) / s
+                v2 = (predicted - d2) / sn
+                latent = latent + 0.5 * (v1 + v2) * (sn - s)
+
+        np.testing.assert_allclose(
+            got, latent.numpy(), rtol=1e-3, atol=2e-3,
+            err_msg="heun+stg loop vs torch oracle",
+        )
