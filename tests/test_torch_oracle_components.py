@@ -376,3 +376,132 @@ class TestPositionsOracle:
                 np.asarray(got), want.numpy(), rtol=1e-6,
                 err_msg=f"audio positions causal={causal} shift={shift}",
             )
+
+
+# ---------------------------------------------------------------------------
+# Steppers (diffusion_steps.py:70-296, res2s.py:10-79)
+# ---------------------------------------------------------------------------
+
+
+def oracle_ancestral_sigmas(s_from, s_to, eta=1.0):
+    if s_to == 0.0:
+        return 0.0, 0.0
+    s_up = min(s_to, eta * (s_to**2 * (s_from**2 - s_to**2) / s_from**2) ** 0.5)
+    return s_up, (s_to**2 - s_up**2) ** 0.5
+
+
+def oracle_sde_coeff(sigma_next, sigma_up=None, sigma_down=None, sigma_max=None):
+    """Res2s get_sde_coeff (diffusion_steps.py:202-249)."""
+    if sigma_down is not None:
+        alpha = (1 - sigma_next) / (1 - sigma_down)
+        s_up = max(sigma_next**2 - sigma_down**2 * alpha**2, 0.0) ** 0.5
+        return alpha, sigma_down, s_up
+    if sigma_up is not None:
+        s_up = min(sigma_up, sigma_next * 0.9999)
+        sigmax = sigma_max if sigma_max is not None else 1.0
+        resid = max(sigma_next**2 - s_up**2, 0.0) ** 0.5
+        alpha = (sigmax - sigma_next) + resid
+        s_down = resid / alpha if alpha != 0 else sigma_next
+        return alpha, s_down, s_up
+    return 1.0, sigma_next, 0.0
+
+
+def oracle_phi(j, neg_h):
+    """phi_j(z) (res2s.py:10-35)."""
+    if abs(neg_h) < 1e-10:
+        return 1.0 / math.factorial(j)
+    remainder = sum(neg_h**k / math.factorial(k) for k in range(j))
+    return (math.exp(neg_h) - remainder) / (neg_h**j)
+
+
+class TestStepperOracle:
+    def test_euler_ancestral(self):
+        """Deterministic part to sigma_down + explicit-noise injection
+        (diffusion_steps.py:70-129)."""
+        import jax
+        from ltx2_tpu.components.diffusion_steps import EulerAncestralDiffusionStep
+
+        g = torch.Generator().manual_seed(80)
+        sample = torch.randn(1, 6, 4, generator=g)
+        denoised = torch.randn(1, 6, 4, generator=g)
+        s, sn = 0.8, 0.5
+
+        # Deterministic component (no key):
+        got = EulerAncestralDiffusionStep().step(t2j(sample), t2j(denoised), s, sn)
+        s_up, s_down = oracle_ancestral_sigmas(s, sn)
+        velocity = (sample - denoised) / s
+        want = sample + velocity * (s_down - s)
+        assert_close(got, want, rtol=1e-5, atol=1e-6, msg="ancestral deterministic")
+
+        # With a key, the result differs from deterministic by noise*sigma_up
+        # with unit-normal statistics.
+        noisy = EulerAncestralDiffusionStep().step(
+            t2j(sample.expand(64, 6, 4)), t2j(denoised.expand(64, 6, 4)), s, sn,
+            key=jax.random.PRNGKey(0),
+        )
+        resid = (np.asarray(noisy) - want.numpy()) / s_up
+        assert abs(resid.mean()) < 0.1 and abs(resid.std() - 1.0) < 0.1
+
+        # Final step: sigma_up = sigma_down = 0 -> pure Euler to 0.
+        got0 = EulerAncestralDiffusionStep().step(t2j(sample), t2j(denoised), s, 0.0)
+        want0 = sample + velocity * (0.0 - s)
+        assert_close(got0, want0, rtol=1e-5, atol=1e-6, msg="ancestral final")
+
+    def test_res2s_sde_coeff(self):
+        from ltx2_tpu.components.diffusion_steps import Res2sDiffusionStep
+
+        for kwargs in [
+            dict(sigma_next=0.5, sigma_up=0.25),
+            dict(sigma_next=0.5, sigma_down=0.3),
+            dict(sigma_next=0.7, sigma_up=0.9),  # clamped to 0.9999*sigma_next
+            dict(sigma_next=0.4),
+            dict(sigma_next=0.4, sigma_up=0.2, sigma_max=2.0),
+        ]:
+            got = Res2sDiffusionStep.get_sde_coeff(**kwargs)
+            want = oracle_sde_coeff(**kwargs)
+            np.testing.assert_allclose(got, want, rtol=1e-12, err_msg=str(kwargs))
+
+    def test_res2s_step(self):
+        """SDE mixing with explicit noise (diffusion_steps.py:252-296)."""
+        from ltx2_tpu.components.diffusion_steps import Res2sDiffusionStep
+
+        g = torch.Generator().manual_seed(81)
+        sample = torch.randn(2, 5, 3, generator=g)
+        denoised = torch.randn(2, 5, 3, generator=g)
+        noise = torch.randn(2, 5, 3, generator=g)
+        s, sn = 0.9, 0.6
+
+        got = Res2sDiffusionStep().step(
+            t2j(sample), t2j(denoised), s, sn, noise=t2j(noise)
+        )
+        alpha, s_down, s_up = oracle_sde_coeff(sn, sigma_up=sn * 0.5)
+        eps = (sample - denoised) / (s - sn)
+        den_next = sample - s * eps
+        want = alpha * (den_next + s_down * eps) + s_up * noise
+        assert_close(got, want, rtol=1e-4, atol=1e-5, msg="res2s step")
+
+        # sigma_next = 0 -> returns denoised directly.
+        got0 = Res2sDiffusionStep().step(t2j(sample), t2j(denoised), s, 0.0)
+        assert_close(got0, denoised, msg="res2s final step")
+
+    def test_phi_and_res2s_coefficients(self):
+        """Exponential-integrator phi functions + RK coefficients
+        (res2s.py:10-79)."""
+        from ltx2_tpu.components.res2s import get_res2s_coefficients, phi
+
+        for j in (1, 2, 3):
+            for h in (-0.5, -1e-12, 0.3, 2.0):
+                np.testing.assert_allclose(
+                    phi(j, h), oracle_phi(j, h), rtol=1e-12,
+                    err_msg=f"phi_{j}({h})",
+                )
+        for h in (0.2, 1.0, 2.5):
+            a21, b1, b2 = get_res2s_coefficients(h, {})
+            c2 = 0.5
+            want_a21 = c2 * oracle_phi(1, -h * c2)
+            want_b2 = oracle_phi(2, -h) / c2
+            want_b1 = oracle_phi(1, -h) - want_b2
+            np.testing.assert_allclose(
+                (a21, b1, b2), (want_a21, want_b1, want_b2), rtol=1e-12,
+                err_msg=f"res2s coeffs h={h}",
+            )
