@@ -873,3 +873,112 @@ class TestHeunStgLoopOracle:
             got, latent.numpy(), rtol=1e-3, atol=2e-3,
             err_msg="heun+stg loop vs torch oracle",
         )
+
+
+class TestMultiModalLoopOracle:
+    """Generation-level oracle for the two-stage stage-1 AV path: the
+    MultiModalGuider's 4-pass guidance (CFG + STG + modality isolation with
+    both cross-modal attentions skipped), std-ratio rescale, and step
+    skipping (guiders.py:211-288; two_stage.py stage 1)."""
+
+    def test_multimodal_av_loop(self):
+        from ltx2_tpu.components import (
+            AudioPatchifier,
+            GaussianNoiser,
+            VideoLatentPatchifier,
+        )
+        from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
+        from ltx2_tpu.models.transformer.model import LTXModelType
+        from ltx2_tpu.pipelines.denoise import (
+            MultiModalLoopConfig,
+            make_multimodal_av_denoise_loop,
+        )
+        from ltx2_tpu.types import AudioLatentShape, VideoLatentShape
+
+        cfg, params = build_jax_model(model_type=LTXModelType.AudioVideo, num_layers=2)
+
+        v_shape = VideoLatentShape(
+            batch=1, channels=cfg.in_channels, frames=2, height=2, width=3
+        )
+        v_tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=v_shape, fps=24.0
+        )
+        v_state = GaussianNoiser()(
+            jax.random.PRNGKey(0), v_tools.create_initial_state(), 1.0
+        )
+        a_shape = AudioLatentShape(
+            batch=1, channels=cfg.audio_in_channels, frames=5, mel_bins=1
+        )
+        a_tools = AudioLatentTools(patchifier=AudioPatchifier(1), target_shape=a_shape)
+        a_state = GaussianNoiser()(
+            jax.random.PRNGKey(1), a_tools.create_initial_state(), 1.0
+        )
+
+        sigmas = np.asarray([1.0, 0.6, 0.2, 0.0], np.float32)
+        g = torch.Generator().manual_seed(42)
+        pos_v = torch.randn(1, 7, cfg.caption_channels, generator=g)
+        neg_v = torch.randn(1, 7, cfg.caption_channels, generator=g)
+        pos_a = torch.randn(1, 7, cfg.caption_channels, generator=g)
+        neg_a = torch.randn(1, 7, cfg.caption_channels, generator=g)
+
+        mm = MultiModalLoopConfig(
+            video_cfg_scale=3.0, audio_cfg_scale=5.0, stg_scale=1.0,
+            stg_blocks=None, rescale_scale=0.7, modality_scale=2.0, skip_step=1,
+        )
+        gv, ga = make_multimodal_av_denoise_loop(cfg, mm)(
+            params, v_state, a_state, jnp.asarray(sigmas),
+            t2j(pos_v), t2j(neg_v), t2j(pos_a), t2j(neg_a),
+        )
+
+        tp = tree_to_torch(params)
+        ocfg = oracle_cfg(cfg)
+        v_lat = torch.from_numpy(np.asarray(v_state.latent, np.float32))
+        a_lat = torch.from_numpy(np.asarray(a_state.latent, np.float32))
+        v_pos = torch.from_numpy(np.asarray(v_state.positions, np.float32))
+        a_pos = torch.from_numpy(np.asarray(a_state.positions, np.float32))
+
+        def fwd(vl, al, sigma, vctx, actx, skip=()):
+            vmod = {
+                "latent": vl, "context": vctx,
+                "timesteps": torch.full((1, vl.shape[1]), sigma),
+                "positions": v_pos, "sigma": torch.full((1,), sigma),
+            }
+            amod = {
+                "latent": al, "context": actx,
+                "timesteps": torch.full((1, al.shape[1]), sigma),
+                "positions": a_pos, "sigma": torch.full((1,), sigma),
+            }
+            vvel, avel = torch_ltx_forward(tp, ocfg, video=vmod, audio=amod, skip=skip)
+            return torch_x0(vmod, vvel), torch_x0(amod, avel)
+
+        def combine(cond, uncond, ptb, mod, cfg_scale, skip_flag):
+            pred = cond + (cfg_scale - 1.0) * (cond - uncond)
+            pred = pred + mm.stg_scale * (cond - ptb)
+            pred = pred + (mm.modality_scale - 1.0) * (cond - mod)
+            cond_std = torch.sqrt(cond.var(unbiased=False) + 1e-8)
+            pred_std = torch.sqrt(pred.var(unbiased=False) + 1e-8)
+            factor = mm.rescale_scale * (cond_std / pred_std) + (1 - mm.rescale_scale)
+            pred = pred * factor
+            return cond if skip_flag else pred
+
+        num_steps = len(sigmas) - 1
+        for i in range(num_steps):
+            s, sn = float(sigmas[i]), float(sigmas[i + 1])
+            skip_flag = (i % (mm.skip_step + 1)) != 0
+            cond = fwd(v_lat, a_lat, s, pos_v, pos_a)
+            uncond = fwd(v_lat, a_lat, s, neg_v, neg_a)
+            ptb = fwd(v_lat, a_lat, s, pos_v, pos_a, skip=("video_self",))
+            mod = fwd(v_lat, a_lat, s, pos_v, pos_a, skip=("a2v", "v2a"))
+            v_den = combine(cond[0], uncond[0], ptb[0], mod[0], mm.video_cfg_scale, skip_flag)
+            a_den = combine(cond[1], uncond[1], ptb[1], mod[1], mm.audio_cfg_scale, skip_flag)
+            v_lat = v_lat + (v_lat - v_den) / s * (sn - s)
+            a_lat = a_lat + (a_lat - a_den) / s * (sn - s)
+
+        np.testing.assert_allclose(
+            np.asarray(gv.latent), v_lat.numpy(), rtol=1e-3, atol=2e-3,
+            err_msg="MM loop video latent",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ga.latent), a_lat.numpy(), rtol=1e-3, atol=2e-3,
+            err_msg="MM loop audio latent",
+        )
