@@ -75,12 +75,16 @@ def pipeline_block_stack(
     num_microbatches: int,
     perturbations: Optional[BatchedPerturbationConfig] = None,
     ca_scales: Optional[jnp.ndarray] = None,
+    data_axis: Optional[str] = None,
 ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Run the transformer block stack GPipe-pipelined over mesh axis `axis`.
 
     MUST run inside shard_map with `params['transformer_blocks']` sharded
     along its leading (L, ...) layer axis over `axis` and everything else
-    replicated. Returns the final (vx, ax) hidden states, replicated.
+    replicated. With `data_axis`, the batch rows additionally arrive
+    sharded over that mesh axis (PP x DP composition) — the GPipe schedule
+    runs over each data shard's LOCAL rows. Returns the final (vx, ax)
+    hidden states, replicated over `axis` (sharded over `data_axis`).
     """
     n_stages = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
@@ -99,10 +103,16 @@ def pipeline_block_stack(
 
     # Per-layer scan inputs: block params arrive pre-sharded (L/P, ...);
     # masks/ca_scales are computed replicated at global L and sliced locally.
-    pmasks = _perturbation_mask_array(perturbations, cfg.num_layers, batch)
+    # The perturbation config addresses GLOBAL batch rows; under PP x DP each
+    # data shard slices out its own row range.
+    data_size = 1 if data_axis is None else jax.lax.axis_size(data_axis)
+    pmasks = _perturbation_mask_array(
+        perturbations, cfg.num_layers, batch * data_size
+    )
+    row0 = 0 if data_axis is None else jax.lax.axis_index(data_axis) * batch
     pmasks = jax.tree_util.tree_map(
-        lambda a: jax.lax.dynamic_slice_in_dim(
-            a, idx * layers_local, layers_local, 0
+        lambda a: jax.lax.dynamic_slice(
+            a, (idx * layers_local, row0), (layers_local, batch)
         ).reshape(layers_local, m, mb),
         pmasks,
     )
@@ -141,11 +151,16 @@ def pipeline_block_stack(
         return vx, ax
 
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    # Fresh zeros (device-invariant) — NOT zeros_like of the sharded inputs,
+    # whose varying state would differ from v_outs' and break the uniform
+    # pcast below.
     zeros_v = (
-        jnp.zeros_like(v_mb.x[0]) if run_video else jnp.zeros((mb, 0, 1), cfg.dtype)
+        jnp.zeros(v_mb.x.shape[1:], v_mb.x.dtype) if run_video
+        else jnp.zeros((mb, 0, 1), cfg.dtype)
     )
     zeros_a = (
-        jnp.zeros_like(a_mb.x[0]) if run_audio else jnp.zeros((mb, 0, 1), cfg.dtype)
+        jnp.zeros(a_mb.x.shape[1:], a_mb.x.dtype) if run_audio
+        else jnp.zeros((mb, 0, 1), cfg.dtype)
     )
     v_outs = jnp.zeros((m, *zeros_v.shape), zeros_v.dtype)
     a_outs = jnp.zeros((m, *zeros_a.shape), zeros_a.dtype)
@@ -183,10 +198,12 @@ def pipeline_block_stack(
 
     ticks = jnp.arange(m + n_stages - 1)
     # The carry becomes device-varying across 'pipe' inside the loop (ppermute
-    # + axis_index-dependent writes); mark the zero-init accordingly so the
-    # scan carry types are stable.
+    # + axis_index-dependent writes) — and across 'data' too when rows are
+    # data-sharded; mark the zero-init accordingly so scan carry types are
+    # stable.
+    vary_axes = (axis,) if data_axis is None else (axis, data_axis)
     init = jax.tree_util.tree_map(
-        lambda a: jax.lax.pcast(a, (axis,), to="varying"),
+        lambda a: jax.lax.pcast(a, vary_axes, to="varying"),
         (zeros_v, zeros_a, v_outs, a_outs),
     )
     (_, _, v_outs, a_outs), _ = jax.lax.scan(tick, init, ticks)
@@ -202,7 +219,7 @@ def pipeline_block_stack(
 
 
 def _pp_velocity(params, cfg, video, audio, *, axis, num_microbatches,
-                 perturbations, ca_scales, video_pe):
+                 perturbations, ca_scales, video_pe, data_axis=None):
     """Full forward with the pipelined block stack -> velocity per modality."""
     video_args, audio_args, run_video, run_audio = prepare_stream_args(
         params, cfg, video, audio, video_pe=video_pe
@@ -210,7 +227,7 @@ def _pp_velocity(params, cfg, video, audio, *, axis, num_microbatches,
     vx, ax = pipeline_block_stack(
         params, cfg, video_args, audio_args, run_video, run_audio,
         axis=axis, num_microbatches=num_microbatches,
-        perturbations=perturbations, ca_scales=ca_scales,
+        perturbations=perturbations, ca_scales=ca_scales, data_axis=data_axis,
     )
     video_out = audio_out = None
     if run_video:
@@ -279,13 +296,16 @@ def make_pipeline_parallel_forward(
     x0: bool = True,
     perturbations: Optional[BatchedPerturbationConfig] = None,
     ca_scales: Optional[jnp.ndarray] = None,
+    data_axis: Optional[str] = None,
 ):
     """Build a jitted pipeline-parallel forward: (params, video[, audio]) -> out.
 
     Block params shard along the layer axis over `axis` (per-device weight
     HBM ~1/P); activations flow stage-to-stage via ppermute in a GPipe
-    schedule with `num_microbatches` drawn from the batch axis. The batch
-    must divide num_microbatches; cfg.num_layers must divide the stage count.
+    schedule with `num_microbatches` drawn from the batch axis. The LOCAL
+    batch must divide num_microbatches; cfg.num_layers must divide the
+    stage count. With `data_axis`, batch rows additionally shard over that
+    mesh axis (PP x DP: num_microbatches applies per data shard).
     """
     if cfg.sequence_axis is not None:
         raise ValueError("pipeline parallelism does not compose with sequence_axis yet")
@@ -296,6 +316,7 @@ def make_pipeline_parallel_forward(
             params, pp_cfg, video, audio,
             axis=axis, num_microbatches=num_microbatches,
             perturbations=perturbations, ca_scales=ca_scales, video_pe=video_pe,
+            data_axis=data_axis,
         )
         if not x0:
             return out
@@ -303,16 +324,18 @@ def make_pipeline_parallel_forward(
             return _x0(video, out[0]), _x0(audio, out[1])
         return _x0(video if video is not None else audio, out)
 
+    batch_spec = P() if data_axis is None else P(data_axis)
+
     def run(params, video: Optional[Modality] = None,
             audio: Optional[Modality] = None, video_pe=None):
         param_specs = block_param_specs(params, axis)
         mod_specs = lambda mod: (
-            None if mod is None else jax.tree_util.tree_map(lambda _: P(), mod)
+            None if mod is None else jax.tree_util.tree_map(lambda _: batch_spec, mod)
         )
-        pe_specs = None if video_pe is None else (P(), P())
-        out_specs = P()
+        pe_specs = None if video_pe is None else (batch_spec, batch_spec)
+        out_specs = batch_spec
         if video is not None and audio is not None:
-            out_specs = (P(), P())
+            out_specs = (batch_spec, batch_spec)
         fn = jax.shard_map(
             forward,
             mesh=mesh,

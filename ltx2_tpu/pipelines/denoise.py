@@ -246,7 +246,9 @@ def _make_pp_forward(
 
     Block params shard along the layer axis over `axis` (per-stage weight
     HBM ~1/P); the batch rows (guidance passes x clips) become GPipe
-    microbatches (parallel/pipeline_parallel.py). Same call signature as
+    microbatches (parallel/pipeline_parallel.py). When the mesh also has a
+    'data' axis > 1, rows shard over it first (PP x DP) and the schedule
+    microbatches each shard's local rows. Same call signature as
     _make_sp_forward so the loops treat both uniformly; text_kv caching is
     unsupported under PP (its (L, ...) leaves would need layer sharding).
     """
@@ -256,20 +258,30 @@ def _make_pp_forward(
         block_param_specs,
     )
 
+    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    data_axis = "data" if data_size > 1 else None
+    local_m = max(1, num_microbatches // data_size)
+    batch_spec = P() if data_axis is None else P(data_axis)
+
     def forward(params, video, audio, video_pe):
         return _pp_velocity(
             params, model_cfg, video, audio,
-            axis=axis, num_microbatches=num_microbatches,
+            axis=axis, num_microbatches=local_m,
             perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
+            data_axis=data_axis,
         )
 
     def run(params, video, audio, video_pe, _ca_scales, text_kv):
         assert text_kv is None, "text KV caching is incompatible with PP"
         param_specs = block_param_specs(params, axis)
-        v_specs = None if video is None else jax.tree_util.tree_map(lambda _: P(), video)
-        a_specs = None if audio is None else jax.tree_util.tree_map(lambda _: P(), audio)
-        pe_specs = None if video_pe is None else (P(), P())
-        out_specs = (P(), P()) if n_modalities == 2 else P()
+        v_specs = None if video is None else jax.tree_util.tree_map(
+            lambda _: batch_spec, video
+        )
+        a_specs = None if audio is None else jax.tree_util.tree_map(
+            lambda _: batch_spec, audio
+        )
+        pe_specs = None if video_pe is None else (batch_spec, batch_spec)
+        out_specs = (batch_spec, batch_spec) if n_modalities == 2 else batch_spec
         vel = jax.shard_map(
             forward,
             mesh=mesh,

@@ -684,3 +684,90 @@ class TestShardedLoading:
         expected = np.asarray(jitted_forward(cfg)(params, video))
         got = np.asarray(jitted_forward(cfg)(loaded, video))
         np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+class TestPipelineDataComposition:
+    """PP x DP: batch rows shard over 'data' while the block stack stages
+    over 'pipe' — perturbation masks address each shard's global row range."""
+
+    def test_forward_matches(self):
+        from ltx2_tpu.parallel.pipeline_parallel import make_pipeline_parallel_forward
+
+        cfg = tiny_config(num_layers=4)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg, batch=4)
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+
+        mesh = create_mesh(data=2, model=1, pipe=2, devices=jax.devices()[:4])
+        pp = make_pipeline_parallel_forward(
+            mesh, cfg, num_microbatches=2, x0=False, data_axis="data"
+        )
+        got = np.asarray(pp(params, video))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_forward_with_per_row_perturbations(self):
+        """Row 3 (on data shard 1) skips self-attn — the mask slice must
+        address GLOBAL rows, not local ones."""
+        from ltx2_tpu.components.perturbations import (
+            BatchedPerturbationConfig,
+            PerturbationConfig,
+            create_stg_perturbation,
+        )
+        from ltx2_tpu.parallel.pipeline_parallel import make_pipeline_parallel_forward
+
+        cfg = tiny_config(num_layers=2)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg, batch=4)
+        pert = BatchedPerturbationConfig(
+            perturbations=(
+                PerturbationConfig.empty(),
+                PerturbationConfig.empty(),
+                PerturbationConfig.empty(),
+                create_stg_perturbation(skip_video_self_attn=True, blocks=[1]),
+            )
+        )
+        expected = np.asarray(
+            jitted_forward(cfg, perturbations=pert)(params, video)
+        )
+        mesh = create_mesh(data=2, model=1, pipe=2, devices=jax.devices()[:4])
+        pp = make_pipeline_parallel_forward(
+            mesh, cfg, num_microbatches=2, x0=False,
+            perturbations=pert, data_axis="data",
+        )
+        got = np.asarray(pp(params, video))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_denoise_loop_pp_dp(self):
+        """CFG rows ride 'data' while blocks stage over 'pipe', end to end
+        in the scanned loop (batch 2 clips -> 4 global rows)."""
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+
+        cfg = tiny_config(num_layers=2)
+        params = cached_params(cfg)
+        shape = VideoLatentShape(
+            batch=2, channels=cfg.in_channels, frames=2, height=2, width=3
+        )
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = GaussianNoiser()(
+            jax.random.PRNGKey(0), tools.create_initial_state(), 1.0
+        )
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 5, cfg.caption_channels))
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(3.0))  # 2 rows x 2 clips
+        expected = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg)(params, state, sigmas, ctx, ctx).latent
+        )
+        mesh = create_mesh(data=2, model=1, pipe=2, devices=jax.devices()[:4])
+        got = np.asarray(
+            make_video_denoise_loop(
+                cfg, loop_cfg, mesh=mesh, pipeline_axis="pipe",
+                pipeline_microbatches=4,
+            )(params, state, sigmas, ctx, ctx).latent
+        )
+        np.testing.assert_allclose(got, expected, atol=5e-4)
