@@ -505,3 +505,63 @@ class TestStepperOracle:
                 (a21, b1, b2), (want_a21, want_b1, want_b2), rtol=1e-12,
                 err_msg=f"res2s coeffs h={h}",
             )
+
+
+# ---------------------------------------------------------------------------
+# Loader math: fp8-E4M3 conversion + LoRA fuse (fp8_loader.py, lora_loader.py)
+# ---------------------------------------------------------------------------
+
+
+class TestFp8Oracle:
+    def test_cast_matches_torch_float8(self):
+        """JAX's float8_e4m3fn cast must agree with torch's — the checkpoint
+        dequant path (w_fp8 * scale) depends on identical rounding."""
+        g = torch.Generator().manual_seed(90)
+        w = torch.randn(64, 48, generator=g) * 3.0
+        jt = jnp.asarray(w.numpy()).astype(jnp.float8_e4m3fn).astype(jnp.float32)
+        tt = w.to(torch.float8_e4m3fn).to(torch.float32)
+        np.testing.assert_array_equal(np.asarray(jt), tt.numpy())
+
+    def test_quantize_dequant_roundtrip(self):
+        """Symmetric per-tensor quantization: scale = amax/FP8_MAX and the
+        dequantized weight within one fp8 ulp (~2^-2 relative at E4M3)."""
+        from ltx2_tpu.loader.fp8 import quantize_tensor_fp8
+
+        g = torch.Generator().manual_seed(91)
+        w = torch.randn(32, 24, generator=g)
+        q, scale = quantize_tensor_fp8(jnp.asarray(w.numpy()))
+        # Oracle scale
+        want_scale = w.abs().max().item() / 448.0  # E4M3 max normal
+        np.testing.assert_allclose(float(scale), want_scale, rtol=1e-6)
+        # Torch-side round trip with the same scale
+        tq = (w / want_scale).to(torch.float8_e4m3fn)
+        np.testing.assert_array_equal(
+            np.asarray(q.astype(jnp.float32)), tq.to(torch.float32).numpy()
+        )
+        deq = np.asarray(q.astype(jnp.float32)) * float(scale)
+        np.testing.assert_allclose(deq, w.numpy(), rtol=0.07, atol=1e-3)
+
+    def test_per_leading_axis_scales(self):
+        """Stacked-block layout: one scale per layer index (axis 0)."""
+        from ltx2_tpu.loader.fp8 import quantize_tensor_fp8
+
+        g = torch.Generator().manual_seed(92)
+        w = torch.randn(4, 8, 8, generator=g) * torch.tensor([1.0, 10.0, 0.1, 3.0]).reshape(4, 1, 1)
+        q, scale = quantize_tensor_fp8(jnp.asarray(w.numpy()), per_leading_axis=True)
+        want = w.reshape(4, -1).abs().amax(dim=1).numpy() / 448.0
+        np.testing.assert_allclose(np.asarray(scale).reshape(-1), want, rtol=1e-6)
+
+
+class TestLoRAOracle:
+    def test_delta_math(self):
+        """delta = strength * (B @ A) (lora_loader.py:129-180)."""
+        from ltx2_tpu.loader.lora import compute_lora_delta
+
+        g = torch.Generator().manual_seed(93)
+        A = torch.randn(8, 32, generator=g)   # (rank, in)
+        B = torch.randn(24, 8, generator=g)   # (out, rank)
+        got = compute_lora_delta(
+            {"a": A.numpy(), "b": B.numpy()}, "a", "b", strength=-1.5
+        )
+        want = (B @ A).numpy() * -1.5
+        np.testing.assert_allclose(got, want, rtol=1e-6)
