@@ -565,3 +565,118 @@ class TestLoRAOracle:
         )
         want = (B @ A).numpy() * -1.5
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Conditioning (latent.py:15-117, keyframe.py:10-87, tools.py:139-164)
+# ---------------------------------------------------------------------------
+
+
+class TestConditioningOracle:
+    def _tools_state(self, frames=3, height=2, width=2, channels=4, fps=25.0):
+        import jax
+        from ltx2_tpu.components import GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.types import VideoLatentShape
+
+        shape = VideoLatentShape(
+            batch=1, channels=channels, frames=frames, height=height, width=width
+        )
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=fps
+        )
+        state = GaussianNoiser()(
+            jax.random.PRNGKey(5), tools.create_initial_state(), 1.0
+        )
+        return tools, state
+
+    def test_latent_index_replacement(self):
+        """i2v token replacement: tokens/clean replaced in [start, stop),
+        mask set to 1-strength there, positions untouched (latent.py:39-117)."""
+        from ltx2_tpu.conditioning.latent import VideoConditionByLatentIndex
+
+        tools, state = self._tools_state()
+        g = torch.Generator().manual_seed(100)
+        cond = torch.randn(1, 4, 1, 2, 2, generator=g)  # one latent frame
+
+        out = VideoConditionByLatentIndex(
+            latent=t2j(cond), strength=0.3, latent_idx=1
+        ).apply_to(state, tools)
+
+        lat = np.asarray(state.latent).copy()
+        mask = np.asarray(state.denoise_mask).copy()
+        tokens = cond.permute(0, 2, 3, 4, 1).reshape(1, 4, 4).numpy()  # patchify p=1
+        start, stop = 4, 8  # frame 1 of a 2x2 grid
+        lat[:, start:stop] = tokens
+        mask[:, start:stop] = 1.0 - 0.3
+        np.testing.assert_allclose(np.asarray(out.latent), lat, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.clean_latent)[:, start:stop], tokens, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.denoise_mask), mask, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.positions), np.asarray(state.positions)
+        )
+
+    def test_keyframe_append_positions(self):
+        """Keyframe tokens APPEND with temporally-offset seconds positions;
+        causal fix only at frame_idx 0 (keyframe.py:10-87)."""
+        from ltx2_tpu.conditioning.keyframe import VideoConditionByKeyframeIndex
+        from tests.test_torch_oracle_components import oracle_video_positions
+
+        tools, state = self._tools_state(fps=25.0)
+        n0 = np.asarray(state.latent).shape[1]
+        g = torch.Generator().manual_seed(101)
+        kf = torch.randn(1, 4, 1, 2, 2, generator=g)
+        frame_idx = 16
+
+        out = VideoConditionByKeyframeIndex(
+            keyframes=t2j(kf), frame_idx=frame_idx, strength=0.8
+        ).apply_to(state, tools)
+
+        assert np.asarray(out.latent).shape[1] == n0 + 4
+        tokens = kf.permute(0, 2, 3, 4, 1).reshape(1, 4, 4).numpy()
+        np.testing.assert_allclose(np.asarray(out.latent)[:, n0:], tokens, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.denoise_mask)[:, n0:], np.full((1, 4, 1), 0.2), rtol=1e-6
+        )
+        # Oracle positions: keyframe grid (1 frame), NO causal fix (idx != 0),
+        # temporal +frame_idx then /fps.
+        want = oracle_video_positions(1, 1, 2, 2, causal_fix=False).numpy()
+        want[:, 0:1] = (want[:, 0:1] + frame_idx) / 25.0
+        np.testing.assert_allclose(
+            np.asarray(out.positions)[:, :, n0:], want, rtol=1e-6
+        )
+
+        # frame_idx = 0 applies the causal fix before the offset.
+        out0 = VideoConditionByKeyframeIndex(
+            keyframes=t2j(kf), frame_idx=0, strength=0.8
+        ).apply_to(state, tools)
+        want0 = oracle_video_positions(1, 1, 2, 2, causal_fix=True).numpy()
+        want0[:, 0:1] = want0[:, 0:1] / 25.0
+        np.testing.assert_allclose(
+            np.asarray(out0.positions)[:, :, n0:], want0, rtol=1e-6
+        )
+
+    def test_clear_conditioning(self):
+        """clear_conditioning truncates appended tokens and resets the mask
+        to ones (tools.py:139-164)."""
+        from ltx2_tpu.conditioning.keyframe import VideoConditionByKeyframeIndex
+
+        tools, state = self._tools_state()
+        n0 = np.asarray(state.latent).shape[1]
+        g = torch.Generator().manual_seed(102)
+        kf = torch.randn(1, 4, 1, 2, 2, generator=g)
+        appended = VideoConditionByKeyframeIndex(
+            keyframes=t2j(kf), frame_idx=8, strength=0.5
+        ).apply_to(state, tools)
+
+        cleared = tools.clear_conditioning(appended)
+        assert np.asarray(cleared.latent).shape[1] == n0
+        np.testing.assert_allclose(
+            np.asarray(cleared.latent), np.asarray(state.latent), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(cleared.denoise_mask), np.ones((1, n0, 1)), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(cleared.positions), np.asarray(state.positions)
+        )
