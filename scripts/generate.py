@@ -378,7 +378,6 @@ def build_models(args, meshes=None):
             VideoDecoderConfig,
             VideoEncoderConfig,
             init_video_decoder,
-            init_video_encoder,
         )
 
         # V2-style (no caption projection): cross_attention_dim must equal
