@@ -35,7 +35,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P, auto_axes
 
 from ltx2_tpu.components.perturbations import BatchedPerturbationConfig
 from ltx2_tpu.models.transformer.blocks import av_block_apply
@@ -76,6 +76,7 @@ def pipeline_block_stack(
     perturbations: Optional[BatchedPerturbationConfig] = None,
     ca_scales: Optional[jnp.ndarray] = None,
     data_axis: Optional[str] = None,
+    model_axis: Optional[str] = None,
 ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Run the transformer block stack GPipe-pipelined over mesh axis `axis`.
 
@@ -85,6 +86,13 @@ def pipeline_block_stack(
     sharded over that mesh axis (PP x DP composition) — the GPipe schedule
     runs over each data shard's LOCAL rows. Returns the final (vx, ax)
     hidden states, replicated over `axis` (sharded over `data_axis`).
+
+    With `model_axis` (PP x TP composition), that mesh axis must be LEFT
+    OUT of the enclosing shard_map's manual `axis_names`: block weights
+    additionally arrive feature-sharded over it (Megatron column/row rules,
+    sharding.py) and each stage's block scan runs under `auto_axes` so
+    GSPMD inserts the TP all-reduces over ICI inside every tick, while the
+    GPipe schedule stays manual over `axis`/`data_axis`.
     """
     n_stages = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
@@ -127,9 +135,9 @@ def pipeline_block_stack(
     v_mb = _to_microbatches(video_args, m) if run_video else None
     a_mb = _to_microbatches(audio_args, m) if run_audio else None
 
-    def local_blocks(vx, ax, v_in, a_in, masks_mb):
+    def _local_blocks(block_params, ca_loc, vx, ax, v_in, a_in, masks_mb):
         """Apply this stage's L/P blocks (same scan body as ltx_model_apply)."""
-        xs = {"p": params["transformer_blocks"], "masks": masks_mb, "ca": ca_local}
+        xs = {"p": block_params, "masks": masks_mb, "ca": ca_loc}
 
         def block_step(carry, xs_l):
             cvx, cax = carry
@@ -149,6 +157,23 @@ def pipeline_block_stack(
             block_step = jax.checkpoint(block_step)
         (vx, ax), _ = jax.lax.scan(block_step, (vx, ax), xs)
         return vx, ax
+
+    if model_axis is None:
+        def local_blocks(vx, ax, v_in, a_in, masks_mb):
+            return _local_blocks(
+                params["transformer_blocks"], ca_local, vx, ax, v_in, a_in, masks_mb
+            )
+    else:
+        # TP inside each stage: the scan body sees weights feature-sharded
+        # over `model_axis`; auto_axes hands that axis back to GSPMD so the
+        # Megatron all-reduces are inserted automatically. Activations enter
+        # and leave replicated over the model axis (P()). All arrays the
+        # stage touches ride in as arguments — auto_axes converts arguments,
+        # not closure captures.
+        def local_blocks(vx, ax, v_in, a_in, masks_mb):
+            return auto_axes(
+                _local_blocks, axes=(model_axis,), out_sharding=(P(), P())
+            )(params["transformer_blocks"], ca_local, vx, ax, v_in, a_in, masks_mb)
 
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
     # Fresh zeros (device-invariant) — NOT zeros_like of the sharded inputs,
@@ -209,9 +234,18 @@ def pipeline_block_stack(
     (_, _, v_outs, a_outs), _ = jax.lax.scan(tick, init, ticks)
 
     # Outputs live on the last stage only; replicate for the output heads.
+    # The psum runs in f32 under PP x TP: XLA:CPU's AllReducePromotion pass
+    # CHECK-fails rebuilding a sub-f32 all-reduce whose operand crossed an
+    # auto_axes boundary ("Invalid binary instruction opcode copy"), and the
+    # cast is numerically free — exactly one stage contributes a non-zero
+    # term, so the sum is exact in any dtype.
     def replicate_from_last(outs, b_shape):
-        outs = jax.lax.psum(jnp.where(idx == n_stages - 1, outs, 0.0), axis)
-        return outs.reshape(batch, *b_shape[1:])
+        masked = jnp.where(idx == n_stages - 1, outs, 0.0)
+        if model_axis is not None and masked.dtype != jnp.float32:
+            masked = jax.lax.psum(masked.astype(jnp.float32), axis).astype(outs.dtype)
+        else:
+            masked = jax.lax.psum(masked, axis)
+        return masked.reshape(batch, *b_shape[1:])
 
     vx_full = replicate_from_last(v_outs, zeros_v.shape) if run_video else None
     ax_full = replicate_from_last(a_outs, zeros_a.shape) if run_audio else None
@@ -219,7 +253,8 @@ def pipeline_block_stack(
 
 
 def _pp_velocity(params, cfg, video, audio, *, axis, num_microbatches,
-                 perturbations, ca_scales, video_pe, data_axis=None):
+                 perturbations, ca_scales, video_pe, data_axis=None,
+                 model_axis=None):
     """Full forward with the pipelined block stack -> velocity per modality."""
     video_args, audio_args, run_video, run_audio = prepare_stream_args(
         params, cfg, video, audio, video_pe=video_pe
@@ -228,6 +263,7 @@ def _pp_velocity(params, cfg, video, audio, *, axis, num_microbatches,
         params, cfg, video_args, audio_args, run_video, run_audio,
         axis=axis, num_microbatches=num_microbatches,
         perturbations=perturbations, ca_scales=ca_scales, data_axis=data_axis,
+        model_axis=model_axis,
     )
     video_out = audio_out = None
     if run_video:
@@ -252,8 +288,11 @@ def _x0(modality: Modality, velocity: jnp.ndarray) -> jnp.ndarray:
 
 
 def block_param_specs(params, axis: str = PIPE_AXIS):
-    """PartitionSpec pytree: transformer_blocks sharded on their leading
-    layer axis over `axis`; everything else replicated."""
+    """PartitionSpec pytree for shard_map in_specs: transformer_blocks
+    sharded on their leading layer axis over `axis`; everything else
+    replicated. Mentions MANUAL axes only — under PP x TP the model-axis
+    feature sharding rides in via the arrays' placements (see
+    pp_tp_param_spec / shard_pipeline_params), not via in_specs."""
     def spec_for(path, leaf):
         top = getattr(path[0], "key", None)
         if top == "transformer_blocks":
@@ -263,26 +302,52 @@ def block_param_specs(params, axis: str = PIPE_AXIS):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def shard_pipeline_params(mesh: Mesh, params, axis: str = PIPE_AXIS):
-    """Place the param tree: blocks layer-sharded over `axis`, rest replicated."""
+def pp_tp_param_spec(path_str: str, axis: str, model_axis: Optional[str]) -> P:
+    """Placement spec for one leaf: PP layer sharding on the leading (L, ...)
+    axis of block leaves, composed (when `model_axis` is set) with the
+    Megatron TP feature rules from sharding.py — whose block specs carry a
+    leading None exactly where the layer axis sits."""
+    if not (path_str.startswith("transformer_blocks/")
+            or path_str.startswith("transformer_blocks.")):
+        return P()
+    if model_axis is None:
+        return P(axis)
+    from ltx2_tpu.parallel.sharding import spec_for_path
+
+    tp = spec_for_path(path_str.replace(".", "/"))
+    rest = tuple(tp)[1:] if len(tp) > 0 else ()
+    rest = tuple(model_axis if s == "model" else s for s in rest)
+    return P(axis, *rest)
+
+
+def shard_pipeline_params(
+    mesh: Mesh, params, axis: str = PIPE_AXIS, model_axis: Optional[str] = None
+):
+    """Place the param tree: blocks layer-sharded over `axis` (and, with
+    `model_axis`, feature-sharded over it — PP x TP), rest replicated."""
     from jax.sharding import NamedSharding
 
-    specs = block_param_specs(params, axis)
-    return jax.tree_util.tree_map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        params, specs,
-    )
+    from ltx2_tpu.parallel.sharding import path_to_str
+
+    def put(path, leaf):
+        spec = pp_tp_param_spec(path_to_str(path), axis, model_axis)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
 
 
-def pipeline_device_put(mesh: Mesh, axis: str = PIPE_AXIS):
+def pipeline_device_put(
+    mesh: Mesh, axis: str = PIPE_AXIS, model_axis: Optional[str] = None
+):
     """Loader `device_put` hook: stacked (L, ...) block leaves land DIRECTLY
-    layer-sharded over `axis` as they stream in — per-stage HBM stays ~1/P
-    during load, which is the point of PP (a model too big for one chip
-    must never be staged whole on one chip)."""
+    layer-sharded over `axis` (feature-sharded over `model_axis` too under
+    PP x TP) as they stream in — per-stage HBM stays ~1/P during load, which
+    is the point of PP (a model too big for one chip must never be staged
+    whole on one chip)."""
     from jax.sharding import NamedSharding
 
     def put(path: str, arr):
-        spec = P(axis) if path.startswith("transformer_blocks.") else P()
+        spec = pp_tp_param_spec(path, axis, model_axis)
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
     return put
@@ -297,6 +362,7 @@ def make_pipeline_parallel_forward(
     perturbations: Optional[BatchedPerturbationConfig] = None,
     ca_scales: Optional[jnp.ndarray] = None,
     data_axis: Optional[str] = None,
+    model_axis: Optional[str] = None,
 ):
     """Build a jitted pipeline-parallel forward: (params, video[, audio]) -> out.
 
@@ -305,7 +371,9 @@ def make_pipeline_parallel_forward(
     schedule with `num_microbatches` drawn from the batch axis. The LOCAL
     batch must divide num_microbatches; cfg.num_layers must divide the
     stage count. With `data_axis`, batch rows additionally shard over that
-    mesh axis (PP x DP: num_microbatches applies per data shard).
+    mesh axis (PP x DP: num_microbatches applies per data shard). With
+    `model_axis`, block weights additionally feature-shard over it (PP x TP:
+    per-device weight HBM ~1/(P*T), Megatron all-reduces inside each stage).
     """
     if cfg.sequence_axis is not None:
         raise ValueError("pipeline parallelism does not compose with sequence_axis yet")
@@ -316,7 +384,7 @@ def make_pipeline_parallel_forward(
             params, pp_cfg, video, audio,
             axis=axis, num_microbatches=num_microbatches,
             perturbations=perturbations, ca_scales=ca_scales, video_pe=video_pe,
-            data_axis=data_axis,
+            data_axis=data_axis, model_axis=model_axis,
         )
         if not x0:
             return out
@@ -336,11 +404,16 @@ def make_pipeline_parallel_forward(
         out_specs = batch_spec
         if video is not None and audio is not None:
             out_specs = (batch_spec, batch_spec)
+        # Under PP x TP the model axis stays OUT of the manual axis set:
+        # GSPMD owns it (auto_axes inside the stage body inserts the TP
+        # collectives), while pipe/data are manual (ppermute schedule).
+        manual = frozenset(n for n in mesh.axis_names if n != model_axis)
         fn = jax.shard_map(
             forward,
             mesh=mesh,
             in_specs=(param_specs, mod_specs(video), mod_specs(audio), pe_specs),
             out_specs=out_specs,
+            axis_names=manual,
         )
         return jax.jit(fn)(params, video, audio, video_pe)
 

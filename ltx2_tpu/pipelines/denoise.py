@@ -258,9 +258,10 @@ def _make_pp_forward(
         block_param_specs,
     )
 
-    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
-    data_axis = "data" if data_size > 1 else None
-    local_m = max(1, num_microbatches // data_size)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    data_axis = "data" if sizes.get("data", 1) > 1 else None
+    model_axis = "model" if sizes.get("model", 1) > 1 else None
+    local_m = max(1, num_microbatches // sizes.get("data", 1))
     batch_spec = P() if data_axis is None else P(data_axis)
 
     def forward(params, video, audio, video_pe):
@@ -268,7 +269,7 @@ def _make_pp_forward(
             params, model_cfg, video, audio,
             axis=axis, num_microbatches=local_m,
             perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
-            data_axis=data_axis,
+            data_axis=data_axis, model_axis=model_axis,
         )
 
     def run(params, video, audio, video_pe, _ca_scales, text_kv):
@@ -282,11 +283,16 @@ def _make_pp_forward(
         )
         pe_specs = None if video_pe is None else (batch_spec, batch_spec)
         out_specs = (batch_spec, batch_spec) if n_modalities == 2 else batch_spec
+        # PP x TP: the model axis stays out of the manual set so GSPMD owns
+        # the Megatron collectives inside each stage (auto_axes in
+        # pipeline_block_stack); pipe/data stay manual (ppermute schedule).
+        manual = frozenset(n for n in mesh.axis_names if n != model_axis)
         vel = jax.shard_map(
             forward,
             mesh=mesh,
             in_specs=(param_specs, v_specs, a_specs, pe_specs),
             out_specs=out_specs,
+            axis_names=manual,
         )(params, video, audio, video_pe)
         if n_modalities == 2:
             return _x0(video, vel[0]), _x0(audio, vel[1])

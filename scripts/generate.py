@@ -318,7 +318,9 @@ def _place_transformer(params, cfg, args, meshes):
             )
         from ltx2_tpu.parallel.pipeline_parallel import shard_pipeline_params
 
-        return shard_pipeline_params(meshes["pipeline_mesh"], params)
+        return shard_pipeline_params(
+            meshes["pipeline_mesh"], params, model_axis=_pp_model_axis(meshes)
+        )
     if "tp_mesh" in meshes:
         from ltx2_tpu.parallel.sharding import shard_dit_params
 
@@ -326,36 +328,49 @@ def _place_transformer(params, cfg, args, meshes):
     return params
 
 
+def _pp_model_axis(meshes):
+    """'model' when the pipeline mesh also carries a TP axis (PP x TP)."""
+    mesh = meshes.get("pipeline_mesh")
+    if mesh is None:
+        return None
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return "model" if sizes.get("model", 1) > 1 else None
+
+
 def build_meshes(args):
     """Multi-chip flags -> meshes, built BEFORE weight loading so checkpoint
-    leaves can stream directly onto their shards (no single-chip staging)."""
-    modes = [
-        ("sp-devices", args.sp_devices),
-        ("pp-stages", args.pp_stages),
-        ("tp-devices", args.tp_devices),
-    ]
-    active = [(m, n) for m, n in modes if n and n > 1]
-    if not active:
+    leaves can stream directly onto their shards (no single-chip staging).
+
+    --pp-stages and --tp-devices COMPOSE (one pipe x model mesh: weights
+    shard ~1/(P*T) per chip); --sp-devices is exclusive with both."""
+    sp = args.sp_devices if args.sp_devices and args.sp_devices > 1 else 0
+    pp = args.pp_stages if args.pp_stages and args.pp_stages > 1 else 0
+    tp = args.tp_devices if args.tp_devices and args.tp_devices > 1 else 0
+    if not (sp or pp or tp):
         return {}
-    if len(active) > 1:
+    if sp and (pp or tp):
         raise SystemExit(
-            "--sp-devices / --pp-stages / --tp-devices are mutually exclusive"
+            "--sp-devices does not compose with --pp-stages/--tp-devices"
         )
     import jax as _jax
 
     from ltx2_tpu.parallel.mesh import create_mesh
 
-    mode, n = active[0]
+    n = sp or (pp or 1) * (tp or 1)
+    flag = "sp-devices" if sp else ("pp-stages x tp-devices" if pp and tp
+                                    else "pp-stages" if pp else "tp-devices")
     if len(_jax.devices()) < n:
         raise SystemExit(
-            f"--{mode} {n} but only {len(_jax.devices())} devices visible"
+            f"--{flag} needs {n} devices but only {len(_jax.devices())} visible"
         )
     devices = _jax.devices()[:n]
-    if mode == "sp-devices":
-        return {"sequence_mesh": create_mesh(data=1, model=1, seq=n, devices=devices)}
-    if mode == "pp-stages":
-        return {"pipeline_mesh": create_mesh(data=1, model=1, pipe=n, devices=devices)}
-    return {"tp_mesh": create_mesh(data=1, model=n, devices=devices)}
+    if sp:
+        return {"sequence_mesh": create_mesh(data=1, model=1, seq=sp, devices=devices)}
+    if pp:
+        return {"pipeline_mesh": create_mesh(
+            data=1, model=tp or 1, pipe=pp, devices=devices
+        )}
+    return {"tp_mesh": create_mesh(data=1, model=tp, devices=devices)}
 
 
 def build_models(args, meshes=None):
@@ -436,7 +451,9 @@ def build_models(args, meshes=None):
     if "pipeline_mesh" in meshes:
         from ltx2_tpu.parallel.pipeline_parallel import pipeline_device_put
 
-        device_put = pipeline_device_put(meshes["pipeline_mesh"])
+        device_put = pipeline_device_put(
+            meshes["pipeline_mesh"], model_axis=_pp_model_axis(meshes)
+        )
     elif "tp_mesh" in meshes:
         from ltx2_tpu.parallel.sharding import tp_device_put
 

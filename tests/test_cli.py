@@ -63,6 +63,19 @@ class TestCLISmoke:
         pp = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7", "--pp-stages", "4")
         assert np.abs(ref.astype(np.int32) - pp.astype(np.int32)).max() <= 1
 
+    def test_one_stage_pp_x_tp(self, tmp_path):
+        """--pp-stages 2 --tp-devices 2 COMPOSED (one pipe x model mesh):
+        blocks stage over 'pipe' while weights feature-shard over 'model';
+        must match the single-device output to pixel rounding."""
+        ref = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7")
+        pptp = _run(
+            tmp_path, "--pipeline", "one-stage", "--seed", "7",
+            "--pp-stages", "2", "--tp-devices", "2",
+        )
+        # <=2: the TP all-reduce reassociates bf16 partial sums, which can
+        # move a uint8 pixel by one extra rounding step vs single-device.
+        assert np.abs(ref.astype(np.int32) - pptp.astype(np.int32)).max() <= 2
+
     def test_one_stage_bfloat16(self, tmp_path, monkeypatch):
         """--dtype bfloat16 must reach the denoise loop (policy: bf16
         weights/activations with fp32 islands). Guards the dead plumbing

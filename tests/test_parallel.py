@@ -771,3 +771,107 @@ class TestPipelineDataComposition:
             )(params, state, sigmas, ctx, ctx).latent
         )
         np.testing.assert_allclose(got, expected, atol=5e-4)
+
+class TestPipelineTensorComposition:
+    """PP x TP (x DP): blocks stage over 'pipe' while their weights
+    feature-shard over 'model' (Megatron rules via auto_axes inside each
+    stage) — per-chip weight HBM ~1/(P*T)."""
+
+    def _cfg(self, num_layers=4):
+        # heads=4 so the model axis (2) divides head-sharded dims.
+        return tiny_config(
+            num_attention_heads=4, attention_head_dim=16,
+            cross_attention_dim=64, num_layers=num_layers,
+        )
+
+    def test_forward_matches(self):
+        from ltx2_tpu.parallel.pipeline_parallel import (
+            make_pipeline_parallel_forward,
+            shard_pipeline_params,
+        )
+
+        cfg = self._cfg()
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+
+        mesh = create_mesh(data=1, model=2, pipe=2, devices=jax.devices()[:4])
+        sharded = shard_pipeline_params(mesh, params, model_axis="model")
+        pp = make_pipeline_parallel_forward(
+            mesh, cfg, num_microbatches=2, x0=False, model_axis="model"
+        )
+        got = np.asarray(pp(sharded, video))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_forward_matches_pp_tp_dp(self):
+        """All three composed on the full 8-device mesh (2x2x2)."""
+        from ltx2_tpu.parallel.pipeline_parallel import (
+            make_pipeline_parallel_forward,
+            shard_pipeline_params,
+        )
+
+        cfg = self._cfg()
+        params = cached_params(cfg)
+        video = make_video_modality(cfg, batch=4)
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+
+        mesh = create_mesh(data=2, model=2, pipe=2)
+        sharded = shard_pipeline_params(mesh, params, model_axis="model")
+        pp = make_pipeline_parallel_forward(
+            mesh, cfg, num_microbatches=2, x0=False,
+            data_axis="data", model_axis="model",
+        )
+        got = np.asarray(pp(sharded, video))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_params_sharded_both_axes(self):
+        from ltx2_tpu.parallel.pipeline_parallel import shard_pipeline_params
+
+        cfg = self._cfg()
+        params = cached_params(cfg)
+        mesh = create_mesh(data=1, model=2, pipe=2, devices=jax.devices()[:4])
+        sharded = shard_pipeline_params(mesh, params, model_axis="model")
+        q = sharded["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        # (L, in, out) column-parallel: L/2 over pipe, out/2 over model.
+        assert q.sharding.spec == P("pipe", "model", None)
+        shard = q.addressable_shards[0].data.shape
+        assert shard[0] == q.shape[0] // 2 and shard[1] == q.shape[1] // 2
+        out = sharded["transformer_blocks"]["attn1"]["to_out"]["weight"]
+        # Row-parallel: in-features shard over model.
+        assert out.sharding.spec == P("pipe", None, "model")
+
+    def test_denoise_loop_pp_tp(self):
+        """PP x TP end to end inside the scanned denoise loop."""
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.parallel.pipeline_parallel import shard_pipeline_params
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+
+        cfg = self._cfg(num_layers=2)
+        params = cached_params(cfg)
+        shape = VideoLatentShape(
+            batch=1, channels=cfg.in_channels, frames=2, height=2, width=3
+        )
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = GaussianNoiser()(
+            jax.random.PRNGKey(0), tools.create_initial_state(), 1.0
+        )
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(3.0))  # 2 rows -> M=2
+        expected = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg)(params, state, sigmas, ctx, ctx).latent
+        )
+        mesh = create_mesh(data=1, model=2, pipe=2, devices=jax.devices()[:4])
+        sharded = shard_pipeline_params(mesh, params, model_axis="model")
+        got = np.asarray(
+            make_video_denoise_loop(
+                cfg, loop_cfg, mesh=mesh, pipeline_axis="pipe",
+                pipeline_microbatches=2,
+            )(sharded, state, sigmas, ctx, ctx).latent
+        )
+        np.testing.assert_allclose(got, expected, atol=5e-4)
