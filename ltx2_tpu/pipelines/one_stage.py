@@ -128,6 +128,7 @@ class OneStagePipeline:
         vocoder_cfg=None,
         sequence_mesh=None,
         pipeline_mesh=None,
+        vae_mesh=None,
     ):
         # Optional jax.sharding.Mesh with a 'seq' axis: the denoise loops run
         # token-sharded (ring attention) end-to-end (SURVEY §2.12).
@@ -135,6 +136,9 @@ class OneStagePipeline:
         # Optional Mesh with a 'pipe' axis: block stack GPipe-pipelined
         # (params layer-sharded; shard with shard_pipeline_params first).
         self.pipeline_mesh = pipeline_mesh
+        # Optional Mesh with a 'data' axis: tiled VAE decode runs
+        # data-parallel, same-shape tiles batched one per chip.
+        self.vae_mesh = vae_mesh
         self.transformer_params = transformer_params
         self.transformer_cfg = transformer_cfg
         self.video_encoder_params = video_encoder_params
@@ -167,7 +171,9 @@ class OneStagePipeline:
                 self.video_decoder_params, self.video_decoder_cfg, tile,
                 timestep=timestep, noise_key=key,
             )
-            chunks = list(decode_tiled(latent, jax.jit(decoder_fn), tiling))
+            chunks = list(
+                decode_tiled(latent, jax.jit(decoder_fn), tiling, mesh=self.vae_mesh)
+            )
             video = chunks[0] if len(chunks) == 1 else np.concatenate(chunks, axis=2)
             video = np.clip((video + 1) / 2, 0, 1) * 255
             return video.astype(np.uint8)[0].transpose(1, 2, 3, 0)

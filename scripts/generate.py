@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel the DiT over this many devices "
                    "(Megatron QKV/FFN sharding, GSPMD collectives); "
                    "weights stream directly onto their shards; 0 = off")
+    p.add_argument("--vae-dp-devices", type=int, default=0,
+                   help="decode VAE tiles data-parallel over this many "
+                   "devices (same-shape tiles batch one per chip; requires "
+                   "tiling, composes with any DiT parallelism); 0 = off")
     p.add_argument("--gemma-fp8", action="store_true",
                    help="quantize Gemma matmul weights to fp8 at load "
                         "(12B text encoder fits a 16GB chip)")
@@ -346,8 +350,25 @@ def build_meshes(args):
     sp = args.sp_devices if args.sp_devices and args.sp_devices > 1 else 0
     pp = args.pp_stages if args.pp_stages and args.pp_stages > 1 else 0
     tp = args.tp_devices if args.tp_devices and args.tp_devices > 1 else 0
+    vae_dp = args.vae_dp_devices if args.vae_dp_devices and args.vae_dp_devices > 1 else 0
+    meshes = {}
+    if vae_dp:
+        # Independent mesh for tiled VAE decode (devices may overlap the DiT
+        # mesh — decode runs after the denoise loop).
+        import jax as _jax
+
+        from ltx2_tpu.parallel.mesh import create_mesh
+
+        if len(_jax.devices()) < vae_dp:
+            raise SystemExit(
+                f"--vae-dp-devices {vae_dp} but only "
+                f"{len(_jax.devices())} devices visible"
+            )
+        meshes["vae_mesh"] = create_mesh(
+            data=vae_dp, model=1, devices=_jax.devices()[:vae_dp]
+        )
     if not (sp or pp or tp):
-        return {}
+        return meshes
     if sp and (pp or tp):
         raise SystemExit(
             "--sp-devices does not compose with --pp-stages/--tp-devices"
@@ -365,12 +386,15 @@ def build_meshes(args):
         )
     devices = _jax.devices()[:n]
     if sp:
-        return {"sequence_mesh": create_mesh(data=1, model=1, seq=sp, devices=devices)}
+        meshes["sequence_mesh"] = create_mesh(data=1, model=1, seq=sp, devices=devices)
+        return meshes
     if pp:
-        return {"pipeline_mesh": create_mesh(
+        meshes["pipeline_mesh"] = create_mesh(
             data=1, model=tp or 1, pipe=pp, devices=devices
-        )}
-    return {"tp_mesh": create_mesh(data=1, model=tp, devices=devices)}
+        )
+        return meshes
+    meshes["tp_mesh"] = create_mesh(data=1, model=tp, devices=devices)
+    return meshes
 
 
 def build_models(args, meshes=None):
@@ -573,7 +597,7 @@ def main(argv=None):
     with trace(args.profile_dir):
         meshes = build_meshes(args)
         models, ledger = build_models(args, meshes)
-        for key in ("sequence_mesh", "pipeline_mesh"):
+        for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh"):
             if key in meshes:
                 models[key] = meshes[key]
         embeddings = encode_prompts(args, ledger, models["transformer_cfg"])

@@ -76,6 +76,19 @@ class TestCLISmoke:
         # move a uint8 pixel by one extra rounding step vs single-device.
         assert np.abs(ref.astype(np.int32) - pptp.astype(np.int32)).max() <= 2
 
+    def test_one_stage_vae_dp_tiled(self, tmp_path):
+        """--vae-dp-devices with spatial tiling: same-shape tiles decode
+        batched one per chip. Exact equality vs sequential tiling is covered
+        by tests/test_tiling.py (the placeholder decoder injects batch-shaped
+        decode noise, so pixels differ here); the smoke drives the full CLI
+        wiring: mesh build -> pipeline -> batched tile decode -> mux."""
+        frames = _run(
+            tmp_path, "--pipeline", "one-stage", "--seed", "7",
+            "--tile-size", "64", "--tile-overlap", "32",
+            "--vae-dp-devices", "4",
+        )
+        assert frames.shape == (9, 64, 96, 3)
+
     def test_one_stage_bfloat16(self, tmp_path, monkeypatch):
         """--dtype bfloat16 must reach the denoise loop (policy: bf16
         weights/activations with fp32 islands). Guards the dead plumbing
