@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ltx2_tpu.core import rms_norm
 from ltx2_tpu.ops.attention import sdpa_tokens
-from ltx2_tpu.ops.common import Params, init_linear, linear
+from ltx2_tpu.ops.common import Params, init_linear, linear, linear_row_parallel
 from ltx2_tpu.ops.rope import LTXRopeType, apply_rotary_emb
 
 
@@ -34,6 +34,13 @@ class AttentionConfig:
     # along which the token dim is sharded. Self-attention goes through ring
     # attention; cross-modal attention all-gathers its K/V (gather_context).
     sequence_axis: Optional[str] = None
+    # SP x TP composition: mesh axis the weights are feature-sharded over
+    # (Megatron column/row rules) while tokens stay sharded over
+    # sequence_axis. Column-parallel projections and head-sharded attention
+    # propagate through explicit sharding with no code; the row-parallel
+    # output projection resolves its contraction under auto_axes (psum over
+    # this axis, inserted by GSPMD).
+    tp_axis: Optional[str] = None
 
     @property
     def inner_dim(self) -> int:
@@ -107,7 +114,7 @@ def attention_apply(
             out.reshape(b, t, cfg.heads, cfg.dim_head) * gates[..., None]
         ).reshape(b, t, cfg.heads * cfg.dim_head)
 
-    return linear(p["to_out"], out)
+    return linear_row_parallel(p["to_out"], out, cfg.tp_axis)
 
 
 def init_attention(key: jax.Array, cfg: AttentionConfig, dtype=jnp.float32) -> Params:
@@ -127,21 +134,29 @@ def init_attention(key: jax.Array, cfg: AttentionConfig, dtype=jnp.float32) -> P
     return p
 
 
-def feed_forward_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def feed_forward_apply(
+    p: Params, x: jnp.ndarray, tp_axis: Optional[str] = None
+) -> jnp.ndarray:
     """Linear -> gelu_tanh -> Linear, mult=4 (feed_forward.py:29-54).
 
-    XLA fuses the GELU into the first matmul's epilogue on TPU.
+    XLA fuses the GELU into the first matmul's epilogue on TPU. tp_axis:
+    Megatron split — project_in column-parallel (automatic under explicit
+    sharding), project_out row-parallel (psum via linear_row_parallel).
     """
     h = linear(p["project_in"]["proj"], x)
     h = jax.nn.gelu(h, approximate=True)
-    return linear(p["project_out"], h)
+    return linear_row_parallel(p["project_out"], h, tp_axis)
 
 
-def swiglu_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def swiglu_apply(
+    p: Params, x: jnp.ndarray, tp_axis: Optional[str] = None
+) -> jnp.ndarray:
     """SwiGLU alternative FFN (feed_forward.py:57-74)."""
     from ltx2_tpu.ops.common import silu_mul
 
-    return linear(p["w_down"], silu_mul(linear(p["w_gate"], x), linear(p["w_up"], x)))
+    return linear_row_parallel(
+        p["w_down"], silu_mul(linear(p["w_gate"], x), linear(p["w_up"], x)), tp_axis
+    )
 
 
 def init_feed_forward(

@@ -53,6 +53,10 @@ class StreamConfig:
     # shard_map); None = single-shard tokens. Self-attn -> ring attention,
     # A2V/V2A -> K/V all-gather, text cross-attn unaffected (replicated ctx).
     sequence_axis: Optional[str] = None
+    # Mesh axis the block weights are feature-sharded over (SP x TP
+    # composition): column-parallel projections propagate via explicit
+    # sharding, row-parallel out/down projections psum via auto_axes.
+    tp_axis: Optional[str] = None
 
 
 @jax.tree_util.register_dataclass
@@ -195,6 +199,7 @@ def av_block_apply(
             rope_type=rope_type,
             apply_gated_attention=video_cfg.apply_gated_attention,
             sequence_axis=video_cfg.sequence_axis,
+            tp_axis=video_cfg.tp_axis,
         )
         v_attn2 = dataclasses.replace(
             v_attn1, context_dim=video_cfg.context_dim, sequence_axis=None
@@ -223,6 +228,7 @@ def av_block_apply(
             rope_type=rope_type,
             apply_gated_attention=audio_cfg.apply_gated_attention,
             sequence_axis=audio_cfg.sequence_axis,
+            tp_axis=audio_cfg.tp_axis,
         )
         a_attn2 = dataclasses.replace(
             a_attn1, context_dim=audio_cfg.context_dim, sequence_axis=None
@@ -250,6 +256,7 @@ def av_block_apply(
             rope_type=rope_type,
             apply_gated_attention=video_cfg.apply_gated_attention,
             sequence_axis=audio_cfg.sequence_axis,  # KV side (audio tokens)
+            tp_axis=video_cfg.tp_axis,
         )
         v2a_cfg = AttentionConfig(
             query_dim=audio_cfg.dim,
@@ -260,6 +267,7 @@ def av_block_apply(
             rope_type=rope_type,
             apply_gated_attention=audio_cfg.apply_gated_attention,
             sequence_axis=video_cfg.sequence_axis,  # KV side (video tokens)
+            tp_axis=audio_cfg.tp_axis,
         )
         vx_norm = rms_norm(vx, None, norm_eps)
         ax_norm = rms_norm(ax, None, norm_eps)
@@ -312,7 +320,10 @@ def av_block_apply(
         shift_mlp, scale_mlp, gate_mlp = _ada_values(
             p["scale_shift_table"], video.timesteps, 3, 6
         )
-        ff_out = feed_forward_apply(p["ff"], _modulate(vx, scale_mlp, shift_mlp, norm_eps))
+        ff_out = feed_forward_apply(
+            p["ff"], _modulate(vx, scale_mlp, shift_mlp, norm_eps),
+            tp_axis=video_cfg.tp_axis,
+        )
         vx = _gated_residual(vx, ff_out, gate_mlp, None)
 
     if run_a:
@@ -320,7 +331,8 @@ def av_block_apply(
             p["audio_scale_shift_table"], audio.timesteps, 3, 6
         )
         ff_out = feed_forward_apply(
-            p["audio_ff"], _modulate(ax, ascale_mlp, ashift_mlp, norm_eps)
+            p["audio_ff"], _modulate(ax, ascale_mlp, ashift_mlp, norm_eps),
+            tp_axis=audio_cfg.tp_axis,
         )
         ax = _gated_residual(ax, ff_out, agate_mlp, None)
 

@@ -95,6 +95,12 @@ class LTXModelConfig:
     # model runs under shard_map (see parallel/sequence_parallel.py). None =
     # standard single-shard token axis.
     sequence_axis: Optional[str] = None
+    # SP x TP composition: mesh axis the block weights are feature-sharded
+    # over (Megatron rules, sharding.py) while tokens shard over
+    # sequence_axis — the axis must be LEFT OUT of the enclosing shard_map's
+    # manual axis_names so GSPMD owns its collectives. None = no TP inside
+    # the sequence-parallel region.
+    tp_axis: Optional[str] = None
     # Audio stream constants (model.py:428-434)
     audio_heads: int = 32
     audio_head_dim: int = 64
@@ -127,6 +133,7 @@ class LTXModelConfig:
             cross_attention_adaln=self.cross_attention_adaln,
             apply_gated_attention=self.apply_gated_attention,
             sequence_axis=self.sequence_axis,
+            tp_axis=self.tp_axis,
         )
 
     def audio_stream_config(self) -> StreamConfig:
@@ -140,6 +147,7 @@ class LTXModelConfig:
             cross_attention_adaln=self.cross_attention_adaln,
             apply_gated_attention=self.apply_gated_attention,
             sequence_axis=self.sequence_axis,
+            tp_axis=self.tp_axis,
         )
 
 

@@ -43,6 +43,28 @@ def linear(p: Params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     return y
 
 
+def linear_row_parallel(
+    p: Params, x: jnp.ndarray, tp_axis: Optional[str] = None, precision=None
+) -> jnp.ndarray:
+    """`linear` whose in-features (and x's matching dim) are feature-sharded
+    over mesh axis `tp_axis` (Megatron row-parallel, SP x TP composition).
+
+    The contraction over a sharded dim is ambiguous under explicit sharding,
+    so the call runs under `auto_axes`: GSPMD partitions the dot, inserts
+    the psum over `tp_axis`, and adds the (replicated) bias once after the
+    reduction. tp_axis=None is exactly `linear`.
+    """
+    if tp_axis is None:
+        return linear(p, x, precision)
+    from jax.sharding import PartitionSpec, auto_axes
+
+    return auto_axes(
+        lambda pp, xx: linear(pp, xx, precision),
+        axes=(tp_axis,),
+        out_sharding=PartitionSpec(),
+    )(p, x)
+
+
 def init_linear(
     key: jax.Array,
     in_features: int,

@@ -59,14 +59,13 @@ def ring_attention_local(
     b, h, t, d = q.shape
     use_flash = inner == "flash" or (inner == "auto" and _flash_inner_ok(q, k))
 
-    # Accumulators must be marked device-varying over the ring axis so the
-    # fori_loop carry types line up (shard_map vma tracking).
-    def varying(x):
-        return jax.lax.pcast(x, (axis_name,), to="varying")
-
-    m0 = varying(jnp.full((b, h, t), -jnp.inf, jnp.float32))
-    l0 = varying(jnp.zeros((b, h, t), jnp.float32))
-    o0 = varying(jnp.zeros((b, h, t, d), jnp.float32))
+    # Accumulators derive from q so they inherit BOTH its vma (varying over
+    # the ring axis — fori_loop carry types must line up) and, under SP x TP,
+    # its explicit head-axis sharding over the model axis.
+    q32 = q[..., 0].astype(jnp.float32)
+    m0 = jnp.full_like(q32, -jnp.inf)
+    l0 = jnp.zeros_like(q32)
+    o0 = jnp.zeros_like(q, dtype=jnp.float32)
 
     block_attn = _flash_block_residuals if use_flash else _dense_block_residuals
 
@@ -98,6 +97,14 @@ def _flash_inner_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
         backend = jax.default_backend()
     except Exception:
         return False
+    try:
+        # SP x TP: heads explicitly sharded over the model axis — the Pallas
+        # custom call has no GSPMD partition rule, so fall back to the dense
+        # inner (its einsums partition fine).
+        if any(s is not None for s in tuple(jax.typeof(q).sharding.spec)):
+            return False
+    except Exception:
+        pass
     _b, _h, tq, d = q.shape
     tk = k.shape[2]
     return (

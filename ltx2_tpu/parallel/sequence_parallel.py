@@ -53,13 +53,20 @@ def make_sequence_parallel_forward(
     cfg: LTXModelConfig,
     axis: str = SEQ_AXIS,
     x0: bool = True,
+    model_axis: Optional[str] = None,
 ):
     """Build a jitted token-sharded forward: (params, video[, audio]) -> out.
 
     Tokens per modality must divide the mesh's `axis` size. Params and text
     context are replicated; latent/positions/per-token-timesteps are sharded.
+
+    With `model_axis` (SP x TP), block weights additionally arrive
+    feature-sharded over that mesh axis (shard with shard_dit_params first):
+    the axis stays OUT of the manual axis_names, column-parallel projections
+    and head-sharded ring attention propagate through explicit sharding, and
+    the row-parallel out/down projections psum under auto_axes.
     """
-    sp_cfg = dataclasses.replace(cfg, sequence_axis=axis)
+    sp_cfg = dataclasses.replace(cfg, sequence_axis=axis, tp_axis=model_axis)
     apply_fn = x0_model_apply if x0 else ltx_model_apply
 
     def forward(params, video: Optional[Modality], audio: Optional[Modality]):
@@ -72,11 +79,13 @@ def make_sequence_parallel_forward(
         out_specs = P(None, axis, None)
         if video is not None and audio is not None:
             out_specs = (out_specs, out_specs)
+        manual = frozenset(n for n in mesh.axis_names if n != model_axis)
         fn = jax.shard_map(
             forward,
             mesh=mesh,
             in_specs=(param_specs, v_specs, a_specs),
             out_specs=out_specs,
+            axis_names=manual,
         )
         return jax.jit(fn)(params, video, audio)
 

@@ -109,6 +109,24 @@ def apply_conditionings(
     return latent_state
 
 
+def consolidate_latent(latent):
+    """Gather a multi-device (token/row-sharded) latent onto one device.
+
+    Denoise loops under SP/PP return sharded outputs. The conv phases after
+    them (upscalers, VAE decode) must NOT consume sharded inputs: GSPMD's
+    conv halo exchange silently miscomputes when a shard is smaller than the
+    halo width (observed on XLA:CPU with a 2D-sharded tiny latent), and the
+    latent is small (MBs) — gathering it matches the sequential-residency
+    phase boundary anyway. Multi-chip decode goes through the tile-DP path
+    (models/video_vae/tiling.py), which shards whole tiles, never halos.
+    """
+    import jax as _jax
+
+    if isinstance(latent, _jax.Array) and len(latent.sharding.device_set) > 1:
+        return _jax.device_put(latent, next(iter(latent.sharding.device_set)))
+    return latent
+
+
 def post_process_latent(
     denoised: jnp.ndarray,
     denoise_mask: jnp.ndarray,

@@ -196,10 +196,18 @@ def _make_sp_forward(
     (guidance, steppers) stays in the outer GSPMD jit, which moves only the
     small (B, N, C) latents — activations inside the 48 blocks are what SP
     exists to shard, and those never leave the shard_map region.
+
+    When the mesh also carries a 'model' axis > 1 (SP x TP), block weights
+    arrive feature-sharded over it (shard_dit_params) and that axis stays
+    OUT of the manual set: GSPMD owns the Megatron collectives while ring
+    attention runs head-sharded. Text-KV caching is incompatible (the cached
+    K/V would need head sharding).
     """
     from ltx2_tpu.models.transformer.model import x0_model_apply
 
-    sp_cfg = dataclasses.replace(model_cfg, sequence_axis=axis)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    model_axis = "model" if sizes.get("model", 1) > 1 else None
+    sp_cfg = dataclasses.replace(model_cfg, sequence_axis=axis, tp_axis=model_axis)
 
     def forward(params, video, audio, video_pe, ca_scales, text_kv):
         return x0_model_apply(
@@ -209,6 +217,9 @@ def _make_sp_forward(
         )
 
     def run(params, video, audio, video_pe, ca_scales, text_kv):
+        assert text_kv is None or model_axis is None, (
+            "text KV caching is incompatible with SP x TP"
+        )
         param_specs = jax.tree_util.tree_map(lambda _: P(), params)
         v_specs = None if video is None else _modality_seq_specs(video, axis)
         a_specs = None if audio is None else _modality_seq_specs(audio, axis)
@@ -223,11 +234,13 @@ def _make_sp_forward(
         out_specs = P(None, axis, None)
         if n_modalities == 2:
             out_specs = (out_specs, out_specs)
+        manual = frozenset(n for n in mesh.axis_names if n != model_axis)
         return jax.shard_map(
             forward,
             mesh=mesh,
             in_specs=(param_specs, v_specs, a_specs, pe_specs, ca_specs, kv_specs),
             out_specs=out_specs,
+            axis_names=manual,
         )(params, video, audio, video_pe, ca_scales, text_kv)
 
     return run

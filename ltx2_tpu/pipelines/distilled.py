@@ -33,6 +33,7 @@ from ltx2_tpu.models.video_vae import (
 from ltx2_tpu.pipelines.common import (
     ImageCondition,
     apply_conditionings,
+    consolidate_latent,
     create_image_conditionings,
 )
 from ltx2_tpu.pipelines.denoise import (
@@ -246,7 +247,9 @@ class DistilledPipeline(OneStagePipeline):
         final_audio_latent = stage_1_audio
         if self.spatial_upscaler_params is not None:
             stats = self._stats()
-            latent_unnorm = un_normalize_latent(stage_1_latent, stats)
+            # SP/PP loop outputs are sharded; the upscaler convs need a
+            # consolidated latent (see pipelines/common.py).
+            latent_unnorm = un_normalize_latent(consolidate_latent(stage_1_latent), stats)
             upscale = jax.jit(
                 lambda p, z: spatial_upscaler_apply(p, self.spatial_upscaler_cfg, z)
             )

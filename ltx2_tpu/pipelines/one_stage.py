@@ -43,6 +43,7 @@ from ltx2_tpu.models.video_vae import (
 from ltx2_tpu.pipelines.common import (
     ImageCondition,
     apply_conditionings,
+    consolidate_latent,
     create_image_conditionings,
 )
 from ltx2_tpu.pipelines.denoise import (
@@ -165,6 +166,7 @@ class OneStagePipeline:
         return fn(self.video_encoder_params, image_tensor)
 
     def _decode_video(self, latent: jnp.ndarray, config: OneStageCFGConfig, key):
+        latent = consolidate_latent(latent)
         tiling = config.effective_tiling()
         if tiling is not None:
             decoder_fn = lambda tile, timestep=0.05: video_decoder_apply(  # noqa: E731
@@ -182,6 +184,7 @@ class OneStagePipeline:
         )
 
     def _decode_audio(self, audio_latent: jnp.ndarray) -> jnp.ndarray:
+        audio_latent = consolidate_latent(audio_latent)
         if self.audio_decoder_params is None or self.vocoder_params is None:
             raise ValueError("Audio decoder and vocoder required for audio decoding")
         from ltx2_tpu.models.audio_vae import (
@@ -330,7 +333,9 @@ class OneStagePipeline:
 
         video_state = video_tools.clear_conditioning(video_state)
         video_state = video_tools.unpatchify(video_state)
-        final_video_latent = video_state.latent
+        # Loop outputs are sharded under SP/PP; the conv consumers below
+        # (temporal upscaler, VAE decode) need a consolidated latent.
+        final_video_latent = consolidate_latent(video_state.latent)
 
         if temporal_upscaler is not None:
             stats = self.video_decoder_params["per_channel_statistics"]

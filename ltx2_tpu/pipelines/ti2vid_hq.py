@@ -28,7 +28,11 @@ from ltx2_tpu.components import GaussianNoiser, LTX2Scheduler
 from ltx2_tpu.components.res2s import get_res2s_coefficients
 from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
 from ltx2_tpu.models.transformer.model import LTXModelConfig
-from ltx2_tpu.pipelines.common import modality_from_state, post_process_latent
+from ltx2_tpu.pipelines.common import (
+    consolidate_latent,
+    modality_from_state,
+    post_process_latent,
+)
 from ltx2_tpu.pipelines.denoise import _precompute_video_pe, _tile_rows
 from ltx2_tpu.pipelines.distilled import DistilledConfig, DistilledPipeline
 from ltx2_tpu.types import AudioLatentShape, LatentState, VideoLatentShape, VideoPixelShape
@@ -284,7 +288,12 @@ class TI2VidHQPipeline(DistilledPipeline):
                 lambda p, z: spatial_upscaler_apply(p, self.spatial_upscaler_cfg, z)
             )
             upscaled = normalize_latent(
-                upscale(self.spatial_upscaler_params, un_normalize_latent(stage_1_latent, stats)),
+                upscale(
+                    self.spatial_upscaler_params,
+                    # SP/PP loop outputs are sharded; the upscaler convs
+                    # need a consolidated latent (see pipelines/common.py).
+                    un_normalize_latent(consolidate_latent(stage_1_latent), stats),
+                ),
                 stats,
             ).astype(dtype)
 

@@ -37,6 +37,7 @@ from ltx2_tpu.models.video_vae import (
 from ltx2_tpu.pipelines.common import (
     ImageCondition,
     apply_conditionings,
+    consolidate_latent,
     create_image_conditionings,
 )
 from ltx2_tpu.pipelines.denoise import (
@@ -207,7 +208,9 @@ class TwoStagePipeline(DistilledPipeline):
         final_audio_latent = stage_1_audio_latent
         if self.spatial_upscaler_params is not None:
             stats = self._stats()
-            latent_unnorm = un_normalize_latent(stage_1_video_latent, stats)
+            # SP/PP loop outputs are sharded; the upscaler convs need a
+            # consolidated latent (see pipelines/common.py).
+            latent_unnorm = un_normalize_latent(consolidate_latent(stage_1_video_latent), stats)
             upscale = jax.jit(
                 lambda p, z: spatial_upscaler_apply(p, self.spatial_upscaler_cfg, z)
             )

@@ -329,12 +329,26 @@ def _place_transformer(params, cfg, args, meshes):
         from ltx2_tpu.parallel.sharding import shard_dit_params
 
         return shard_dit_params(meshes["tp_mesh"], params)
+    if _sp_model_axis(meshes):
+        # SP x TP: block weights feature-shard over the sequence mesh's
+        # 'model' axis (ring attention runs head-sharded inside shard_map).
+        from ltx2_tpu.parallel.sharding import shard_dit_params
+
+        return shard_dit_params(meshes["sequence_mesh"], params)
     return params
 
 
 def _pp_model_axis(meshes):
     """'model' when the pipeline mesh also carries a TP axis (PP x TP)."""
-    mesh = meshes.get("pipeline_mesh")
+    return _mesh_model_axis(meshes.get("pipeline_mesh"))
+
+
+def _sp_model_axis(meshes):
+    """'model' when the sequence mesh also carries a TP axis (SP x TP)."""
+    return _mesh_model_axis(meshes.get("sequence_mesh"))
+
+
+def _mesh_model_axis(mesh):
     if mesh is None:
         return None
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -369,24 +383,25 @@ def build_meshes(args):
         )
     if not (sp or pp or tp):
         return meshes
-    if sp and (pp or tp):
-        raise SystemExit(
-            "--sp-devices does not compose with --pp-stages/--tp-devices"
-        )
+    if sp and pp:
+        raise SystemExit("--sp-devices does not compose with --pp-stages")
     import jax as _jax
 
     from ltx2_tpu.parallel.mesh import create_mesh
 
-    n = sp or (pp or 1) * (tp or 1)
-    flag = "sp-devices" if sp else ("pp-stages x tp-devices" if pp and tp
-                                    else "pp-stages" if pp else "tp-devices")
+    n = (sp or 1) * (pp or 1) * (tp or 1) if (sp or pp) else tp
+    flag = " x ".join(
+        f for f, v in (("sp-devices", sp), ("pp-stages", pp), ("tp-devices", tp)) if v
+    )
     if len(_jax.devices()) < n:
         raise SystemExit(
             f"--{flag} needs {n} devices but only {len(_jax.devices())} visible"
         )
     devices = _jax.devices()[:n]
     if sp:
-        meshes["sequence_mesh"] = create_mesh(data=1, model=1, seq=sp, devices=devices)
+        meshes["sequence_mesh"] = create_mesh(
+            data=1, model=tp or 1, seq=sp, devices=devices
+        )
         return meshes
     if pp:
         meshes["pipeline_mesh"] = create_mesh(
@@ -482,6 +497,10 @@ def build_models(args, meshes=None):
         from ltx2_tpu.parallel.sharding import tp_device_put
 
         device_put = tp_device_put(meshes["tp_mesh"])
+    elif _sp_model_axis(meshes):
+        from ltx2_tpu.parallel.sharding import tp_device_put
+
+        device_put = tp_device_put(meshes["sequence_mesh"])
 
     ledger = ModelLedger(
         checkpoint_path=args.checkpoint,

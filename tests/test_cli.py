@@ -76,6 +76,28 @@ class TestCLISmoke:
         # move a uint8 pixel by one extra rounding step vs single-device.
         assert np.abs(ref.astype(np.int32) - pptp.astype(np.int32)).max() <= 2
 
+    def test_one_stage_sp(self, tmp_path):
+        """--sp-devices: the denoise loop runs token-sharded (ring
+        attention); must match single-device output to pixel rounding."""
+        ref = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7")
+        sp = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7", "--sp-devices", "4")
+        # <=2: the ring's online softmax reassociates bf16 partial sums.
+        # (A max diff of ~100 here means the decode consumed a sharded
+        # latent — see consolidate_latent in pipelines/common.py.)
+        assert np.abs(ref.astype(np.int32) - sp.astype(np.int32)).max() <= 2
+
+    def test_one_stage_sp_x_tp(self, tmp_path):
+        """--sp-devices 2 --tp-devices 2 COMPOSED (one seq x model mesh):
+        tokens shard over 'seq' (ring attention, head-sharded) while block
+        weights feature-shard over 'model'."""
+        ref = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7")
+        sptp = _run(
+            tmp_path, "--pipeline", "one-stage", "--seed", "7",
+            "--sp-devices", "2", "--tp-devices", "2",
+        )
+        # <=2: bf16 partial-sum reassociation across the TP all-reduce.
+        assert np.abs(ref.astype(np.int32) - sptp.astype(np.int32)).max() <= 2
+
     def test_one_stage_vae_dp_tiled(self, tmp_path):
         """--vae-dp-devices with spatial tiling: same-shape tiles decode
         batched one per chip. Exact equality vs sequential tiling is covered
