@@ -110,20 +110,25 @@ def apply_conditionings(
 
 
 def consolidate_latent(latent):
-    """Gather a multi-device (token/row-sharded) latent onto one device.
+    """Gather a multi-device (token/row-sharded) latent to the host.
 
     Denoise loops under SP/PP return sharded outputs. The conv phases after
     them (upscalers, VAE decode) must NOT consume sharded inputs: GSPMD's
     conv halo exchange silently miscomputes when a shard is smaller than the
-    halo width (observed on XLA:CPU with a 2D-sharded tiny latent), and the
-    latent is small (MBs) — gathering it matches the sequential-residency
-    phase boundary anyway. Multi-chip decode goes through the tile-DP path
-    (models/video_vae/tiling.py), which shards whole tiles, never halos.
+    halo width (observed on XLA:CPU with a 2D-sharded tiny latent). The
+    gather goes through the HOST (np.ndarray) rather than one device: a
+    device-committed array cannot feed a later stage's multi-device
+    shard_map (two-stage pipelines re-enter a loop after upscaling), while
+    an uncommitted host array places freely — and the latent is MBs, so the
+    transfer is the natural sequential-residency phase boundary. Multi-chip
+    decode goes through the tile-DP path (models/video_vae/tiling.py),
+    which shards whole tiles, never halos.
     """
     import jax as _jax
+    import numpy as _np
 
     if isinstance(latent, _jax.Array) and len(latent.sharding.device_set) > 1:
-        return _jax.device_put(latent, next(iter(latent.sharding.device_set)))
+        return _np.asarray(latent)
     return latent
 
 

@@ -183,3 +183,28 @@ class TestTextToVideo:
         video, audio = pipeline(pos, neg, config)
         assert video.dtype == np.uint8
         assert audio is None
+
+
+class TestDistilledSequenceParallel:
+    """Staged pipeline with a sequence mesh: stage-1 SP loop output must be
+    consolidated before the upscaler convs (consolidate_latent) and the
+    whole two-stage run must match the single-device result."""
+
+    def test_matches_unsharded(self):
+        from ltx2_tpu.parallel.mesh import create_mesh
+
+        pipeline, dit_cfg = make_pipeline(DistilledPipeline)
+        config = DistilledConfig(
+            height=128, width=192, num_frames=9, latent_channels=8
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        expected = pipeline(pos, None, config, skip_decode=True)
+
+        sp_pipeline, _ = make_pipeline(DistilledPipeline)
+        sp_pipeline.sequence_mesh = create_mesh(
+            data=1, model=1, seq=2, devices=jax.devices()[:2]
+        )
+        got = sp_pipeline(pos, None, config, skip_decode=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=5e-4
+        )
