@@ -93,6 +93,12 @@ def pipeline_block_stack(
     sharding.py) and each stage's block scan runs under `auto_axes` so
     GSPMD inserts the TP all-reduces over ICI inside every tick, while the
     GPipe schedule stays manual over `axis`/`data_axis`.
+
+    With `cfg.sequence_axis` set (PP x SP composition), the stream args
+    additionally arrive token-sharded over that mesh axis and each stage's
+    self-attention runs as ring attention — the GPipe ppermute (over
+    `axis`) and the ring ppermute (over the sequence axis) ride independent
+    mesh dimensions.
     """
     n_stages = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
@@ -223,10 +229,15 @@ def pipeline_block_stack(
 
     ticks = jnp.arange(m + n_stages - 1)
     # The carry becomes device-varying across 'pipe' inside the loop (ppermute
-    # + axis_index-dependent writes) — and across 'data' too when rows are
-    # data-sharded; mark the zero-init accordingly so scan carry types are
-    # stable.
-    vary_axes = (axis,) if data_axis is None else (axis, data_axis)
+    # + axis_index-dependent writes) — across 'data' when rows are
+    # data-sharded, and across the sequence axis when tokens are sharded
+    # (PP x SP: ring attention inside each stage); mark the zero-init
+    # accordingly so scan carry types are stable.
+    vary_axes = (axis,)
+    if data_axis is not None:
+        vary_axes += (data_axis,)
+    if cfg.sequence_axis is not None:
+        vary_axes += (cfg.sequence_axis,)
     init = jax.tree_util.tree_map(
         lambda a: jax.lax.pcast(a, vary_axes, to="varying"),
         (zeros_v, zeros_a, v_outs, a_outs),
@@ -279,6 +290,21 @@ def _pp_velocity(params, cfg, video, audio, *, axis, num_microbatches,
     if run_video and run_audio:
         return video_out, audio_out
     return video_out if run_video else audio_out
+
+
+def pp_sp_modality_specs(m: Modality, b, seq_axis: str) -> Modality:
+    """PartitionSpec pytree for a Modality under PP x SP: batch dims over
+    `b` (the data axis or None), token dims over `seq_axis`, context and
+    scalars replicated over 'seq' (mirrors sequence_parallel.modality_specs
+    with a data-sharded leading axis)."""
+    return Modality(
+        latent=P(b, seq_axis, None),
+        context=P(b),
+        context_mask=None if m.context_mask is None else P(b),
+        timesteps=P(b) if m.timesteps.ndim == 1 else P(b, seq_axis),
+        positions=P(b, None, seq_axis, None),
+        sigma=None if m.sigma is None else P(b),
+    )
 
 
 def _x0(modality: Modality, velocity: jnp.ndarray) -> jnp.ndarray:
@@ -374,10 +400,11 @@ def make_pipeline_parallel_forward(
     mesh axis (PP x DP: num_microbatches applies per data shard). With
     `model_axis`, block weights additionally feature-shard over it (PP x TP:
     per-device weight HBM ~1/(P*T), Megatron all-reduces inside each stage).
+    With `cfg.sequence_axis`, tokens additionally shard over that axis
+    (PP x SP: ring attention inside each stage).
     """
-    if cfg.sequence_axis is not None:
-        raise ValueError("pipeline parallelism does not compose with sequence_axis yet")
     pp_cfg = dataclasses.replace(cfg, remat=cfg.remat)
+    seq_axis = cfg.sequence_axis
 
     def forward(params, video, audio, video_pe):
         out = _pp_velocity(
@@ -393,17 +420,28 @@ def make_pipeline_parallel_forward(
         return _x0(video if video is not None else audio, out)
 
     batch_spec = P() if data_axis is None else P(data_axis)
+    b = None if data_axis is None else data_axis
 
     def run(params, video: Optional[Modality] = None,
             audio: Optional[Modality] = None, video_pe=None):
         param_specs = block_param_specs(params, axis)
-        mod_specs = lambda mod: (
-            None if mod is None else jax.tree_util.tree_map(lambda _: batch_spec, mod)
-        )
-        pe_specs = None if video_pe is None else (batch_spec, batch_spec)
-        out_specs = batch_spec
+        if seq_axis is None:
+            mod_specs = lambda mod: (
+                None if mod is None
+                else jax.tree_util.tree_map(lambda _: batch_spec, mod)
+            )
+            pe_specs = None if video_pe is None else (batch_spec, batch_spec)
+            out_specs = batch_spec
+        else:
+            mod_specs = lambda mod: (
+                None if mod is None
+                else pp_sp_modality_specs(mod, b, seq_axis)
+            )
+            pe_spec = P(b, None, seq_axis, None)
+            pe_specs = None if video_pe is None else (pe_spec, pe_spec)
+            out_specs = P(b, seq_axis, None)
         if video is not None and audio is not None:
-            out_specs = (batch_spec, batch_spec)
+            out_specs = (out_specs, out_specs)
         # Under PP x TP the model axis stays OUT of the manual axis set:
         # GSPMD owns it (auto_axes inside the stage body inserts the TP
         # collectives), while pipe/data are manual (ppermute schedule).

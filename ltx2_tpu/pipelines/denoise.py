@@ -274,12 +274,14 @@ def _make_pp_forward(
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     data_axis = "data" if sizes.get("data", 1) > 1 else None
     model_axis = "model" if sizes.get("model", 1) > 1 else None
+    seq_axis = "seq" if sizes.get("seq", 1) > 1 else None
     local_m = max(1, num_microbatches // sizes.get("data", 1))
     batch_spec = P() if data_axis is None else P(data_axis)
+    pp_cfg = dataclasses.replace(model_cfg, sequence_axis=seq_axis)
 
     def forward(params, video, audio, video_pe):
         return _pp_velocity(
-            params, model_cfg, video, audio,
+            params, pp_cfg, video, audio,
             axis=axis, num_microbatches=local_m,
             perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
             data_axis=data_axis, model_axis=model_axis,
@@ -287,15 +289,26 @@ def _make_pp_forward(
 
     def run(params, video, audio, video_pe, _ca_scales, text_kv):
         assert text_kv is None, "text KV caching is incompatible with PP"
+        from ltx2_tpu.parallel.pipeline_parallel import pp_sp_modality_specs
+
         param_specs = block_param_specs(params, axis)
-        v_specs = None if video is None else jax.tree_util.tree_map(
-            lambda _: batch_spec, video
-        )
-        a_specs = None if audio is None else jax.tree_util.tree_map(
-            lambda _: batch_spec, audio
-        )
-        pe_specs = None if video_pe is None else (batch_spec, batch_spec)
-        out_specs = (batch_spec, batch_spec) if n_modalities == 2 else batch_spec
+        if seq_axis is None:
+            leaf_specs = lambda mod: jax.tree_util.tree_map(
+                lambda _: batch_spec, mod
+            )
+            pe_spec = batch_spec
+            one_out = batch_spec
+        else:
+            # PP x SP: tokens shard over 'seq' on top of the GPipe schedule
+            # (ring attention inside each stage).
+            b = None if data_axis is None else data_axis
+            leaf_specs = lambda mod: pp_sp_modality_specs(mod, b, seq_axis)
+            pe_spec = P(b, None, seq_axis, None)
+            one_out = P(b, seq_axis, None)
+        v_specs = None if video is None else leaf_specs(video)
+        a_specs = None if audio is None else leaf_specs(audio)
+        pe_specs = None if video_pe is None else (pe_spec, pe_spec)
+        out_specs = (one_out, one_out) if n_modalities == 2 else one_out
         # PP x TP: the model axis stays out of the manual set so GSPMD owns
         # the Megatron collectives inside each stage (auto_axes in
         # pipeline_block_stack); pipe/data stay manual (ppermute schedule).

@@ -383,8 +383,6 @@ def build_meshes(args):
         )
     if not (sp or pp or tp):
         return meshes
-    if sp and pp:
-        raise SystemExit("--sp-devices does not compose with --pp-stages")
     import jax as _jax
 
     from ltx2_tpu.parallel.mesh import create_mesh
@@ -398,14 +396,16 @@ def build_meshes(args):
             f"--{flag} needs {n} devices but only {len(_jax.devices())} visible"
         )
     devices = _jax.devices()[:n]
+    if pp:
+        # One mesh composes PP with SP and/or TP: blocks stage over 'pipe',
+        # tokens shard over 'seq', weights feature-shard over 'model'.
+        meshes["pipeline_mesh"] = create_mesh(
+            data=1, model=tp or 1, seq=sp or 1, pipe=pp, devices=devices
+        )
+        return meshes
     if sp:
         meshes["sequence_mesh"] = create_mesh(
             data=1, model=tp or 1, seq=sp, devices=devices
-        )
-        return meshes
-    if pp:
-        meshes["pipeline_mesh"] = create_mesh(
-            data=1, model=tp or 1, pipe=pp, devices=devices
         )
         return meshes
     meshes["tp_mesh"] = create_mesh(data=1, model=tp, devices=devices)

@@ -76,6 +76,18 @@ class TestCLISmoke:
         # move a uint8 pixel by one extra rounding step vs single-device.
         assert np.abs(ref.astype(np.int32) - pptp.astype(np.int32)).max() <= 2
 
+    def test_one_stage_pp_x_sp(self, tmp_path):
+        """--pp-stages 2 --sp-devices 2 COMPOSED (one pipe x seq mesh):
+        blocks stage over 'pipe' while tokens shard over 'seq' (ring
+        attention inside each GPipe stage)."""
+        ref = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7")
+        ppsp = _run(
+            tmp_path, "--pipeline", "one-stage", "--seed", "7",
+            "--pp-stages", "2", "--sp-devices", "2",
+        )
+        # <=2: the ring's online softmax reassociates bf16 partial sums.
+        assert np.abs(ref.astype(np.int32) - ppsp.astype(np.int32)).max() <= 2
+
     def test_one_stage_sp(self, tmp_path):
         """--sp-devices: the denoise loop runs token-sharded (ring
         attention); must match single-device output to pixel rounding."""

@@ -991,3 +991,91 @@ class TestConsolidateLatent:
         assert isinstance(consolidated, np.ndarray)
         got = np.asarray(dec(consolidated))
         np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestPipelineSequenceComposition:
+    """PP x SP (x TP): blocks stage over 'pipe' while tokens shard over
+    'seq' — the GPipe ppermute and the ring-attention ppermute ride
+    independent mesh axes; with 'model' > 1 the stage body additionally
+    runs TP under auto_axes."""
+
+    def test_forward_matches(self):
+        import dataclasses
+
+        from ltx2_tpu.parallel.pipeline_parallel import (
+            make_pipeline_parallel_forward,
+            shard_pipeline_params,
+        )
+
+        cfg = tiny_config(num_layers=4)
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)  # batch 2, 12 tokens
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+
+        mesh = create_mesh(data=1, model=1, pipe=2, seq=2, devices=jax.devices()[:4])
+        sharded = shard_pipeline_params(mesh, params)
+        sp_cfg = dataclasses.replace(cfg, sequence_axis="seq")
+        pp = make_pipeline_parallel_forward(mesh, sp_cfg, num_microbatches=2, x0=False)
+        got = np.asarray(pp(sharded, video))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_forward_matches_pp_sp_tp(self):
+        """Three-way composition on the full 8-device mesh (2x2x2)."""
+        import dataclasses
+
+        from ltx2_tpu.parallel.pipeline_parallel import (
+            make_pipeline_parallel_forward,
+            shard_pipeline_params,
+        )
+
+        cfg = tiny_config(
+            num_attention_heads=4, attention_head_dim=16,
+            cross_attention_dim=64, num_layers=4,
+        )
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+
+        mesh = create_mesh(data=1, model=2, pipe=2, seq=2)
+        sharded = shard_pipeline_params(mesh, params, model_axis="model")
+        sp_cfg = dataclasses.replace(cfg, sequence_axis="seq")
+        pp = make_pipeline_parallel_forward(
+            mesh, sp_cfg, num_microbatches=2, x0=False, model_axis="model"
+        )
+        got = np.asarray(pp(sharded, video))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_denoise_loop_pp_sp(self):
+        from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
+        from ltx2_tpu.conditioning.tools import VideoLatentTools
+        from ltx2_tpu.parallel.pipeline_parallel import shard_pipeline_params
+        from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+        from ltx2_tpu.types import VideoLatentShape
+
+        cfg = tiny_config(num_layers=2)
+        params = cached_params(cfg)
+        shape = VideoLatentShape(
+            batch=1, channels=cfg.in_channels, frames=2, height=2, width=3
+        )
+        tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=shape, fps=24.0
+        )
+        state = GaussianNoiser()(
+            jax.random.PRNGKey(0), tools.create_initial_state(), 1.0
+        )
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+
+        loop_cfg = DenoiseLoopConfig(guider=CFGGuider(3.0))  # 2 rows -> M=2
+        expected = np.asarray(
+            make_video_denoise_loop(cfg, loop_cfg)(params, state, sigmas, ctx, ctx).latent
+        )
+        mesh = create_mesh(data=1, model=1, pipe=2, seq=2, devices=jax.devices()[:4])
+        sharded = shard_pipeline_params(mesh, params)
+        got = np.asarray(
+            make_video_denoise_loop(
+                cfg, loop_cfg, mesh=mesh, pipeline_axis="pipe",
+                pipeline_microbatches=2,
+            )(sharded, state, sigmas, ctx, ctx).latent
+        )
+        np.testing.assert_allclose(got, expected, atol=5e-4)
