@@ -154,6 +154,29 @@ class TestDecodeTiledDataParallel:
         )
         np.testing.assert_allclose(par, seq, atol=1e-6)
 
+    def test_matches_sequential_temporal_plus_spatial(self):
+        """Temporal + spatial tiling: 8 tiles over 4 chips = 2 rounds, with
+        the overlap crossfade spanning both axes. (All tiles share one
+        shape — _gen_tiles_1d clamps edge tiles to full tile size — so the
+        DP path's shape-grouping yields a single group here by design.)"""
+        import jax
+
+        from ltx2_tpu.parallel.mesh import create_mesh
+
+        latent = self._latent((1, 128, 11, 8, 8), seed=1)
+        cfg = TilingConfig(
+            spatial_config=SpatialTilingConfig(128, 32),
+            temporal_config=TemporalTilingConfig(64, 24),
+        )
+        specs = generate_tile_specs(latent.shape, cfg)
+        assert len(specs) == 8
+        (seq,) = list(decode_tiled(latent, self._fake_decoder, cfg, timestep=None))
+        mesh = create_mesh(data=4, model=1, devices=jax.devices()[:4])
+        (par,) = list(
+            decode_tiled(latent, self._fake_decoder, cfg, timestep=None, mesh=mesh)
+        )
+        np.testing.assert_allclose(par, seq, atol=1e-6)
+
     def test_matches_sequential_real_decoder(self):
         """Through the real conv decoder (noise off), batch-sharded over 4
         chips: GSPMD splits the convs with zero cross-tile communication."""
