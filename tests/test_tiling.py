@@ -155,7 +155,7 @@ class TestDecodeTiledDataParallel:
         np.testing.assert_allclose(par, seq, atol=1e-6)
 
     def test_matches_sequential_temporal_plus_spatial(self):
-        """Temporal + spatial tiling: 8 tiles over 4 chips = 2 rounds, with
+        """Temporal + spatial tiling: 18 tiles over 4 chips = 5 rounds, with
         the overlap crossfade spanning both axes. (All tiles share one
         shape — _gen_tiles_1d clamps edge tiles to full tile size — so the
         DP path's shape-grouping yields a single group here by design.)"""
@@ -169,7 +169,7 @@ class TestDecodeTiledDataParallel:
             temporal_config=TemporalTilingConfig(64, 24),
         )
         specs = generate_tile_specs(latent.shape, cfg)
-        assert len(specs) == 8
+        assert len(specs) == 18
         (seq,) = list(decode_tiled(latent, self._fake_decoder, cfg, timestep=None))
         mesh = create_mesh(data=4, model=1, devices=jax.devices()[:4])
         (par,) = list(
