@@ -110,6 +110,28 @@ class TestCLISmoke:
         # <=2: bf16 partial-sum reassociation across the TP all-reduce.
         assert np.abs(ref.astype(np.int32) - sptp.astype(np.int32)).max() <= 2
 
+    def test_one_stage_audio_sp(self, tmp_path):
+        """AV generation under --sp-devices: BOTH modalities' token axes
+        shard (17 frames -> audio tokens divide 2), and the sharded audio
+        latent must consolidate before the audio VAE/vocoder convs."""
+        import generate
+
+        def run(*extra):
+            out = tmp_path / "av.mp4"
+            generate.main([
+                "--placeholder", "--no-gemma", "--audio",
+                "--pipeline", "one-stage",
+                "--height", "64", "--width", "96", "--num-frames", "17",
+                "--num-inference-steps", "2", "--seed", "7",
+                "--output", str(out), *extra,
+            ])
+            return np.load(tmp_path / "av_frames.npz")["frames"]
+
+        ref = run()
+        sp = run("--sp-devices", "2")
+        assert (tmp_path / "av.wav").exists()
+        assert np.abs(ref.astype(np.int32) - sp.astype(np.int32)).max() <= 2
+
     def test_one_stage_vae_dp_tiled(self, tmp_path):
         """--vae-dp-devices with spatial tiling: same-shape tiles decode
         batched one per chip. Exact equality vs sequential tiling is covered

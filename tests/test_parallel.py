@@ -666,6 +666,30 @@ class TestShardedLoading:
         top = loaded["proj_out"]["weight"]
         assert top.sharding.is_fully_replicated
 
+    def test_pp_tp_composed_sharded_load(self, tmp_path):
+        """PP x TP: checkpoint leaves land layer-sharded over 'pipe' AND
+        feature-sharded over 'model' as they stream in (~1/(P*T) per chip)."""
+        from ltx2_tpu.loader.weight_loader import load_transformer_params
+        from ltx2_tpu.parallel.pipeline_parallel import pipeline_device_put
+
+        cfg, params, path = self._write_ckpt(tmp_path)
+        mesh = create_mesh(data=1, model=2, pipe=2, devices=jax.devices()[:4])
+        loaded = load_transformer_params(
+            path, target_dtype="float32", num_layers=cfg.num_layers,
+            device_put=pipeline_device_put(mesh, model_axis="model"),
+        )
+        q = loaded["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        assert q.sharding.spec == P("pipe", "model", None)
+        shard = q.addressable_shards[0].data.shape
+        assert shard[0] == q.shape[0] // 2 and shard[1] == q.shape[1] // 2
+        np.testing.assert_allclose(
+            np.asarray(q),
+            np.asarray(params["transformer_blocks"]["attn1"]["to_q"]["weight"]),
+            atol=1e-6,
+        )
+        out = loaded["transformer_blocks"]["attn1"]["to_out"]["weight"]
+        assert out.sharding.spec == P("pipe", None, "model")
+
     def test_tp_sharded_load_and_forward(self, tmp_path):
         from ltx2_tpu.loader.weight_loader import load_transformer_params
         from ltx2_tpu.parallel.sharding import tp_device_put
