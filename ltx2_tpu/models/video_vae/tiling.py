@@ -209,7 +209,7 @@ def _decode_tiles_data_parallel(specs, tile_of, decoder_fn, timestep, b, mesh, d
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    ndev = dict(zip(mesh.axis_names, mesh.devices.shape)).get(data_axis, 1)
+    ndev = dict(mesh.shape).get(data_axis, 1)
     sharding = NamedSharding(mesh, P(data_axis, None, None, None, None))
 
     groups = defaultdict(list)

@@ -14,8 +14,10 @@ cfg.sequence_axis set. Per-device HBM and FLOPs scale ~1/n_seq; the ring
 ppermute traffic rides ICI.
 
 This composes with data parallelism (batch axis on 'data') on the same
-mesh; tensor parallelism composes at the mesh level but the TP sharding
-rules (sharding.py) apply to jit+GSPMD execution, not inside shard_map.
+mesh, and with tensor parallelism (`model_axis=`): block weights arrive
+feature-sharded over 'model' (sharding.py rules, shard_dit_params), the
+model axis stays out of the manual axis_names, and ring attention runs
+head-sharded with the row-parallel projections psum'd via auto_axes.
 """
 
 from __future__ import annotations

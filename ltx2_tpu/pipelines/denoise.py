@@ -205,7 +205,7 @@ def _make_sp_forward(
     """
     from ltx2_tpu.models.transformer.model import x0_model_apply
 
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    sizes = dict(mesh.shape)
     model_axis = "model" if sizes.get("model", 1) > 1 else None
     sp_cfg = dataclasses.replace(model_cfg, sequence_axis=axis, tp_axis=model_axis)
 
@@ -271,7 +271,7 @@ def _make_pp_forward(
         block_param_specs,
     )
 
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    sizes = dict(mesh.shape)
     data_axis = "data" if sizes.get("data", 1) > 1 else None
     model_axis = "model" if sizes.get("model", 1) > 1 else None
     seq_axis = "seq" if sizes.get("seq", 1) > 1 else None
@@ -396,11 +396,20 @@ def make_video_denoise_loop(
         sp_forward = None
         if mesh is not None and pipeline_axis is not None:
             assert text_kv is None, "cache_text_kv is incompatible with pipeline_axis"
+            if dict(mesh.shape).get("seq", 1) > 1:
+                _check_seq_divisible(
+                    state.latent.shape[1], mesh, sequence_axis, "video"
+                )
             sp_forward = _make_pp_forward(
                 model_cfg, mesh, pipeline_axis,
                 pipeline_microbatches or rows, perturb, ca_scales, n_modalities=1,
             )
         elif mesh is not None:
+            if text_kv is not None and dict(mesh.shape).get("model", 1) > 1:
+                raise ValueError(
+                    "cache_text_kv is incompatible with SP x TP (the cached "
+                    "K/V would need head sharding) — drop --cache-text-kv"
+                )
             _check_seq_divisible(
                 state.latent.shape[1], mesh, sequence_axis, "video"
             )
@@ -540,11 +549,19 @@ def make_av_denoise_loop(
         sp_forward = None
         if mesh is not None and pipeline_axis is not None:
             assert text_kv is None, "cache_text_kv is incompatible with pipeline_axis"
+            if dict(mesh.shape).get("seq", 1) > 1:
+                _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
+                _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
             sp_forward = _make_pp_forward(
                 model_cfg, mesh, pipeline_axis,
                 pipeline_microbatches or rows, perturb, ca_scales, n_modalities=2,
             )
         elif mesh is not None:
+            if text_kv is not None and dict(mesh.shape).get("model", 1) > 1:
+                raise ValueError(
+                    "cache_text_kv is incompatible with SP x TP (the cached "
+                    "K/V would need head sharding) — drop --cache-text-kv"
+                )
             _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
             _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
             sp_forward = _make_sp_forward(
@@ -791,6 +808,9 @@ def make_multimodal_av_denoise_loop(
 
         sp_forward = None
         if mesh is not None and pipeline_axis is not None:
+            if dict(mesh.shape).get("seq", 1) > 1:
+                _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
+                _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
             sp_forward = _make_pp_forward(
                 model_cfg, mesh, pipeline_axis,
                 pipeline_microbatches or rows, perturb, None, n_modalities=2,

@@ -168,6 +168,14 @@ class OneStagePipeline:
     def _decode_video(self, latent: jnp.ndarray, config: OneStageCFGConfig, key):
         latent = consolidate_latent(latent)
         tiling = config.effective_tiling()
+        if tiling is None and self.vae_mesh is not None:
+            from ltx2_tpu.utils.profiling import log
+
+            log.warning(
+                "--vae-dp-devices has no effect without tiling (pass "
+                "--tile-size or exceed the auto-tile threshold); decoding "
+                "on one chip"
+            )
         if tiling is not None:
             decoder_fn = lambda tile, timestep=0.05: video_decoder_apply(  # noqa: E731
                 self.video_decoder_params, self.video_decoder_cfg, tile,

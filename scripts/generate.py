@@ -351,16 +351,18 @@ def _sp_model_axis(meshes):
 def _mesh_model_axis(mesh):
     if mesh is None:
         return None
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    return "model" if sizes.get("model", 1) > 1 else None
+    return "model" if dict(mesh.shape).get("model", 1) > 1 else None
 
 
 def build_meshes(args):
     """Multi-chip flags -> meshes, built BEFORE weight loading so checkpoint
     leaves can stream directly onto their shards (no single-chip staging).
 
-    --pp-stages and --tp-devices COMPOSE (one pipe x model mesh: weights
-    shard ~1/(P*T) per chip); --sp-devices is exclusive with both."""
+    --pp-stages / --sp-devices / --tp-devices ALL compose in one
+    (pipe, seq, model) mesh: blocks stage over 'pipe', tokens shard over
+    'seq' (ring attention inside each stage), weights feature-shard over
+    'model' — per-chip weights ~1/(P*T), activations ~1/S. --vae-dp-devices
+    builds a separate decode mesh (tiled decode only)."""
     sp = args.sp_devices if args.sp_devices and args.sp_devices > 1 else 0
     pp = args.pp_stages if args.pp_stages and args.pp_stages > 1 else 0
     tp = args.tp_devices if args.tp_devices and args.tp_devices > 1 else 0
@@ -608,217 +610,233 @@ def _write_wav(path: str, audio: np.ndarray, sample_rate: int):
         wf.writeframes(pcm.tobytes())
 
 
+def setup(args):
+    """Meshes + models + ledger, built ONCE — reused across requests by
+    scripts/serve.py (weights stay resident; lru-cached denoise loops are
+    reused whenever a request repeats a (config, mesh) combination)."""
+    meshes = build_meshes(args)
+    models, ledger = build_models(args, meshes)
+    for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh"):
+        if key in meshes:
+            models[key] = meshes[key]
+    return models, ledger
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from ltx2_tpu.utils.profiling import log, phase, phase_report, trace
+    from ltx2_tpu.utils.profiling import log, phase_report, trace
 
     with trace(args.profile_dir):
-        meshes = build_meshes(args)
-        models, ledger = build_models(args, meshes)
-        for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh"):
-            if key in meshes:
-                models[key] = meshes[key]
-        embeddings = encode_prompts(args, ledger, models["transformer_cfg"])
-
-        pos = embeddings["positive"]
-        neg = embeddings["negative"]
-        pos_a = embeddings.get("positive_audio")
-        neg_a = embeddings.get("negative_audio")
-
-        tiling = tiling_config(args)
-        images = parse_images(args)
-        latent_channels = models["transformer_cfg"].in_channels
-
-        common = dict(
-            height=args.height, width=args.width, num_frames=args.num_frames,
-            seed=args.seed, fps=args.fps, tiling_config=tiling,
-            dtype=args.dtype,
-            latent_channels=latent_channels,
-            audio_enabled=args.audio,
-            use_internal_audio_branch=not args.no_internal_audio,
-        )
-
-        audio_out = None
-        with phase("generation"):
-            if args.pipeline in ("one-stage", "text-to-video"):
-                from ltx2_tpu.pipelines import OneStageCFGConfig, OneStagePipeline
-
-                guider_override = None
-                if args.apg_scale:
-                    from ltx2_tpu.components import LtxAPGGuider
-
-                    guider_override = LtxAPGGuider(scale=args.apg_scale, eta=args.apg_eta)
-                pipeline = OneStagePipeline(**models)
-                cfg = OneStageCFGConfig(
-                    num_inference_steps=args.num_inference_steps,
-                    cfg_scale=args.cfg_scale,
-                    audio_cfg_scale=args.audio_cfg_scale,
-                    rescale_scale=0.0 if args.pipeline == "text-to-video" else args.rescale_scale,
-                    **common,
-                )
-                temporal_upscaler = None
-                if ledger and args.temporal_upscaler:
-                    import jax
-
-                    from ltx2_tpu.models.upscaler import temporal_upscaler_apply
-
-                    tu_params, tu_cfg = ledger.temporal_upscaler()
-                    temporal_upscaler = jax.jit(
-                        lambda z: temporal_upscaler_apply(tu_params, tu_cfg, z)
-                    )
-                video, audio_out = pipeline(
-                    pos, neg, cfg, images=images,
-                    positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
-                    stg_scale=args.stg_scale,
-                    stg_blocks=[int(b) for b in args.stg_blocks.split(",")] if args.stg_blocks else None,
-                    stg_cutoff=args.stg_cutoff,
-                    guider_override=guider_override,
-                    ge_gamma=args.ge_gamma,
-                    sampler=args.sampler,
-                    temporal_upscaler=temporal_upscaler,
-                    cross_attn_scale=args.cross_attn_scale,
-                    cross_attn_start_block=args.cross_attn_start_block,
-                    skip_decode=args.skip_vae,
-                    cache_text_kv=args.cache_text_kv,
-                )
-            elif args.pipeline == "distilled":
-                from ltx2_tpu.pipelines import DistilledConfig, DistilledPipeline
-
-                up = _upscaler_kwargs(args, ledger)
-                pipeline = DistilledPipeline(**models, **up)
-                cfg = DistilledConfig(**common)
-                result = pipeline(pos, None, cfg, images=images,
-                                  audio_encoding=pos_a, skip_decode=args.skip_vae)
-                video, audio_out = result if args.audio else (result, None)
-            elif args.pipeline == "two-stage":
-                from ltx2_tpu.loader.lora import LoRAConfig
-                from ltx2_tpu.pipelines import TwoStageCFGConfig, TwoStagePipeline
-
-                up = _upscaler_kwargs(args, ledger)
-                pipeline = TwoStagePipeline(**models, **up)
-                cfg = TwoStageCFGConfig(
-                    num_inference_steps=args.num_inference_steps,
-                    cfg_scale=args.cfg_scale,
-                    audio_cfg_scale=args.audio_cfg_scale,
-                    guidance_rescale=0.0,
-                    modality_scale=args.modality_scale,
-                    distilled_lora_config=(
-                        LoRAConfig(path=args.distilled_lora) if args.distilled_lora else None
-                    ),
-                    **common,
-                )
-                video, audio_out = pipeline(
-                    pos, neg, cfg, images=images,
-                    positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
-                    skip_decode=args.skip_vae,
-                )
-            elif args.pipeline == "keyframe":
-                from ltx2_tpu.pipelines import (
-                    Keyframe,
-                    KeyframeInterpolationConfig,
-                    KeyframeInterpolationPipeline,
-                )
-
-                up = _upscaler_kwargs(args, ledger)
-                pipeline = KeyframeInterpolationPipeline(**models, **up)
-                keyframes = []
-                for spec in args.keyframe:
-                    parts = spec.split(":")
-                    keyframes.append(
-                        Keyframe(
-                            image_path=parts[0],
-                            frame_index=int(parts[1]) if len(parts) > 1 else 0,
-                            strength=float(parts[2]) if len(parts) > 2 else 0.95,
-                        )
-                    )
-                cfg = KeyframeInterpolationConfig(**common)
-                result = pipeline(pos, None, cfg, keyframes=keyframes,
-                                  audio_encoding=pos_a, skip_decode=args.skip_vae)
-                video, audio_out = result if args.audio else (result, None)
-            elif args.pipeline == "ti2vid-hq":
-                from ltx2_tpu.pipelines import TI2VidHQConfig, TI2VidHQPipeline
-
-                up = _upscaler_kwargs(args, ledger)
-                pipeline = TI2VidHQPipeline(**models, **up)
-                cfg = TI2VidHQConfig(
-                    num_inference_steps=args.num_inference_steps,
-                    cfg_scale=args.cfg_scale,
-                    audio_cfg_scale=args.audio_cfg_scale,
-                    **common,
-                )
-                result = pipeline(
-                    pos, neg, cfg, images=images,
-                    positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
-                    skip_decode=args.skip_vae,
-                )
-                video, audio_out = result if args.audio else (result, None)
-            elif args.pipeline == "retake":
-                from ltx2_tpu.pipelines import RetakeConfig, RetakePipeline
-
-                pipeline = RetakePipeline(**models)
-                cfg = RetakeConfig(
-                    start_time=args.retake_start, end_time=args.retake_end,
-                    seed=args.seed,
-                    num_inference_steps=args.num_inference_steps,
-                    cfg_scale=args.cfg_scale,
-                    latent_channels=latent_channels,
-                    tiling_config=tiling,
-                )
-                video = pipeline(args.video, pos, neg, cfg, skip_decode=args.skip_vae)
-            elif args.pipeline == "ic-lora":
-                from ltx2_tpu.loader.lora import LoRAConfig
-                from ltx2_tpu.pipelines import (
-                    ControlType,
-                    ICLoraConfig,
-                    ICLoraPipeline,
-                    VideoCondition,
-                )
-
-                up = _upscaler_kwargs(args, ledger)
-                pipeline = ICLoraPipeline(**models, **up)
-                cfg = ICLoraConfig(
-                    ic_lora_config=(
-                        LoRAConfig(path=args.lora[0].split(":")[0]) if args.lora else None
-                    ),
-                    **common,
-                )
-                videos = []
-                if args.control_video:
-                    videos.append(
-                        VideoCondition(
-                            video_path=args.control_video,
-                            control_type=ControlType(args.control_type),
-                        )
-                    )
-                result = pipeline(pos, None, cfg, videos=videos,
-                                  audio_encoding=pos_a, skip_decode=args.skip_vae)
-                video, audio_out = result if args.audio else (result, None)
-            elif args.pipeline == "a2vid":
-                from ltx2_tpu.pipelines import A2VidConfig, A2VidPipelineTwoStage
-
-                up = _upscaler_kwargs(args, ledger)
-                pipeline = A2VidPipelineTwoStage(**models, **up)
-                cfg = A2VidConfig(audio_path=args.audio_file or "", **common)
-                result = pipeline(pos, None, cfg, audio_encoding=pos_a,
-                                  skip_decode=args.skip_vae)
-                video, audio_out = result if args.audio else (result, None)
-            else:
-                raise ValueError(f"unknown pipeline {args.pipeline}")
-
-        if args.skip_vae:
-            out = args.output.rsplit(".", 1)[0] + "_latent.npz"
-            np.savez(out, latent=np.asarray(video))
-            log.info("latent saved to %s", out)
-        else:
-            with phase("mux"):
-                save_video(
-                    np.asarray(video), args.output, args.fps,
-                    output_fps=args.output_fps, audio=audio_out,
-                )
-            log.info("video saved to %s", args.output)
+        models, ledger = setup(args)
+        execute_request(args, models, ledger)
 
     log.info("phase report: %s", json.dumps({k: round(v, 2) for k, v in phase_report().items()}))
+
+
+def execute_request(args, models, ledger):
+    """Encode prompts, run the requested pipeline, write the output.
+    `models`/`ledger` come from setup() and may be reused across calls."""
+    from ltx2_tpu.utils.profiling import log, phase
+
+    embeddings = encode_prompts(args, ledger, models["transformer_cfg"])
+
+    pos = embeddings["positive"]
+    neg = embeddings["negative"]
+    pos_a = embeddings.get("positive_audio")
+    neg_a = embeddings.get("negative_audio")
+
+    tiling = tiling_config(args)
+    images = parse_images(args)
+    latent_channels = models["transformer_cfg"].in_channels
+
+    common = dict(
+        height=args.height, width=args.width, num_frames=args.num_frames,
+        seed=args.seed, fps=args.fps, tiling_config=tiling,
+        dtype=args.dtype,
+        latent_channels=latent_channels,
+        audio_enabled=args.audio,
+        use_internal_audio_branch=not args.no_internal_audio,
+    )
+
+    audio_out = None
+    with phase("generation"):
+        if args.pipeline in ("one-stage", "text-to-video"):
+            from ltx2_tpu.pipelines import OneStageCFGConfig, OneStagePipeline
+
+            guider_override = None
+            if args.apg_scale:
+                from ltx2_tpu.components import LtxAPGGuider
+
+                guider_override = LtxAPGGuider(scale=args.apg_scale, eta=args.apg_eta)
+            pipeline = OneStagePipeline(**models)
+            cfg = OneStageCFGConfig(
+                num_inference_steps=args.num_inference_steps,
+                cfg_scale=args.cfg_scale,
+                audio_cfg_scale=args.audio_cfg_scale,
+                rescale_scale=0.0 if args.pipeline == "text-to-video" else args.rescale_scale,
+                **common,
+            )
+            temporal_upscaler = None
+            if ledger and args.temporal_upscaler:
+                import jax
+
+                from ltx2_tpu.models.upscaler import temporal_upscaler_apply
+
+                tu_params, tu_cfg = ledger.temporal_upscaler()
+                temporal_upscaler = jax.jit(
+                    lambda z: temporal_upscaler_apply(tu_params, tu_cfg, z)
+                )
+            video, audio_out = pipeline(
+                pos, neg, cfg, images=images,
+                positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
+                stg_scale=args.stg_scale,
+                stg_blocks=[int(b) for b in args.stg_blocks.split(",")] if args.stg_blocks else None,
+                stg_cutoff=args.stg_cutoff,
+                guider_override=guider_override,
+                ge_gamma=args.ge_gamma,
+                sampler=args.sampler,
+                temporal_upscaler=temporal_upscaler,
+                cross_attn_scale=args.cross_attn_scale,
+                cross_attn_start_block=args.cross_attn_start_block,
+                skip_decode=args.skip_vae,
+                cache_text_kv=args.cache_text_kv,
+            )
+        elif args.pipeline == "distilled":
+            from ltx2_tpu.pipelines import DistilledConfig, DistilledPipeline
+
+            up = _upscaler_kwargs(args, ledger)
+            pipeline = DistilledPipeline(**models, **up)
+            cfg = DistilledConfig(**common)
+            result = pipeline(pos, None, cfg, images=images,
+                              audio_encoding=pos_a, skip_decode=args.skip_vae)
+            video, audio_out = result if args.audio else (result, None)
+        elif args.pipeline == "two-stage":
+            from ltx2_tpu.loader.lora import LoRAConfig
+            from ltx2_tpu.pipelines import TwoStageCFGConfig, TwoStagePipeline
+
+            up = _upscaler_kwargs(args, ledger)
+            pipeline = TwoStagePipeline(**models, **up)
+            cfg = TwoStageCFGConfig(
+                num_inference_steps=args.num_inference_steps,
+                cfg_scale=args.cfg_scale,
+                audio_cfg_scale=args.audio_cfg_scale,
+                guidance_rescale=0.0,
+                modality_scale=args.modality_scale,
+                distilled_lora_config=(
+                    LoRAConfig(path=args.distilled_lora) if args.distilled_lora else None
+                ),
+                **common,
+            )
+            video, audio_out = pipeline(
+                pos, neg, cfg, images=images,
+                positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
+                skip_decode=args.skip_vae,
+            )
+        elif args.pipeline == "keyframe":
+            from ltx2_tpu.pipelines import (
+                Keyframe,
+                KeyframeInterpolationConfig,
+                KeyframeInterpolationPipeline,
+            )
+
+            up = _upscaler_kwargs(args, ledger)
+            pipeline = KeyframeInterpolationPipeline(**models, **up)
+            keyframes = []
+            for spec in args.keyframe:
+                parts = spec.split(":")
+                keyframes.append(
+                    Keyframe(
+                        image_path=parts[0],
+                        frame_index=int(parts[1]) if len(parts) > 1 else 0,
+                        strength=float(parts[2]) if len(parts) > 2 else 0.95,
+                    )
+                )
+            cfg = KeyframeInterpolationConfig(**common)
+            result = pipeline(pos, None, cfg, keyframes=keyframes,
+                              audio_encoding=pos_a, skip_decode=args.skip_vae)
+            video, audio_out = result if args.audio else (result, None)
+        elif args.pipeline == "ti2vid-hq":
+            from ltx2_tpu.pipelines import TI2VidHQConfig, TI2VidHQPipeline
+
+            up = _upscaler_kwargs(args, ledger)
+            pipeline = TI2VidHQPipeline(**models, **up)
+            cfg = TI2VidHQConfig(
+                num_inference_steps=args.num_inference_steps,
+                cfg_scale=args.cfg_scale,
+                audio_cfg_scale=args.audio_cfg_scale,
+                **common,
+            )
+            result = pipeline(
+                pos, neg, cfg, images=images,
+                positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
+                skip_decode=args.skip_vae,
+            )
+            video, audio_out = result if args.audio else (result, None)
+        elif args.pipeline == "retake":
+            from ltx2_tpu.pipelines import RetakeConfig, RetakePipeline
+
+            pipeline = RetakePipeline(**models)
+            cfg = RetakeConfig(
+                start_time=args.retake_start, end_time=args.retake_end,
+                seed=args.seed,
+                num_inference_steps=args.num_inference_steps,
+                cfg_scale=args.cfg_scale,
+                latent_channels=latent_channels,
+                tiling_config=tiling,
+            )
+            video = pipeline(args.video, pos, neg, cfg, skip_decode=args.skip_vae)
+        elif args.pipeline == "ic-lora":
+            from ltx2_tpu.loader.lora import LoRAConfig
+            from ltx2_tpu.pipelines import (
+                ControlType,
+                ICLoraConfig,
+                ICLoraPipeline,
+                VideoCondition,
+            )
+
+            up = _upscaler_kwargs(args, ledger)
+            pipeline = ICLoraPipeline(**models, **up)
+            cfg = ICLoraConfig(
+                ic_lora_config=(
+                    LoRAConfig(path=args.lora[0].split(":")[0]) if args.lora else None
+                ),
+                **common,
+            )
+            videos = []
+            if args.control_video:
+                videos.append(
+                    VideoCondition(
+                        video_path=args.control_video,
+                        control_type=ControlType(args.control_type),
+                    )
+                )
+            result = pipeline(pos, None, cfg, videos=videos,
+                              audio_encoding=pos_a, skip_decode=args.skip_vae)
+            video, audio_out = result if args.audio else (result, None)
+        elif args.pipeline == "a2vid":
+            from ltx2_tpu.pipelines import A2VidConfig, A2VidPipelineTwoStage
+
+            up = _upscaler_kwargs(args, ledger)
+            pipeline = A2VidPipelineTwoStage(**models, **up)
+            cfg = A2VidConfig(audio_path=args.audio_file or "", **common)
+            result = pipeline(pos, None, cfg, audio_encoding=pos_a,
+                              skip_decode=args.skip_vae)
+            video, audio_out = result if args.audio else (result, None)
+        else:
+            raise ValueError(f"unknown pipeline {args.pipeline}")
+
+    if args.skip_vae:
+        out = args.output.rsplit(".", 1)[0] + "_latent.npz"
+        np.savez(out, latent=np.asarray(video))
+        log.info("latent saved to %s", out)
+    else:
+        with phase("mux"):
+            save_video(
+                np.asarray(video), args.output, args.fps,
+                output_fps=args.output_fps, audio=audio_out,
+            )
+        log.info("video saved to %s", args.output)
 
 
 def _upscaler_kwargs(args, ledger):

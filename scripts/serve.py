@@ -1,0 +1,129 @@
+"""Persistent serving loop: load once, generate per JSON-line request.
+
+The reference is strictly one-process-per-generation (generate.py re-loads
+every model each run — minutes of overhead per clip on its hardware). This
+entry point keeps the process alive: weights stay resident in HBM, the
+lru-cached jitted denoise loops (pipelines/denoise.py) are reused whenever
+a request repeats a (pipeline config, mesh) combination, and XLA
+compilations amortize across the session — so steady-state latency is the
+on-chip generation time alone.
+
+Protocol: one JSON object per line on stdin (or --requests FILE), one JSON
+response per line on stdout:
+
+    {"prompt": "a red fox", "output": "/tmp/fox.mp4", "seed": 3}
+    -> {"status": "ok", "output": "/tmp/fox.mp4", "seconds": 10.4, "id": 0}
+
+Request fields override the CLI defaults given at launch: prompt,
+negative_prompt, output, seed, height, width, num_frames,
+num_inference_steps, cfg_scale, stg_scale, sampler, pipeline, fps, audio
+(bool). Model/parallelism flags (checkpoint, --tp-devices, ...) are fixed
+at launch — they define the resident configuration.
+
+Example:
+    python scripts/serve.py --checkpoint ckpt.safetensors --gemma-dir g/ \
+        --pp-stages 2 --tp-devices 2 < requests.jsonl
+"""
+
+import argparse
+import copy
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import generate
+
+# Per-request overridable fields (everything else is resident config).
+REQUEST_FIELDS = {
+    "prompt": str,
+    "negative_prompt": str,
+    "output": str,
+    "seed": int,
+    "height": int,
+    "width": int,
+    "num_frames": int,
+    "num_inference_steps": int,
+    "cfg_scale": float,
+    "stg_scale": float,
+    "sampler": str,
+    "pipeline": str,
+    "fps": float,
+    "audio": bool,
+    "tile_size": int,
+    "skip_vae": bool,
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="ltx2-tpu serving loop (JSON lines in, JSON lines out)",
+        parents=[generate.build_parser()],
+        add_help=False,
+        conflict_handler="resolve",
+    )
+    p.add_argument("--requests", type=str, default="-",
+                   help="requests file (JSON object per line); '-' = stdin")
+    p.add_argument("--warmup", action="store_true",
+                   help="run one generation with the launch defaults before "
+                        "accepting requests (absorbs the first-compile cost)")
+    return p
+
+
+def apply_request(base_args, request: dict):
+    args = copy.copy(base_args)
+    for key, value in request.items():
+        if key not in REQUEST_FIELDS:
+            raise ValueError(
+                f"unknown request field {key!r} (allowed: "
+                f"{sorted(REQUEST_FIELDS)})"
+            )
+        setattr(args, key, REQUEST_FIELDS[key](value))
+    return args
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ltx2_tpu.utils.profiling import log
+
+    t0 = time.perf_counter()
+    models, ledger = generate.setup(args)
+    log.info("serve: models resident in %.1f s", time.perf_counter() - t0)
+
+    if args.warmup:
+        t0 = time.perf_counter()
+        generate.execute_request(args, models, ledger)
+        log.info("serve: warmup generation in %.1f s", time.perf_counter() - t0)
+
+    stream = sys.stdin if args.requests == "-" else open(args.requests)
+    for i, line in enumerate(stream):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        t0 = time.perf_counter()
+        try:
+            request = json.loads(line)
+            req_args = apply_request(args, request)
+            generate.execute_request(req_args, models, ledger)
+            response = {
+                "status": "ok",
+                "id": i,
+                "output": req_args.output,
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        except Exception as exc:  # noqa: BLE001 — a bad request must not kill the server
+            response = {
+                "status": "error",
+                "id": i,
+                "error": f"{type(exc).__name__}: {exc}",
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        print(json.dumps(response), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ construction, the jitted denoise loop, VAE decode, and the ffmpeg-less
 save fallback.
 """
 
+import json
 import sys
 from pathlib import Path
 
@@ -168,3 +169,39 @@ class TestCLISmoke:
         monkeypatch.setattr(one_stage_mod, "make_video_denoise_loop", spy_make)
         _run(tmp_path, "--pipeline", "one-stage", "--dtype", "bfloat16")
         assert seen["latent_dtype"] == jnp.bfloat16
+
+
+class TestServe:
+    """Persistent serving loop: models load once, requests stream as JSON
+    lines, responses come back as JSON lines; a bad request must not kill
+    the server."""
+
+    def test_requests_file(self, tmp_path, capsys):
+        import serve
+
+        req = tmp_path / "req.jsonl"
+        req.write_text(
+            json.dumps({"output": str(tmp_path / "a.mp4"), "seed": 1}) + "\n"
+            "# a comment line\n"
+            + json.dumps({"output": str(tmp_path / "b.mp4"), "seed": 2}) + "\n"
+            + json.dumps({"no_such_field": 1}) + "\n"
+        )
+        serve.main([
+            "--placeholder", "--no-gemma", "--pipeline", "one-stage",
+            "--height", "64", "--width", "96", "--num-frames", "9",
+            "--num-inference-steps", "2",
+            "--requests", str(req),
+        ])
+        responses = [
+            json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("{")
+        ]
+        assert [r["status"] for r in responses] == ["ok", "ok", "error"]
+        assert (tmp_path / "a_frames.npz").exists()
+        assert (tmp_path / "b_frames.npz").exists()
+        a = np.load(tmp_path / "a_frames.npz")["frames"]
+        b = np.load(tmp_path / "b_frames.npz")["frames"]
+        assert a.shape == b.shape
+        assert not np.array_equal(a, b)  # different seeds -> different clips
+        assert "no_such_field" in responses[2]["error"]

@@ -288,3 +288,58 @@ class TestTextKVCache:
         params = cached_params(cfg)
         with pytest.raises(ValueError):
             precompute_text_kv(params, cfg, video_context=jnp.zeros((1, 5, 32)))
+
+
+class TestSwiGLU:
+    """SwiGLU alternative FFN (reference feed_forward.py:57-74) — formula
+    oracle plus the row-parallel TP path."""
+
+    def _params(self, d=16, h=32, key=0):
+        ks = jax.random.split(jax.random.PRNGKey(key), 3)
+        return {
+            "w_gate": {"weight": jax.random.normal(ks[0], (h, d)) * 0.1},
+            "w_up": {"weight": jax.random.normal(ks[1], (h, d)) * 0.1},
+            "w_down": {"weight": jax.random.normal(ks[2], (d, h)) * 0.1},
+        }
+
+    def test_formula(self):
+        from ltx2_tpu.models.transformer.attention import swiglu_apply
+
+        p = self._params()
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16))
+        got = np.asarray(swiglu_apply(p, x))
+        g = np.asarray(x) @ np.asarray(p["w_gate"]["weight"]).T
+        u = np.asarray(x) @ np.asarray(p["w_up"]["weight"]).T
+        silu = g * (1.0 / (1.0 + np.exp(-g)))
+        expected = (silu * u) @ np.asarray(p["w_down"]["weight"]).T
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_tp_matches(self):
+        """Column-parallel gate/up + row-parallel down over a 'model' mesh
+        axis (inside shard_map with the axis left auto) must match."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ltx2_tpu.models.transformer.attention import swiglu_apply
+        from ltx2_tpu.parallel.mesh import create_mesh
+
+        p = self._params()
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16))
+        expected = np.asarray(swiglu_apply(p, x))
+
+        mesh = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+        put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        sharded = {
+            "w_gate": {"weight": put(p["w_gate"]["weight"], P("model", None))},
+            "w_up": {"weight": put(p["w_up"]["weight"], P("model", None))},
+            "w_down": {"weight": put(p["w_down"]["weight"], P(None, "model"))},
+        }
+
+        fn = jax.shard_map(
+            lambda pp, xx: swiglu_apply(pp, xx, tp_axis="model"),
+            mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(), sharded), P()),
+            out_specs=P(),
+            axis_names=frozenset({"data"}),
+        )
+        got = np.asarray(jax.jit(fn)(sharded, x))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
