@@ -152,6 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip-vae", action="store_true",
                    help="save latents (npz) instead of decoding")
     p.add_argument("--profile-dir", type=str, default=None)
+    p.add_argument("--compile-cache", type=str, default=None,
+                   help="persistent XLA compilation cache dir: compiled "
+                        "programs survive process restarts, so a server "
+                        "restart skips the first-request compile cost")
     # Output
     p.add_argument("--output", type=str, default="output.mp4")
     return p
@@ -614,6 +618,12 @@ def setup(args):
     """Meshes + models + ledger, built ONCE — reused across requests by
     scripts/serve.py (weights stay resident; lru-cached denoise loops are
     reused whenever a request repeats a (config, mesh) combination)."""
+    if getattr(args, "compile_cache", None):
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     meshes = build_meshes(args)
     models, ledger = build_models(args, meshes)
     for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh"):
