@@ -12,6 +12,9 @@ import os
 from dataclasses import dataclass
 from typing import List
 
+from functools import lru_cache
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -185,3 +188,51 @@ def modality_from_state(
 
 
 audio_modality_from_state = modality_from_state
+
+# ---------------------------------------------------------------------------
+# Cached jitted component applies. A fresh `jax.jit(lambda ...)` per pipeline
+# call would RE-TRACE AND RE-COMPILE on every request (jit caches on function
+# identity) — caught as seconds of recompile per request in the serving loop
+# and the two-stage benchmark. Keyed on the frozen (hashable) config.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def jitted_video_encoder(cfg):
+    from ltx2_tpu.models.video_vae import video_encoder_apply
+
+    return jax.jit(lambda p, x: video_encoder_apply(p, cfg, x))
+
+
+@lru_cache(maxsize=32)
+def jitted_spatial_upscaler(cfg):
+    from ltx2_tpu.models.upscaler import spatial_upscaler_apply
+
+    return jax.jit(lambda p, z: spatial_upscaler_apply(p, cfg, z))
+
+
+@lru_cache(maxsize=32)
+def jitted_temporal_upscaler(cfg):
+    from ltx2_tpu.models.upscaler import temporal_upscaler_apply
+
+    return jax.jit(lambda p, z: temporal_upscaler_apply(p, cfg, z))
+
+
+@lru_cache(maxsize=32)
+def jitted_audio_decoder(cfg):
+    from ltx2_tpu.models.audio_vae import audio_decoder_apply
+
+    return jax.jit(lambda p, z: audio_decoder_apply(p, cfg, z))
+
+
+@lru_cache(maxsize=32)
+def jitted_tile_decoder(cfg):
+    """Tiled-decode inner: timestep and noise key ride as TRACED args so one
+    compile serves every tile round and every request seed."""
+    from ltx2_tpu.models.video_vae import video_decoder_apply
+
+    return jax.jit(
+        lambda p, tile, timestep, key: video_decoder_apply(
+            p, cfg, tile, timestep=timestep, noise_key=key
+        )
+    )

@@ -24,7 +24,7 @@ from ltx2_tpu.components import (
     STAGE_2_DISTILLED_SIGMA_VALUES,
 )
 from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
-from ltx2_tpu.models.upscaler import SpatialUpscalerConfig, spatial_upscaler_apply
+from ltx2_tpu.models.upscaler import SpatialUpscalerConfig
 from ltx2_tpu.models.video_vae import (
     TilingConfig,
     normalize_latent,
@@ -250,9 +250,9 @@ class DistilledPipeline(OneStagePipeline):
             # SP/PP loop outputs are sharded; the upscaler convs need a
             # consolidated latent (see pipelines/common.py).
             latent_unnorm = un_normalize_latent(consolidate_latent(stage_1_latent), stats)
-            upscale = jax.jit(
-                lambda p, z: spatial_upscaler_apply(p, self.spatial_upscaler_cfg, z)
-            )
+            from ltx2_tpu.pipelines.common import jitted_spatial_upscaler
+
+            upscale = jitted_spatial_upscaler(self.spatial_upscaler_cfg)
             upscaled = upscale(self.spatial_upscaler_params, latent_unnorm)
             upscaled_video_latent = normalize_latent(upscaled, stats).astype(
                 jnp.dtype(config.dtype)

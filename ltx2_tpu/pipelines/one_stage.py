@@ -37,8 +37,6 @@ from ltx2_tpu.models.video_vae import (
     VideoEncoderConfig,
     decode_latent,
     decode_tiled,
-    video_decoder_apply,
-    video_encoder_apply,
 )
 from ltx2_tpu.pipelines.common import (
     ImageCondition,
@@ -160,9 +158,9 @@ class OneStagePipeline:
     def _encode_image(self, image_tensor: jnp.ndarray) -> jnp.ndarray:
         if self.video_encoder_params is None:
             raise ValueError("video encoder required for image conditioning")
-        fn = jax.jit(
-            lambda p, x: video_encoder_apply(p, self.video_encoder_cfg, x)
-        )
+        from ltx2_tpu.pipelines.common import jitted_video_encoder
+
+        fn = jitted_video_encoder(self.video_encoder_cfg)
         return fn(self.video_encoder_params, image_tensor)
 
     def _decode_video(self, latent: jnp.ndarray, config: OneStageCFGConfig, key):
@@ -177,12 +175,14 @@ class OneStagePipeline:
                 "on one chip"
             )
         if tiling is not None:
-            decoder_fn = lambda tile, timestep=0.05: video_decoder_apply(  # noqa: E731
-                self.video_decoder_params, self.video_decoder_cfg, tile,
-                timestep=timestep, noise_key=key,
+            from ltx2_tpu.pipelines.common import jitted_tile_decoder
+
+            jit_dec = jitted_tile_decoder(self.video_decoder_cfg)
+            decoder_fn = lambda tile, timestep=0.05: jit_dec(  # noqa: E731
+                self.video_decoder_params, tile, timestep, key
             )
             chunks = list(
-                decode_tiled(latent, jax.jit(decoder_fn), tiling, mesh=self.vae_mesh)
+                decode_tiled(latent, decoder_fn, tiling, mesh=self.vae_mesh)
             )
             video = chunks[0] if len(chunks) == 1 else np.concatenate(chunks, axis=2)
             video = np.clip((video + 1) / 2, 0, 1) * 255
@@ -202,9 +202,11 @@ class OneStagePipeline:
             vocoder_with_bwe_apply,
         )
 
-        mel = jax.jit(
-            lambda p, z: audio_decoder_apply(p, self.audio_decoder_cfg, z)
-        )(self.audio_decoder_params, audio_latent)
+        from ltx2_tpu.pipelines.common import jitted_audio_decoder
+
+        mel = jitted_audio_decoder(self.audio_decoder_cfg)(
+            self.audio_decoder_params, audio_latent
+        )
         # LTX-2.3 checkpoints carry the BWE chain (24->48 kHz); dispatch on
         # the config type the ledger loaded (generate.py:155-221 semantics).
         if isinstance(self.vocoder_cfg, VocoderWithBWEConfig):

@@ -137,11 +137,9 @@ class RetakePipeline(OneStagePipeline):
         noise_key, decode_key = jax.random.split(key)
 
         # Encode the source video to the clean latent.
-        from ltx2_tpu.models.video_vae import video_encoder_apply
+        from ltx2_tpu.pipelines.common import jitted_video_encoder
 
-        encode = jax.jit(
-            lambda p, v: video_encoder_apply(p, self.video_encoder_cfg, v)
-        )
+        encode = jitted_video_encoder(self.video_encoder_cfg)
         clean_latent = encode(self.video_encoder_params, source_video).astype(
             jnp.dtype(config.dtype)
         )

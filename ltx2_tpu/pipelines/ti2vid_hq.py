@@ -280,13 +280,12 @@ class TI2VidHQPipeline(DistilledPipeline):
         final_audio_latent = stage_1_audio
         if self.spatial_upscaler_params is not None:
             from ltx2_tpu.components import STAGE_2_DISTILLED_SIGMA_VALUES
-            from ltx2_tpu.models.upscaler import spatial_upscaler_apply
             from ltx2_tpu.models.video_vae import normalize_latent, un_normalize_latent
 
             stats = self._stats()
-            upscale = jax.jit(
-                lambda p, z: spatial_upscaler_apply(p, self.spatial_upscaler_cfg, z)
-            )
+            from ltx2_tpu.pipelines.common import jitted_spatial_upscaler
+
+            upscale = jitted_spatial_upscaler(self.spatial_upscaler_cfg)
             upscaled = normalize_latent(
                 upscale(
                     self.spatial_upscaler_params,

@@ -28,7 +28,6 @@ from ltx2_tpu.components import (
 )
 from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
 from ltx2_tpu.loader.lora import LoRAConfig, fuse_lora_into_params, unfuse_lora_deltas
-from ltx2_tpu.models.upscaler import spatial_upscaler_apply
 from ltx2_tpu.models.video_vae import (
     TilingConfig,
     normalize_latent,
@@ -211,9 +210,9 @@ class TwoStagePipeline(DistilledPipeline):
             # SP/PP loop outputs are sharded; the upscaler convs need a
             # consolidated latent (see pipelines/common.py).
             latent_unnorm = un_normalize_latent(consolidate_latent(stage_1_video_latent), stats)
-            upscale = jax.jit(
-                lambda p, z: spatial_upscaler_apply(p, self.spatial_upscaler_cfg, z)
-            )
+            from ltx2_tpu.pipelines.common import jitted_spatial_upscaler
+
+            upscale = jitted_spatial_upscaler(self.spatial_upscaler_cfg)
             upscaled_video_latent = normalize_latent(
                 upscale(self.spatial_upscaler_params, latent_unnorm), stats
             ).astype(dtype)

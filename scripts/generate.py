@@ -689,14 +689,11 @@ def execute_request(args, models, ledger):
             )
             temporal_upscaler = None
             if ledger and args.temporal_upscaler:
-                import jax
-
-                from ltx2_tpu.models.upscaler import temporal_upscaler_apply
+                from ltx2_tpu.pipelines.common import jitted_temporal_upscaler
 
                 tu_params, tu_cfg = ledger.temporal_upscaler()
-                temporal_upscaler = jax.jit(
-                    lambda z: temporal_upscaler_apply(tu_params, tu_cfg, z)
-                )
+                tu_fn = jitted_temporal_upscaler(tu_cfg)
+                temporal_upscaler = lambda z: tu_fn(tu_params, z)  # noqa: E731
             video, audio_out = pipeline(
                 pos, neg, cfg, images=images,
                 positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
