@@ -16,6 +16,7 @@ Weight-free smoke-testing flags mirror the reference (tests/README.md:46-58):
 from __future__ import annotations
 
 import argparse
+from functools import lru_cache as _lru_cache
 import json
 import os
 import subprocess
@@ -207,6 +208,36 @@ def tiling_config(args):
     return None
 
 
+# Cached jitted text-encoder applies: fresh jax.jit(lambda) per request
+# would re-trace and re-compile the 12B Gemma encode on EVERY serving
+# request (jit caches on function identity).
+@_lru_cache(maxsize=8)
+def _jitted_gemma(cfg):
+    import jax
+
+    from ltx2_tpu.models.text_encoder import gemma3_apply
+
+    return jax.jit(lambda p, i, m: gemma3_apply(p, cfg, i, attention_mask=m))
+
+
+@_lru_cache(maxsize=8)
+def _jitted_av_text_encoder(cfg):
+    import jax
+
+    from ltx2_tpu.models.text_encoder import av_text_encoder_apply
+
+    return jax.jit(lambda p, h, m: av_text_encoder_apply(p, cfg, h, m))
+
+
+@_lru_cache(maxsize=8)
+def _jitted_video_text_encoder(cfg):
+    import jax
+
+    from ltx2_tpu.models.text_encoder import video_text_encoder_apply
+
+    return jax.jit(lambda p, h, m: video_text_encoder_apply(p, cfg, h, m))
+
+
 def encode_prompts(args, ledger, dit_cfg):
     """Both prompts in one Gemma batch (generate.py:1098-1117), or cached /
     dummy embeddings. Returns dict with pos/neg video (+audio) encodings."""
@@ -286,15 +317,11 @@ def encode_prompts(args, ledger, dit_cfg):
         mask = jnp.asarray(enc["attention_mask"])
 
         gemma_params, gemma_cfg = ledger.gemma()
-        _, hidden = jax.jit(
-            lambda p, i, m: gemma3_apply(p, gemma_cfg, i, attention_mask=m)
-        )(gemma_params, ids, mask)
+        _, hidden = _jitted_gemma(gemma_cfg)(gemma_params, ids, mask)
 
         te_params, te_cfg = ledger.text_encoder()
         if te_cfg.v2 or ledger.include_audio:
-            out = jax.jit(
-                lambda p, h, m: av_text_encoder_apply(p, te_cfg, h, m)
-            )(te_params, hidden, mask)
+            out = _jitted_av_text_encoder(te_cfg)(te_params, hidden, mask)
             result = {
                 "positive": out.video_encoding[0:1],
                 "negative": out.video_encoding[1:2],
@@ -302,9 +329,7 @@ def encode_prompts(args, ledger, dit_cfg):
                 "negative_audio": out.audio_encoding[1:2],
             }
         else:
-            out = jax.jit(
-                lambda p, h, m: video_text_encoder_apply(p, te_cfg, h, m)
-            )(te_params, hidden, mask)
+            out = _jitted_video_text_encoder(te_cfg)(te_params, hidden, mask)
             result = {
                 "positive": out.video_encoding[0:1],
                 "negative": out.video_encoding[1:2],
