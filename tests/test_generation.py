@@ -246,3 +246,31 @@ class TestEnhancePromptI2V:
 
         out = enhance_prompt_i2v("a cat", "x.png", lambda *a, **k: "   ")
         assert out == "a cat"
+
+
+class TestGenerateUnderTP:
+    """The KV-cached decode loop must produce identical tokens when the
+    Gemma params are tensor-parallel sharded (kv heads 2 over model=2 —
+    GSPMD shards the caches on the head axis and handles the per-step
+    dynamic cache updates)."""
+
+    def test_matches_unsharded(self, tiny):
+        from ltx2_tpu.parallel.mesh import create_mesh
+        from ltx2_tpu.parallel.sharding import shard_gemma_params
+
+        cfg, params = tiny
+        ids = jnp.asarray([[5, 17, 42, 8, 23, 11, 3, 29]], jnp.int32)
+        mask = jnp.ones_like(ids)
+        expected = np.asarray(
+            gemma3_greedy_generate(
+                params, cfg, ids, mask, max_new_tokens=6, eos_id=-1, pad_id=0
+            )
+        )
+        mesh = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+        sharded = shard_gemma_params(mesh, params)
+        got = np.asarray(
+            gemma3_greedy_generate(
+                sharded, cfg, ids, mask, max_new_tokens=6, eos_id=-1, pad_id=0
+            )
+        )
+        np.testing.assert_array_equal(got, expected)
