@@ -1,0 +1,17 @@
+from ltx2_tpu.training.trainer import (
+    TrainBatch,
+    TrainConfig,
+    make_optimizer,
+    make_train_step,
+    rectified_flow_loss,
+    trainable_mask,
+)
+
+__all__ = [
+    "TrainBatch",
+    "TrainConfig",
+    "make_optimizer",
+    "make_train_step",
+    "rectified_flow_loss",
+    "trainable_mask",
+]

@@ -1,0 +1,140 @@
+"""Rectified-flow fine-tuning tests (new TPU-first capability — the
+reference is inference-only).
+
+The train step must (1) actually learn — loss drops by an order of
+magnitude overfitting one batch on a tiny DiT, (2) honor the trainable
+mask — frozen leaves bit-identical after updates, (3) compose with the
+parallelism layer — TP-sharded params + DP-sharded batches produce the
+same losses as single-device training.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx2_tpu.ops.rope import create_position_grid
+from ltx2_tpu.training import (
+    TrainBatch,
+    TrainConfig,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)
+from tests.helpers import cached_params
+from tests.test_dit import tiny_config
+
+pytestmark = pytest.mark.multichip
+
+
+def make_batch(cfg, batch=2, frames=2, height=2, width=3, seed=0):
+    n = frames * height * width
+    grid = create_position_grid(batch, frames, height, width).astype(jnp.float32)
+    positions = jnp.stack([grid, grid + 1], axis=-1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    ctx_dim = cfg.caption_channels or cfg.cross_attention_dim
+    return TrainBatch(
+        x0=jax.random.normal(k1, (batch, n, cfg.in_channels), jnp.float32),
+        positions=positions,
+        context=jax.random.normal(k2, (batch, 5, ctx_dim), jnp.float32) * 0.1,
+    )
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfitting_one_batch(self):
+        cfg = tiny_config(num_layers=2)
+        params = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        tc = TrainConfig(learning_rate=3e-3, logit_normal_loc=None)
+        opt = make_optimizer(tc)
+        step = make_train_step(cfg, opt, tc)
+        opt_state = opt.init(params)
+        batch = make_batch(cfg)
+
+        losses = []
+        for i in range(60):
+            # Fixed key: deterministic (sigma, noise) -> a true overfit target.
+            loss, params, opt_state = step(params, opt_state, batch, jax.random.PRNGKey(7))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])
+        assert np.isfinite(losses).all()
+
+    def test_trainable_mask_freezes_params(self):
+        cfg = tiny_config(num_layers=2)
+        params = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        mask = trainable_mask(params, lambda p: "attn1" in p)
+        tc = TrainConfig(learning_rate=1e-2)
+        opt = make_optimizer(tc, mask=mask)
+        step = make_train_step(cfg, opt, tc)
+        opt_state = opt.init(params)
+        before = jax.tree_util.tree_map(np.asarray, params)
+        batch = make_batch(cfg)
+        _, params, _ = step(params, opt_state, batch, jax.random.PRNGKey(0))
+
+        flat_b = jax.tree_util.tree_leaves_with_path(before)
+        flat_a = dict(
+            (jax.tree_util.keystr(p), l)
+            for p, l in jax.tree_util.tree_leaves_with_path(params)
+        )
+        changed = frozen_same = 0
+        for path, b in flat_b:
+            a = np.asarray(flat_a[jax.tree_util.keystr(path)])
+            if "attn1" in jax.tree_util.keystr(path):
+                changed += int(not np.array_equal(a, b))
+            else:
+                assert np.array_equal(a, b), f"frozen leaf changed: {path}"
+                frozen_same += 1
+        assert changed > 0 and frozen_same > 0
+
+    def test_tp_dp_training_matches_single_device(self):
+        """TP-sharded params + DP-sharded batch: identical losses (GSPMD
+        propagates shardings through grads and Adam moments)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ltx2_tpu.parallel.mesh import create_mesh
+        from ltx2_tpu.parallel.sharding import shard_dit_params
+
+        cfg = tiny_config(
+            num_attention_heads=4, attention_head_dim=16,
+            cross_attention_dim=64, num_layers=2,
+        )
+        tc = TrainConfig(learning_rate=1e-3, logit_normal_loc=None)
+        opt = make_optimizer(tc)
+        step = make_train_step(cfg, opt, tc)
+        batch = make_batch(cfg)
+
+        def run(params, batch):
+            opt_state = opt.init(params)
+            losses = []
+            for i in range(3):
+                loss, params, opt_state = step(
+                    params, opt_state, batch, jax.random.PRNGKey(i)
+                )
+                losses.append(float(loss))
+            return losses
+
+        expected = run(jax.tree_util.tree_map(jnp.copy, cached_params(cfg)), batch)
+
+        mesh = create_mesh(data=2, model=4)
+        sharded = shard_dit_params(
+            mesh, jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        )
+        dp = lambda a: jax.device_put(
+            a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+        )
+        sharded_batch = TrainBatch(
+            x0=dp(batch.x0), positions=dp(batch.positions), context=dp(batch.context)
+        )
+        got = run(sharded, sharded_batch)
+        np.testing.assert_allclose(got, expected, rtol=2e-4)
+
+    def test_remat_train_step_runs(self):
+        """remat=True: backprop through the checkpointed block scan."""
+        import dataclasses
+
+        cfg = dataclasses.replace(tiny_config(num_layers=2), remat=True)
+        params = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        tc = TrainConfig()
+        opt = make_optimizer(tc)
+        step = make_train_step(cfg, opt, tc)
+        loss, params, _ = step(params, opt.init(params), make_batch(cfg), jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
