@@ -1,0 +1,71 @@
+"""Export a DiT param tree back to reference-format safetensors.
+
+The inverse of weight_loader's read path: unstack the (L, ...) scan-layout
+block leaves into per-block tensors, apply the inverse of the
+KEY_REWRITE_RULES (data-driven, mirroring weight_loader.py), and prefix
+with `model.diffusion_model.` — so a checkpoint fine-tuned with
+ltx2_tpu.training round-trips through load_transformer_params AND stays
+loadable by the reference implementation (reference
+weight_converter.py:277-315 key scheme).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ltx2_tpu.loader.safetensors_io import write_safetensors
+
+# Inverse of weight_loader's KEY_REWRITE_RULES: tree key -> checkpoint key.
+INVERSE_KEY_RULES = [
+    (r"\.audio_ff\.project_in\.proj\.", ".audio_ff.net.0.proj."),
+    (r"\.audio_ff\.project_out\.", ".audio_ff.net.2."),
+    (r"\.ff\.project_in\.proj\.", ".ff.net.0.proj."),
+    (r"\.ff\.project_out\.", ".ff.net.2."),
+    (r"\.to_out\.", ".to_out.0."),
+]
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = v
+    return out
+
+
+def params_to_checkpoint(
+    params, metadata: Optional[Dict[str, str]] = None, dtype=np.float32
+) -> Dict[str, np.ndarray]:
+    """Stacked DiT param tree -> flat reference-style checkpoint dict
+    (model.diffusion_model.* keys, per-block unstacked)."""
+    flat = _flatten(params)
+    ckpt: Dict[str, np.ndarray] = {}
+    for key, leaf in flat.items():
+        arr = np.asarray(jnp.asarray(leaf).astype(jnp.float32)).astype(dtype)
+        if key.startswith("transformer_blocks."):
+            sub = key[len("transformer_blocks."):]
+            for i in range(arr.shape[0]):
+                full = f"transformer_blocks.{i}.{sub}"
+                for pat, repl in INVERSE_KEY_RULES:
+                    full = re.sub(pat, repl, full)
+                ckpt[f"model.diffusion_model.{full}"] = arr[i]
+        else:
+            full = key
+            for pat, repl in INVERSE_KEY_RULES:
+                full = re.sub(pat, repl, full)
+            ckpt[f"model.diffusion_model.{full}"] = arr
+    return ckpt
+
+
+def export_transformer_checkpoint(
+    path: str, params, metadata: Optional[Dict[str, str]] = None,
+) -> None:
+    """Write the param tree as a reference-format safetensors checkpoint."""
+    write_safetensors(path, params_to_checkpoint(params), metadata=metadata)

@@ -1,0 +1,207 @@
+"""Fine-tune the LTX-2 DiT with rectified flow (ltx2_tpu.training).
+
+The reference is inference-only; this entry point closes the loop:
+load a checkpoint (or --placeholder random weights), train on a dataset
+of pre-encoded latents, and save a checkpoint in the REFERENCE format —
+the output loads back into scripts/generate.py (and into the reference
+implementation: same model.diffusion_model.* key scheme).
+
+Data: an .npz with arrays
+    x0         (N, tokens, C)   clean patchified video latents
+    positions  (N, 3, tokens, 2) fractional RoPE position bounds
+    context    (N, S, D_ctx)    text embeddings
+(produce with your VAE-encode + text-encode of choice; `--synthetic F H W`
+generates a random dataset at that latent shape for smoke/profiling runs).
+
+Multi-chip: --tp-devices shards the weights (Megatron rules) and
+--dp-devices shards the batch; grads and Adam moments inherit the
+shardings under GSPMD — no training-specific flags beyond the mesh.
+
+Example:
+    python scripts/train.py --checkpoint ckpt.safetensors \
+        --data latents.npz --steps 1000 --lr 1e-5 \
+        --trainable 'attn' --save tuned.safetensors
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# Respect JAX_PLATFORMS like generate.py (sitecustomize preloads jax).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import re as _re
+
+    _m = _re.search(
+        r"xla_force_host_platform_device_count=(\d+)",
+        os.environ.get("XLA_FLAGS", ""),
+    )
+    if _m and os.environ["JAX_PLATFORMS"].startswith("cpu"):
+        jax.config.update("jax_num_cpu_devices", int(_m.group(1)))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="LTX-2 TPU rectified-flow fine-tuning")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--placeholder", action="store_true",
+                   help="small random-weight DiT (no checkpoint needed)")
+    p.add_argument("--data", type=str, default=None,
+                   help=".npz with x0/positions/context arrays")
+    p.add_argument("--synthetic", type=int, nargs=3, metavar=("F", "H", "W"),
+                   default=None, help="random dataset at latent shape FxHxW")
+    p.add_argument("--synthetic-samples", type=int, default=8)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--trainable", type=str, default=None,
+                   help="regex over param tree paths; non-matching leaves "
+                        "freeze (e.g. 'attn' trains attention only)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--save", type=str, default=None,
+                   help="write the fine-tuned checkpoint here "
+                        "(reference-format safetensors)")
+    p.add_argument("--tp-devices", type=int, default=0)
+    p.add_argument("--dp-devices", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ltx2_tpu.ops.rope import create_position_grid
+    from ltx2_tpu.training import (
+        TrainBatch,
+        TrainConfig,
+        make_optimizer,
+        make_train_step,
+        trainable_mask,
+    )
+    from ltx2_tpu.utils.profiling import log
+
+    # ---- Model.
+    if args.placeholder or args.checkpoint is None:
+        from ltx2_tpu.models.transformer.model import (
+            LTXModelConfig,
+            init_ltx_model,
+        )
+
+        cfg = LTXModelConfig(
+            num_attention_heads=4, attention_head_dim=32, num_layers=4,
+            cross_attention_dim=128, caption_channels=None,
+            compute_dtype="bfloat16", remat=True,
+        )
+        params = jax.jit(lambda k: init_ltx_model(k, cfg))(
+            jax.random.PRNGKey(args.seed)
+        )
+        log.info("placeholder DiT (%d blocks)", cfg.num_layers)
+    else:
+        from ltx2_tpu.utils.model_ledger import ModelLedger
+
+        ledger = ModelLedger(checkpoint_path=args.checkpoint)
+        params, cfg = ledger.transformer()
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, remat=True)
+
+    # ---- Mesh (TP x DP).
+    mesh = None
+    tp = max(args.tp_devices, 1)
+    dp = max(args.dp_devices, 1)
+    if tp > 1 or dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ltx2_tpu.parallel.mesh import create_mesh
+        from ltx2_tpu.parallel.sharding import shard_dit_params
+
+        mesh = create_mesh(data=dp, model=tp, devices=jax.devices()[: dp * tp])
+        params = shard_dit_params(mesh, params)
+        dp_put = lambda a: jax.device_put(  # noqa: E731
+            a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+        )
+        log.info("training mesh: %s", mesh)
+    else:
+        dp_put = lambda a: a  # noqa: E731
+
+    # ---- Data.
+    if args.data:
+        data = np.load(args.data)
+        x0s, poss, ctxs = data["x0"], data["positions"], data["context"]
+    elif args.synthetic:
+        f, h, w = args.synthetic
+        n, tokens = args.synthetic_samples, f * h * w
+        rng = np.random.RandomState(args.seed)
+        grid = np.asarray(create_position_grid(1, f, h, w), np.float32)
+        pos = np.stack([grid, grid + 1], axis=-1)
+        x0s = rng.randn(n, tokens, cfg.in_channels).astype(np.float32)
+        poss = np.repeat(pos, n, axis=0)
+        ctx_dim = cfg.caption_channels or cfg.cross_attention_dim
+        ctxs = rng.randn(n, 32, ctx_dim).astype(np.float32) * 0.1
+    else:
+        raise SystemExit("pass --data latents.npz or --synthetic F H W")
+    n_samples = x0s.shape[0]
+    log.info("dataset: %d samples, %d tokens", n_samples, x0s.shape[1])
+
+    # ---- Optimizer + step.
+    tc = TrainConfig(
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        grad_clip_norm=args.grad_clip,
+    )
+    mask = None
+    if args.trainable:
+        import re as re_mod
+
+        pat = re_mod.compile(args.trainable)
+        mask = trainable_mask(params, lambda p: bool(pat.search(p)))
+        n_train = sum(
+            int(np.prod(np.shape(l)))
+            for l, m in zip(
+                jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(mask)
+            )
+            if m
+        )
+        log.info("trainable params: %.2f M (regex %r)", n_train / 1e6, args.trainable)
+    opt = make_optimizer(tc, mask=mask)
+    step = make_train_step(cfg, opt, tc)
+    opt_state = opt.init(params)
+
+    # ---- Loop.
+    rng = np.random.RandomState(args.seed + 1)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        idx = rng.randint(0, n_samples, size=args.batch_size)
+        batch = TrainBatch(
+            x0=dp_put(jnp.asarray(x0s[idx])),
+            positions=dp_put(jnp.asarray(poss[idx])),
+            context=dp_put(jnp.asarray(ctxs[idx])),
+        )
+        loss, params, opt_state = step(
+            params, opt_state, batch, jax.random.PRNGKey(args.seed + 2 + i)
+        )
+        if i % args.log_every == 0 or i == args.steps - 1:
+            log.info(
+                "step %d/%d  loss %.5f  (%.2f s)",
+                i, args.steps, float(loss), time.perf_counter() - t0,
+            )
+
+    if args.save:
+        from ltx2_tpu.loader.export import export_transformer_checkpoint
+
+        export_transformer_checkpoint(args.save, params)
+        log.info("saved fine-tuned checkpoint to %s", args.save)
+
+
+if __name__ == "__main__":
+    main()

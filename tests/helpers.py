@@ -37,44 +37,4 @@ def cached_params(cfg, seed: int = 0, dtype_name: str = "float32"):
     )
     return init(jax.random.PRNGKey(seed))
 
-# Inverse of the loader's KEY_REWRITE_RULES: tree key -> checkpoint key.
-_INVERSE_RULES = [
-    (r"\.audio_ff\.project_in\.proj\.", ".audio_ff.net.0.proj."),
-    (r"\.audio_ff\.project_out\.", ".audio_ff.net.2."),
-    (r"\.ff\.project_in\.proj\.", ".ff.net.0.proj."),
-    (r"\.ff\.project_out\.", ".ff.net.2."),
-    (r"\.to_out\.", ".to_out.0."),
-]
-
-
-def _flatten(tree, prefix=""):
-    out = {}
-    for k, v in tree.items():
-        path = f"{prefix}.{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(_flatten(v, path))
-        else:
-            out[path] = v
-    return out
-
-
-def params_to_checkpoint(params, metadata=None) -> Dict[str, np.ndarray]:
-    """Stacked DiT param tree -> flat reference-style checkpoint dict
-    (model.diffusion_model.* keys, per-block unstacked)."""
-    flat = _flatten(params)
-    ckpt: Dict[str, np.ndarray] = {}
-    for key, leaf in flat.items():
-        arr = np.asarray(jnp.asarray(leaf, dtype=jnp.float32))
-        if key.startswith("transformer_blocks."):
-            sub = key[len("transformer_blocks."):]
-            for i in range(arr.shape[0]):
-                full = f"transformer_blocks.{i}.{sub}"
-                for pat, repl in _INVERSE_RULES:
-                    full = re.sub(pat, repl, full)
-                ckpt[f"model.diffusion_model.{full}"] = arr[i]
-        else:
-            full = key
-            for pat, repl in _INVERSE_RULES:
-                full = re.sub(pat, repl, full)
-            ckpt[f"model.diffusion_model.{full}"] = arr
-    return ckpt
+from ltx2_tpu.loader.export import params_to_checkpoint  # noqa: E402,F401 — re-export; tests import it from here
