@@ -42,11 +42,21 @@ def _flash_attention(block_q: int, block_kv: int):
         flash_attention,
     )
 
+    # Backward (dkv/dq) tile sizes make the kernel DIFFERENTIABLE — training
+    # (ltx2_tpu/training) backprops through this path; without them the
+    # custom VJP raises "not all backward blocks are specified".
     block_sizes = BlockSizes(
         block_q=block_q,
         block_k_major=block_kv,
         block_k=block_kv,
         block_b=1,
+        block_q_major_dkv=block_q,
+        block_k_major_dkv=block_kv,
+        block_k_dkv=block_kv,
+        block_q_dkv=block_q,
+        block_k_major_dq=block_kv,
+        block_k_dq=block_kv,
+        block_q_dq=block_q,
     )
 
     def run(q, k, v, scale):

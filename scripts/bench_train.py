@@ -1,0 +1,102 @@
+"""Training-step throughput on the real TPU.
+
+Fwd+bwd+update through full-width DiT blocks (heads 32 x 128, dim 4096)
+at the flagship 6144-token shape, bf16 params with remat (block-wise
+activation checkpointing — the memory policy a real fine-tune needs).
+Layer count is capped by HBM: Adam moments are 2x fp32 per param, so
+params(bf16) + moments ~ 10x param bytes; 2 full-width blocks + heads fit
+a 16 GB v5e comfortably, and per-block throughput is layer-count
+invariant (the scan body is the unit of work).
+
+FLOPs: backward is ~2x forward for matmul-dominated transformers, and
+remat recomputes the forward once more -> 4x forward FLOPs per step.
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--height", type=int, default=16)
+    ap.add_argument("--width", type=int, default=24)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from ltx2_tpu.models.transformer.model import (
+        LTXModelConfig,
+        LTXModelType,
+        init_ltx_model,
+    )
+    from ltx2_tpu.ops.rope import create_position_grid
+    from ltx2_tpu.training import (
+        TrainBatch,
+        TrainConfig,
+        make_optimizer,
+        make_train_step,
+    )
+    from ltx2_tpu.utils.flops import dit_step_flops, mfu_report
+
+    cfg = LTXModelConfig(
+        model_type=LTXModelType.VideoOnly,
+        num_attention_heads=32, attention_head_dim=128,
+        in_channels=128, out_channels=128, num_layers=args.layers,
+        cross_attention_dim=4096, caption_channels=None,
+        compute_dtype="bfloat16", remat=True,
+    )
+    params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), init_ltx_model(k, cfg)
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    tokens = args.frames * args.height * args.width
+    grid = create_position_grid(1, args.frames, args.height, args.width).astype(
+        jnp.float32
+    )
+    batch = TrainBatch(
+        x0=jax.random.normal(jax.random.PRNGKey(1), (1, tokens, 128), jnp.float32),
+        positions=jnp.stack([grid, grid + 1], axis=-1),
+        context=jax.random.normal(jax.random.PRNGKey(2), (1, 1024, 4096), jnp.bfloat16),
+    )
+
+    tc = TrainConfig(logit_normal_loc=None)
+    opt = make_optimizer(tc)
+    step = make_train_step(cfg, opt, tc)
+    opt_state = opt.init(params)
+
+    loss, params, opt_state = step(params, opt_state, batch, jax.random.PRNGKey(3))
+    print(f"compile done, loss {float(loss):.4f}", flush=True)
+    t0 = time.perf_counter()
+    n = 4
+    for i in range(n):
+        loss, params, opt_state = step(
+            params, opt_state, batch, jax.random.PRNGKey(4 + i)
+        )
+    _ = float(np.asarray(loss))
+    sec = (time.perf_counter() - t0) / n
+
+    fwd = dit_step_flops(cfg, tokens, 1024, rows=1)
+    train_flops = 4 * fwd  # fwd + ~2x bwd + remat re-fwd
+    rep = mfu_report(train_flops, sec)
+    print(
+        f"train step ({args.layers} full-width blocks, {tokens} tokens, "
+        f"bf16+remat+adamw): {sec*1e3:.1f} ms/step, "
+        f"{rep['achieved_tflops_per_s']:.1f} TF/s ({rep['pct_of_peak']:.1f}% peak)"
+    )
+
+
+if __name__ == "__main__":
+    main()
