@@ -40,9 +40,7 @@ def _flatten(tree, prefix=""):
     return out
 
 
-def params_to_checkpoint(
-    params, metadata: Optional[Dict[str, str]] = None, dtype=np.float32
-) -> Dict[str, np.ndarray]:
+def params_to_checkpoint(params, dtype=np.float32) -> Dict[str, np.ndarray]:
     """Stacked DiT param tree -> flat reference-style checkpoint dict
     (model.diffusion_model.* keys, per-block unstacked)."""
     flat = _flatten(params)

@@ -396,7 +396,7 @@ def make_video_denoise_loop(
         sp_forward = None
         if mesh is not None and pipeline_axis is not None:
             assert text_kv is None, "cache_text_kv is incompatible with pipeline_axis"
-            if dict(mesh.shape).get("seq", 1) > 1:
+            if dict(mesh.shape).get(sequence_axis, 1) > 1:
                 _check_seq_divisible(
                     state.latent.shape[1], mesh, sequence_axis, "video"
                 )
@@ -549,7 +549,7 @@ def make_av_denoise_loop(
         sp_forward = None
         if mesh is not None and pipeline_axis is not None:
             assert text_kv is None, "cache_text_kv is incompatible with pipeline_axis"
-            if dict(mesh.shape).get("seq", 1) > 1:
+            if dict(mesh.shape).get(sequence_axis, 1) > 1:
                 _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
                 _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
             sp_forward = _make_pp_forward(
@@ -808,7 +808,7 @@ def make_multimodal_av_denoise_loop(
 
         sp_forward = None
         if mesh is not None and pipeline_axis is not None:
-            if dict(mesh.shape).get("seq", 1) > 1:
+            if dict(mesh.shape).get(sequence_axis, 1) > 1:
                 _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
                 _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
             sp_forward = _make_pp_forward(

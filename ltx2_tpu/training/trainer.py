@@ -13,7 +13,7 @@ composes for free:
   under GSPMD — `shard_dit_params` (TP) and batch-sharded inputs (DP)
   train multi-chip with zero training-specific communication code.
 - **Partial fine-tuning**: `trainable_mask(params, predicate)` +
-  `optax.masked` freezes everything the predicate rejects (e.g. train
+  `optax.multi_transform` freezes everything the predicate rejects (e.g. train
   only attention projections, LoRA-style targets, or AdaLN tables).
 
 Objective (rectified flow / flow matching, the training objective of the
@@ -43,14 +43,19 @@ from ltx2_tpu.models.transformer.model import (
 class TrainBatch:
     """One training batch of patchified video latents (a pytree).
 
-    x0:        (B, N, C) clean latent tokens (VAE-encoded, normalized)
-    positions: (B, 3, N, 2) fractional RoPE position bounds
-    context:   (B, S, D_ctx) text conditioning
+    x0:           (B, N, C) clean latent tokens (VAE-encoded, normalized)
+    positions:    (B, 3, N, 2) fractional RoPE position bounds
+    context:      (B, S, D_ctx) text conditioning
+    context_mask: optional additive mask for padded captions (the same
+                  convention inference threads from the Gemma attention
+                  mask) — REQUIRED when batching variable-length prompts,
+                  or cross-attention trains against padding tokens.
     """
 
     x0: jnp.ndarray
     positions: jnp.ndarray
     context: jnp.ndarray
+    context_mask: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,7 +101,7 @@ def rectified_flow_loss(
     modality = Modality(
         latent=x_sigma,
         context=batch.context,
-        context_mask=None,
+        context_mask=batch.context_mask,
         timesteps=sigmas,
         positions=batch.positions,
         sigma=sigmas,
@@ -107,7 +112,7 @@ def rectified_flow_loss(
 
 
 def trainable_mask(params, predicate: Callable[[str], bool]):
-    """Bool pytree for optax.masked: predicate over '/'-joined tree paths.
+    """Bool pytree for make_optimizer(mask=...): predicate over '/'-joined tree paths.
     e.g. `lambda p: "attn" in p` trains only the attention projections."""
     from ltx2_tpu.parallel.sharding import path_to_str
 

@@ -82,7 +82,32 @@ def apply_request(base_args, request: dict):
                 f"{sorted(REQUEST_FIELDS)})"
             )
         setattr(args, key, REQUEST_FIELDS[key](value))
+    # Audio models are resident only when the SERVER was launched with
+    # --audio (setup() decided what to load); a per-request flip would
+    # silently produce silent clips or hit a missing AV branch.
+    if args.audio and not base_args.audio:
+        raise ValueError(
+            "request asks for audio but the server was launched without "
+            "--audio (audio models are not resident); restart with --audio"
+        )
+    if args.pipeline == "a2vid" and base_args.pipeline != "a2vid" and not base_args.audio:
+        raise ValueError(
+            "a2vid needs the audio models resident; launch with --audio"
+        )
     return args
+
+
+def _actual_outputs(requested: str) -> list:
+    """Resolve what was actually written: the mp4 when ffmpeg existed,
+    otherwise the CLI's fallbacks (gif + frames npz, or the latent npz)."""
+    import os
+
+    base = requested.rsplit(".", 1)[0]
+    candidates = [
+        requested, base + ".gif", base + "_frames.npz",
+        base + "_latent.npz", base + ".wav",
+    ]
+    return [c for c in candidates if os.path.exists(c)]
 
 
 def main(argv=None):
@@ -100,7 +125,8 @@ def main(argv=None):
         log.info("serve: warmup generation in %.1f s", time.perf_counter() - t0)
 
     stream = sys.stdin if args.requests == "-" else open(args.requests)
-    for i, line in enumerate(stream):
+    req_id = 0  # counts REQUESTS (comments/blank lines don't consume ids)
+    for line in stream:
         line = line.strip()
         if not line or line.startswith("#"):
             continue
@@ -111,17 +137,19 @@ def main(argv=None):
             generate.execute_request(req_args, models, ledger)
             response = {
                 "status": "ok",
-                "id": i,
+                "id": req_id,
                 "output": req_args.output,
+                "artifacts": _actual_outputs(req_args.output),
                 "seconds": round(time.perf_counter() - t0, 2),
             }
         except Exception as exc:  # noqa: BLE001 — a bad request must not kill the server
             response = {
                 "status": "error",
-                "id": i,
+                "id": req_id,
                 "error": f"{type(exc).__name__}: {exc}",
                 "seconds": round(time.perf_counter() - t0, 2),
             }
+        req_id += 1
         print(json.dumps(response), flush=True)
 
 

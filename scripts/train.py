@@ -52,6 +52,11 @@ def build_parser():
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--placeholder", action="store_true",
                    help="small random-weight DiT (no checkpoint needed)")
+    p.add_argument("--audio", action="store_true",
+                   help="load (and fine-tune through) the audio/AV-cross "
+                        "branch weights — REQUIRED for AV checkpoints, or "
+                        "the saved checkpoint silently loses its audio "
+                        "capability")
     p.add_argument("--data", type=str, default=None,
                    help=".npz with x0/positions/context arrays")
     p.add_argument("--synthetic", type=int, nargs=3, metavar=("F", "H", "W"),
@@ -110,7 +115,9 @@ def main(argv=None):
     else:
         from ltx2_tpu.utils.model_ledger import ModelLedger
 
-        ledger = ModelLedger(checkpoint_path=args.checkpoint)
+        ledger = ModelLedger(
+            checkpoint_path=args.checkpoint, include_audio=args.audio
+        )
         params, cfg = ledger.transformer()
         import dataclasses
 
@@ -199,7 +206,15 @@ def main(argv=None):
     if args.save:
         from ltx2_tpu.loader.export import export_transformer_checkpoint
 
-        export_transformer_checkpoint(args.save, params)
+        # Carry the SOURCE checkpoint's metadata (model_version/config):
+        # the ledger's V2 detection reads it — without it a fine-tuned
+        # V2.3 checkpoint would reload as V1 with the wrong architecture.
+        metadata = None
+        if args.checkpoint:
+            from ltx2_tpu.loader.safetensors_io import read_metadata
+
+            metadata = read_metadata(args.checkpoint) or None
+        export_transformer_checkpoint(args.save, params, metadata=metadata)
         log.info("saved fine-tuned checkpoint to %s", args.save)
 
 

@@ -5,12 +5,9 @@ reference-style checkpoint synthesis from param trees."""
 from __future__ import annotations
 
 import functools
-import re
-from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
