@@ -40,6 +40,21 @@ def linear(p: Params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     b = p.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)
+    # Runtime LoRA (training-time adapters; see training/lora.py): the
+    # low-rank path y += scale * (x A^T) B^T rides alongside the frozen
+    # base weight. `in` check is trace-time only — zero cost without LoRA.
+    if "lora_A" in p:
+        a = p["lora_A"].astype(x.dtype)
+        bb = p["lora_B"].astype(x.dtype)
+        y = y + jax.lax.dot_general(
+            jax.lax.dot_general(
+                x, a, (((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=x.dtype,
+            ),
+            bb,
+            (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        ) * p["lora_scale"].astype(x.dtype)
     return y
 
 

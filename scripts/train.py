@@ -67,6 +67,12 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="train LoRA adapters of this rank instead of the "
+                        "base weights; --save then writes a reference-format "
+                        "LoRA file loadable via generate.py --lora")
+    p.add_argument("--lora-alpha", type=float, default=None,
+                   help="LoRA scale numerator (default: rank)")
     p.add_argument("--trainable", type=str, default=None,
                    help="regex over param tree paths; non-matching leaves "
                         "freeze (e.g. 'attn' trains attention only)")
@@ -166,7 +172,22 @@ def main(argv=None):
         learning_rate=args.lr, weight_decay=args.weight_decay,
         grad_clip_norm=args.grad_clip,
     )
+    lora_mode = args.lora_rank and args.lora_rank > 0
     mask = None
+    if lora_mode:
+        from ltx2_tpu.training.lora import add_lora_params, lora_trainable_mask
+
+        params, n_adapters = add_lora_params(
+            jax.random.PRNGKey(args.seed + 100), params,
+            rank=args.lora_rank,
+            alpha=args.lora_alpha if args.lora_alpha is not None else float(args.lora_rank),
+        )
+        mask = lora_trainable_mask(params)
+        log.info("LoRA: rank %d adapters on %d linears", args.lora_rank, n_adapters)
+        if mesh is not None:
+            log.warning("LoRA leaves are replicated on the mesh (no TP rules)")
+    if args.trainable and lora_mode:
+        raise SystemExit("--trainable and --lora-rank are mutually exclusive")
     if args.trainable:
         import re as re_mod
 
@@ -203,7 +224,12 @@ def main(argv=None):
                 i, args.steps, float(loss), time.perf_counter() - t0,
             )
 
-    if args.save:
+    if args.save and lora_mode:
+        from ltx2_tpu.training.lora import export_lora_checkpoint
+
+        export_lora_checkpoint(args.save, params)
+        log.info("saved LoRA adapter to %s (load via generate.py --lora)", args.save)
+    elif args.save:
         from ltx2_tpu.loader.export import export_transformer_checkpoint
 
         # Carry the SOURCE checkpoint's metadata (model_version/config):

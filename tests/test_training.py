@@ -185,3 +185,127 @@ class TestTrainCLI:
             init["transformer_blocks"]["ff"]["project_out"]["weight"], np.float32
         )
         np.testing.assert_allclose(ff_t, ff_0, atol=3e-3)  # frozen (bf16 export rounding)
+
+
+class TestLoRA:
+    """LoRA adapters: identity at init (B=0), runtime application in
+    linear, lora-only training, and export -> fuse round trip through the
+    standard --lora loader."""
+
+    def _setup(self, rank=4, alpha=8.0):
+        from ltx2_tpu.training.lora import add_lora_params
+
+        cfg = tiny_config(num_layers=2)
+        base = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        # Deep-copy the leaves going into the LoRA tree: the train step
+        # donates its buffers and must not invalidate `base`.
+        lora_params, n = add_lora_params(
+            jax.random.PRNGKey(5),
+            jax.tree_util.tree_map(jnp.copy, base),
+            rank=rank, alpha=alpha,
+        )
+        assert n > 0
+        return cfg, base, lora_params
+
+    def test_identity_at_init(self):
+        from tests.helpers import jitted_forward
+        from tests.test_dit import make_video_modality
+
+        cfg, base, lora_params = self._setup()
+        video = make_video_modality(cfg)
+        a = np.asarray(jitted_forward(cfg)(base, video))
+        b = np.asarray(jitted_forward(cfg)(lora_params, video))
+        np.testing.assert_allclose(a, b, atol=1e-6)  # B=0 -> exact base model
+
+    def test_lora_training_changes_output_and_freezes_base(self):
+        from ltx2_tpu.training.lora import lora_trainable_mask
+
+        cfg, base, lora_params = self._setup()
+        # Snapshot BEFORE stepping: the train step donates its input
+        # buffers, and lora_params shares the base leaves.
+        w_before = np.asarray(
+            base["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        ).copy()
+        mask = lora_trainable_mask(lora_params)
+        tc = TrainConfig(learning_rate=1e-2, logit_normal_loc=None)
+        opt = make_optimizer(tc, mask=mask)
+        step = make_train_step(cfg, opt, tc)
+        state = opt.init(lora_params)
+        batch = make_batch(cfg)
+        for i in range(3):
+            loss, lora_params, state = step(
+                lora_params, state, batch, jax.random.PRNGKey(i)
+            )
+        q_b = lora_params["transformer_blocks"]["attn1"]["to_q"]
+        assert not np.allclose(np.asarray(q_b["lora_B"]), 0.0)
+        np.testing.assert_array_equal(np.asarray(q_b["weight"]), w_before)
+
+    def test_export_fuse_round_trip(self, tmp_path):
+        """Trained adapter -> reference-format LoRA file -> fuse via the
+        standard loader must equal the runtime-LoRA forward."""
+        from ltx2_tpu.loader.lora import LoRAConfig, fuse_lora_into_params
+        from ltx2_tpu.training.lora import (
+            export_lora_checkpoint,
+            lora_trainable_mask,
+            strip_lora_params,
+        )
+        from tests.helpers import jitted_forward
+        from tests.test_dit import make_video_modality
+
+        cfg, base, lora_params = self._setup()
+        mask = lora_trainable_mask(lora_params)
+        tc = TrainConfig(learning_rate=1e-2, logit_normal_loc=None)
+        opt = make_optimizer(tc, mask=mask)
+        step = make_train_step(cfg, opt, tc)
+        state = opt.init(lora_params)
+        batch = make_batch(cfg)
+        for i in range(3):
+            _, lora_params, state = step(
+                lora_params, state, batch, jax.random.PRNGKey(i)
+            )
+
+        video = make_video_modality(cfg)
+        runtime_out = np.asarray(jitted_forward(cfg)(lora_params, video))
+        base_out = np.asarray(jitted_forward(cfg)(base, video))
+        assert not np.allclose(runtime_out, base_out)  # training had effect
+
+        path = tmp_path / "adapter.safetensors"
+        export_lora_checkpoint(str(path), lora_params)
+        fused, _ = fuse_lora_into_params(
+            jax.tree_util.tree_map(jnp.copy, base),
+            [LoRAConfig(path=str(path), strength=1.0)],
+            return_deltas=True,
+        )
+        fused_out = np.asarray(jitted_forward(cfg)(fused, video))
+        np.testing.assert_allclose(fused_out, runtime_out, atol=2e-4)
+
+        stripped = strip_lora_params(lora_params)
+        np.testing.assert_allclose(
+            np.asarray(jitted_forward(cfg)(stripped, video)), base_out, atol=1e-6
+        )
+
+    def test_lora_cli(self, tmp_path):
+        """scripts/train.py --lora-rank: trains adapters only and saves a
+        reference-format LoRA file with A/B pairs for every target."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import train as train_cli
+
+        from ltx2_tpu.loader.safetensors_io import SafetensorsFile
+
+        out = tmp_path / "adapter.safetensors"
+        train_cli.main([
+            "--placeholder", "--synthetic", "2", "2", "3",
+            "--steps", "2", "--lr", "1e-2", "--lora-rank", "4",
+            "--save", str(out),
+        ])
+        f = SafetensorsFile(str(out))
+        keys = list(f.keys())
+        a_keys = [k for k in keys if k.endswith(".lora_A.weight")]
+        b_keys = [k for k in keys if k.endswith(".lora_B.weight")]
+        assert len(a_keys) == len(b_keys) > 0
+        assert all(k.startswith("diffusion_model.") for k in keys)
+        # Per-block unstacked: rank-4 A is (4, in).
+        assert np.asarray(f.get(a_keys[0])).shape[0] == 4
