@@ -36,8 +36,17 @@ DIT_SHARDING_RULES: List[Tuple[str, P]] = [
     (r"transformer_blocks/.*w_down/weight$", P(None, None, MODEL_AXIS)),
     # Q/K norms act on the sharded inner dim.
     (r"transformer_blocks/.*(q_norm|k_norm)/weight$", P(None, MODEL_AXIS)),
-    # Everything else (AdaLN tables, biases of row-parallel layers, top-level
-    # projections, timestep MLPs) replicates.
+    # LoRA adapters (training/lora.py) follow their base weight's split:
+    # column-parallel targets shard B's out-features (A replicated),
+    # row-parallel targets shard A's in-features (B replicated). Scales
+    # replicate. Stacked (L, ...) layout => leading None.
+    (r"transformer_blocks/.*(to_q|to_k|to_v|project_in/proj)/lora_B$",
+     P(None, MODEL_AXIS, None)),
+    (r"transformer_blocks/.*(to_out|project_out|w_down)/lora_A$",
+     P(None, None, MODEL_AXIS)),
+    # Everything else (AdaLN tables, biases of row-parallel layers, LoRA
+    # A on column-parallel / B on row-parallel targets, lora_scale,
+    # top-level projections, timestep MLPs) replicates.
 ]
 
 

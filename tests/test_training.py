@@ -309,3 +309,57 @@ class TestLoRA:
         assert all(k.startswith("diffusion_model.") for k in keys)
         # Per-block unstacked: rank-4 A is (4, in).
         assert np.asarray(f.get(a_keys[0])).shape[0] == 4
+
+    def test_lora_tp_training_matches(self):
+        """LoRA adapters shard with their base weights (B out-features on
+        column-parallel targets, A in-features on row-parallel): TP x DP
+        LoRA training produces the same losses as single-device."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ltx2_tpu.parallel.mesh import create_mesh
+        from ltx2_tpu.parallel.sharding import shard_dit_params
+        from ltx2_tpu.training.lora import add_lora_params, lora_trainable_mask
+
+        cfg = tiny_config(
+            num_attention_heads=4, attention_head_dim=16,
+            cross_attention_dim=64, num_layers=2,
+        )
+
+        def fresh():
+            lp, _ = add_lora_params(
+                jax.random.PRNGKey(5),
+                jax.tree_util.tree_map(jnp.copy, cached_params(cfg)),
+                rank=4,
+            )
+            return lp
+
+        tc = TrainConfig(learning_rate=1e-2, logit_normal_loc=None)
+        batch = make_batch(cfg)
+
+        def run(params, batch):
+            mask = lora_trainable_mask(params)
+            opt = make_optimizer(tc, mask=mask)
+            step = make_train_step(cfg, opt, tc)
+            state = opt.init(params)
+            losses = []
+            for i in range(3):
+                loss, params, state = step(params, state, batch, jax.random.PRNGKey(i))
+                losses.append(float(loss))
+            return losses
+
+        expected = run(fresh(), batch)
+
+        mesh = create_mesh(data=2, model=4)
+        sharded = shard_dit_params(mesh, fresh())
+        q = sharded["transformer_blocks"]["attn1"]["to_q"]
+        assert q["lora_B"].sharding.spec == P(None, "model", None)
+        out = sharded["transformer_blocks"]["attn1"]["to_out"]
+        assert out["lora_A"].sharding.spec == P(None, None, "model")
+        dp = lambda a: jax.device_put(
+            a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+        )
+        sharded_batch = TrainBatch(
+            x0=dp(batch.x0), positions=dp(batch.positions), context=dp(batch.context)
+        )
+        got = run(sharded, sharded_batch)
+        np.testing.assert_allclose(got, expected, rtol=2e-4)
