@@ -363,3 +363,38 @@ class TestLoRA:
         )
         got = run(sharded, sharded_batch)
         np.testing.assert_allclose(got, expected, rtol=2e-4)
+
+
+class TestPrepareData:
+    """scripts/prepare_data.py: pixels -> VAE-encoded, patchified,
+    position-annotated dataset that train.py consumes directly."""
+
+    def test_pixels_to_dataset_to_training(self, tmp_path):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import prepare_data
+        import train as train_cli
+
+        px = (np.random.RandomState(0).rand(2, 3, 9, 64, 96) * 2 - 1).astype(
+            np.float32
+        )
+        np.savez(tmp_path / "clips.npz", pixels=px)
+        out = tmp_path / "lat.npz"
+        prepare_data.main([
+            "--pixels", str(tmp_path / "clips.npz"), "--placeholder",
+            "--context-dim", "128", "--output", str(out),
+        ])
+        data = np.load(out)
+        assert data["x0"].shape == (2, 12, 128)  # 2x2x3 latent grid
+        assert data["positions"].shape == (2, 3, 12, 2)
+        assert np.isfinite(data["x0"]).all()
+
+        # The dataset feeds train.py directly (placeholder DiT is 128ch).
+        train_cli.main([
+            "--placeholder", "--data", str(out), "--steps", "2",
+            "--batch-size", "2", "--lora-rank", "4",
+            "--save", str(tmp_path / "adapter.safetensors"),
+        ])
+        assert (tmp_path / "adapter.safetensors").exists()
