@@ -56,6 +56,13 @@ class TrainBatch:
     positions: jnp.ndarray
     context: jnp.ndarray
     context_mask: Optional[jnp.ndarray] = None
+    # Joint AV fine-tuning (AudioVideo checkpoints): audio latent tokens
+    # and their seconds-positions; the loss becomes the sum of both
+    # modalities' flow-matching MSEs (shared sigma per sample, like the
+    # AV denoise loop's shared timestep).
+    audio_x0: Optional[jnp.ndarray] = None
+    audio_positions: Optional[jnp.ndarray] = None
+    audio_context: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,17 +95,23 @@ def rectified_flow_loss(
     key: jax.Array,
     tc: TrainConfig = TrainConfig(),
 ) -> jnp.ndarray:
-    """Flow-matching MSE for one batch: model(x_sigma, sigma) vs noise - x0."""
+    """Flow-matching MSE for one batch: model(x_sigma, sigma) vs noise - x0.
+
+    With audio fields present, both modalities share the per-sample sigma
+    (mirroring the AV denoise loop) and the loss is the sum of their MSEs.
+    """
     b = batch.x0.shape[0]
-    k_sigma, k_noise = jax.random.split(key)
+    k_sigma, k_v, k_a = jax.random.split(key, 3)
     sigmas = _sample_sigmas(k_sigma, b, tc)
-    noise = jax.random.normal(k_noise, batch.x0.shape, jnp.float32)
-
-    x0 = batch.x0.astype(jnp.float32)
     s = sigmas[:, None, None]
-    x_sigma = ((1.0 - s) * x0 + s * noise).astype(cfg.dtype)
 
-    modality = Modality(
+    def noised(x0_raw, k):
+        x0 = x0_raw.astype(jnp.float32)
+        noise = jax.random.normal(k, x0.shape, jnp.float32)
+        return x0, noise, ((1.0 - s) * x0 + s * noise).astype(cfg.dtype)
+
+    x0, noise, x_sigma = noised(batch.x0, k_v)
+    video = Modality(
         latent=x_sigma,
         context=batch.context,
         context_mask=batch.context_mask,
@@ -106,9 +119,27 @@ def rectified_flow_loss(
         positions=batch.positions,
         sigma=sigmas,
     )
-    v_pred = ltx_model_apply(params, cfg, video=modality)
-    target = noise - x0
-    return jnp.mean((v_pred.astype(jnp.float32) - target) ** 2)
+
+    if batch.audio_x0 is None:
+        v_pred = ltx_model_apply(params, cfg, video=video)
+        return jnp.mean((v_pred.astype(jnp.float32) - (noise - x0)) ** 2)
+
+    a0, a_noise, a_sigma_x = noised(batch.audio_x0, k_a)
+    audio = Modality(
+        latent=a_sigma_x,
+        context=(
+            batch.audio_context if batch.audio_context is not None
+            else batch.context
+        ),
+        context_mask=batch.context_mask,
+        timesteps=sigmas,
+        positions=batch.audio_positions,
+        sigma=sigmas,
+    )
+    v_pred, a_pred = ltx_model_apply(params, cfg, video=video, audio=audio)
+    v_loss = jnp.mean((v_pred.astype(jnp.float32) - (noise - x0)) ** 2)
+    a_loss = jnp.mean((a_pred.astype(jnp.float32) - (a_noise - a0)) ** 2)
+    return v_loss + a_loss
 
 
 def trainable_mask(params, predicate: Callable[[str], bool]):

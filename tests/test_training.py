@@ -398,3 +398,42 @@ class TestPrepareData:
             "--save", str(tmp_path / "adapter.safetensors"),
         ])
         assert (tmp_path / "adapter.safetensors").exists()
+
+
+class TestAVTraining:
+    """Joint audio-video fine-tuning: both modalities share the per-sample
+    sigma and the loss sums their flow-matching MSEs."""
+
+    def test_av_loss_decreases(self):
+        from ltx2_tpu.models.transformer.model import LTXModelType
+
+        cfg = tiny_config(
+            model_type=LTXModelType.AudioVideo, num_layers=2, audio_heads=4
+        )
+        params = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        vb = make_batch(cfg)
+        b, frames = 2, 4
+        t = jnp.arange(frames, dtype=jnp.float32)[None, None, :].repeat(b, 0)
+        batch = TrainBatch(
+            x0=vb.x0,
+            positions=vb.positions,
+            context=vb.context,
+            audio_x0=jax.random.normal(
+                jax.random.PRNGKey(3), (b, frames, cfg.audio_in_channels)
+            ),
+            audio_positions=jnp.stack([t, t + 0.1], axis=-1),
+            audio_context=jax.random.normal(
+                jax.random.PRNGKey(4),
+                (b, 5, cfg.caption_channels or cfg.audio_inner_dim),
+            ) * 0.1,
+        )
+        tc = TrainConfig(learning_rate=3e-3, logit_normal_loc=None)
+        opt = make_optimizer(tc)
+        step = make_train_step(cfg, opt, tc)
+        state = opt.init(params)
+        losses = []
+        for _ in range(40):
+            loss, params, state = step(params, state, batch, jax.random.PRNGKey(7))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] / 5, (losses[0], losses[-1])
+        assert np.isfinite(losses).all()
