@@ -131,8 +131,13 @@ def export_lora_checkpoint(
     tensors: Dict[str, np.ndarray] = {}
 
     def emit(base_key: str, a, b, scale):
+        # The rewrite rules match with trailing-dot context (they rewrite
+        # full checkpoint keys); pad the module-name-terminated base key so
+        # e.g. `.to_out.` matches, then strip the pad.
+        base_key = base_key + "."
         for pat, repl in INVERSE_KEY_RULES:
             base_key = re.sub(pat, repl, base_key)
+        base_key = base_key[:-1]
         tensors[f"diffusion_model.{base_key}.lora_A.weight"] = np.asarray(
             a, np.float32
         )

@@ -63,6 +63,7 @@ class TrainBatch:
     audio_x0: Optional[jnp.ndarray] = None
     audio_positions: Optional[jnp.ndarray] = None
     audio_context: Optional[jnp.ndarray] = None
+    audio_context_mask: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,14 +125,23 @@ def rectified_flow_loss(
         v_pred = ltx_model_apply(params, cfg, video=video)
         return jnp.mean((v_pred.astype(jnp.float32) - (noise - x0)) ** 2)
 
+    from ltx2_tpu.models.transformer.model import LTXModelType
+
+    if cfg.model_type != LTXModelType.AudioVideo:
+        raise ValueError(
+            "batch carries audio fields but cfg.model_type is video-only — "
+            "a bare-array return would mis-unpack into (v_pred, a_pred)"
+        )
     a0, a_noise, a_sigma_x = noised(batch.audio_x0, k_a)
+    has_own_ctx = batch.audio_context is not None
     audio = Modality(
         latent=a_sigma_x,
-        context=(
-            batch.audio_context if batch.audio_context is not None
-            else batch.context
+        context=batch.audio_context if has_own_ctx else batch.context,
+        # The video mask only applies when audio SHARES the video context;
+        # a separate audio context needs its own mask (different S).
+        context_mask=(
+            batch.audio_context_mask if has_own_ctx else batch.context_mask
         ),
-        context_mask=batch.context_mask,
         timesteps=sigmas,
         positions=batch.audio_positions,
         sigma=sigmas,

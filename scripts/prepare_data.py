@@ -37,18 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from ltx2_tpu.utils.platform import apply_env_platform_overrides
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    import re as _re
-
-    _m = _re.search(
-        r"xla_force_host_platform_device_count=(\d+)",
-        os.environ.get("XLA_FLAGS", ""),
-    )
-    if _m and os.environ["JAX_PLATFORMS"].startswith("cpu"):
-        jax.config.update("jax_num_cpu_devices", int(_m.group(1)))
+apply_env_platform_overrides()
 
 
 def build_parser():

@@ -32,19 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-# Respect JAX_PLATFORMS like generate.py (sitecustomize preloads jax).
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from ltx2_tpu.utils.platform import apply_env_platform_overrides
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    import re as _re
-
-    _m = _re.search(
-        r"xla_force_host_platform_device_count=(\d+)",
-        os.environ.get("XLA_FLAGS", ""),
-    )
-    if _m and os.environ["JAX_PLATFORMS"].startswith("cpu"):
-        jax.config.update("jax_num_cpu_devices", int(_m.group(1)))
+apply_env_platform_overrides()
 
 
 def build_parser():
@@ -129,6 +119,21 @@ def main(argv=None):
 
         cfg = dataclasses.replace(cfg, remat=True)
 
+    # ---- LoRA adapters attach BEFORE sharding so the TP rules place
+    # lora_A/B with their base weights (sharding.py LoRA entries).
+    lora_mode = bool(args.lora_rank) and args.lora_rank > 0
+    if args.trainable and lora_mode:
+        raise SystemExit("--trainable and --lora-rank are mutually exclusive")
+    if lora_mode:
+        from ltx2_tpu.training.lora import add_lora_params
+
+        params, n_adapters = add_lora_params(
+            jax.random.PRNGKey(args.seed + 100), params,
+            rank=args.lora_rank,
+            alpha=args.lora_alpha if args.lora_alpha is not None else float(args.lora_rank),
+        )
+        log.info("LoRA: rank %d adapters on %d linears", args.lora_rank, n_adapters)
+
     # ---- Mesh (TP x DP).
     mesh = None
     tp = max(args.tp_devices, 1)
@@ -172,22 +177,11 @@ def main(argv=None):
         learning_rate=args.lr, weight_decay=args.weight_decay,
         grad_clip_norm=args.grad_clip,
     )
-    lora_mode = args.lora_rank and args.lora_rank > 0
     mask = None
     if lora_mode:
-        from ltx2_tpu.training.lora import add_lora_params, lora_trainable_mask
+        from ltx2_tpu.training.lora import lora_trainable_mask
 
-        params, n_adapters = add_lora_params(
-            jax.random.PRNGKey(args.seed + 100), params,
-            rank=args.lora_rank,
-            alpha=args.lora_alpha if args.lora_alpha is not None else float(args.lora_rank),
-        )
         mask = lora_trainable_mask(params)
-        log.info("LoRA: rank %d adapters on %d linears", args.lora_rank, n_adapters)
-        if mesh is not None:
-            log.warning("LoRA leaves are replicated on the mesh (no TP rules)")
-    if args.trainable and lora_mode:
-        raise SystemExit("--trainable and --lora-rank are mutually exclusive")
     if args.trainable:
         import re as re_mod
 

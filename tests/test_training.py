@@ -309,6 +309,12 @@ class TestLoRA:
         assert all(k.startswith("diffusion_model.") for k in keys)
         # Per-block unstacked: rank-4 A is (4, in).
         assert np.asarray(f.get(a_keys[0])).shape[0] == 4
+        # Reference key scheme (not tree naming): to_out.0 / ff.net.0.proj /
+        # ff.net.2 — the reference LoRA loader matches THESE base keys.
+        assert any(".to_out.0.lora_A" in k for k in keys)
+        assert any(".ff.net.0.proj.lora_A" in k for k in keys)
+        assert any(".ff.net.2.lora_A" in k for k in keys)
+        assert not any(".project_in." in k or ".project_out." in k for k in keys)
 
     def test_lora_tp_training_matches(self):
         """LoRA adapters shard with their base weights (B out-features on
