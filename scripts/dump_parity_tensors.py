@@ -30,10 +30,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from ltx2_tpu.utils.platform import apply_env_platform_overrides
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+apply_env_platform_overrides()
 
 
 def main():

@@ -31,18 +31,9 @@ import numpy as np
 # This environment's sitecustomize registers a TPU plugin and overrides
 # JAX_PLATFORMS; re-apply the user's choice through jax.config (must happen
 # before any backend initialization).
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from ltx2_tpu.utils.platform import apply_env_platform_overrides
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    import re as _re
-
-    _m = _re.search(
-        r"xla_force_host_platform_device_count=(\d+)",
-        os.environ.get("XLA_FLAGS", ""),
-    )
-    if _m and os.environ["JAX_PLATFORMS"].startswith("cpu"):
-        jax.config.update("jax_num_cpu_devices", int(_m.group(1)))
+apply_env_platform_overrides()
 
 
 def build_parser() -> argparse.ArgumentParser:
