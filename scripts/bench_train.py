@@ -13,7 +13,6 @@ remat recomputes the forward once more -> 4x forward FLOPs per step.
 """
 
 import argparse
-import dataclasses
 import os
 import sys
 import time

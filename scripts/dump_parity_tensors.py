@@ -22,7 +22,6 @@ for candidate-vs-candidate regression baselines).
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from pathlib import Path
 

@@ -1,7 +1,6 @@
 """Tests for distilled / two-stage / text-to-video pipelines on tiny configs."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
