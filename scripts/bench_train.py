@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--height", type=int, default=16)
     ap.add_argument("--width", type=int, default=24)
+    ap.add_argument("--lora-rank", type=int, default=0,
+                    help="benchmark LoRA-adapter training instead of full FT")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -72,7 +74,16 @@ def main():
     )
 
     tc = TrainConfig(logit_normal_loc=None)
-    opt = make_optimizer(tc)
+    mask = None
+    if args.lora_rank:
+        from ltx2_tpu.training.lora import add_lora_params, lora_trainable_mask
+
+        params, n = add_lora_params(
+            jax.random.PRNGKey(9), params, rank=args.lora_rank
+        )
+        mask = lora_trainable_mask(params)
+        print(f"LoRA rank {args.lora_rank} on {n} linears", flush=True)
+    opt = make_optimizer(tc, mask=mask)
     step = make_train_step(cfg, opt, tc)
     opt_state = opt.init(params)
 
@@ -92,7 +103,8 @@ def main():
     rep = mfu_report(train_flops, sec)
     print(
         f"train step ({args.layers} full-width blocks, {tokens} tokens, "
-        f"bf16+remat+adamw): {sec*1e3:.1f} ms/step, "
+        f"bf16+remat+adamw{', lora r' + str(args.lora_rank) if args.lora_rank else ''}): "
+        f"{sec*1e3:.1f} ms/step, "
         f"{rep['achieved_tflops_per_s']:.1f} TF/s ({rep['pct_of_peak']:.1f}% peak)"
     )
 

@@ -204,3 +204,26 @@ class TestServe:
         assert a.shape == b.shape
         assert not np.array_equal(a, b)  # different seeds -> different clips
         assert "no_such_field" in responses[2]["error"]
+
+    def test_serve_with_pipeline_mesh(self, tmp_path, capsys):
+        """Serving with a parallelism mesh resident: requests run the
+        PP-staged denoise loop built once at setup."""
+        import serve
+
+        req = tmp_path / "req.jsonl"
+        req.write_text(
+            json.dumps({"output": str(tmp_path / "a.mp4"), "seed": 1}) + "\n"
+        )
+        serve.main([
+            "--placeholder", "--no-gemma", "--pipeline", "one-stage",
+            "--height", "64", "--width", "96", "--num-frames", "9",
+            "--num-inference-steps", "2", "--pp-stages", "2",
+            "--requests", str(req),
+        ])
+        responses = [
+            json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("{")
+        ]
+        assert responses[0]["status"] == "ok"
+        assert any(a.endswith("a_frames.npz") for a in responses[0]["artifacts"])
