@@ -3,6 +3,8 @@ from ltx2_tpu.training.trainer import (
     TrainConfig,
     make_optimizer,
     make_train_step,
+    merge_params,
+    partition_params,
     rectified_flow_loss,
     trainable_mask,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "TrainConfig",
     "make_optimizer",
     "make_train_step",
+    "merge_params",
+    "partition_params",
     "rectified_flow_loss",
     "trainable_mask",
 ]

@@ -184,24 +184,71 @@ def make_optimizer(tc: TrainConfig, mask=None) -> optax.GradientTransformation:
     return opt
 
 
+def partition_params(params, mask):
+    """Split a param tree by a bool mask into (trainable, frozen) trees.
+
+    Non-selected positions become None — jax treats None as an empty
+    pytree node, so each half is a valid tree containing only its leaves.
+    """
+    trainable = jax.tree_util.tree_map(
+        lambda p, m: p if m else None, params, mask
+    )
+    frozen = jax.tree_util.tree_map(
+        lambda p, m: None if m else p, params, mask
+    )
+    return trainable, frozen
+
+
+def merge_params(trainable, frozen):
+    """Inverse of partition_params (exactly one side is non-None per slot)."""
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t,
+        trainable, frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
 def make_train_step(
     cfg: LTXModelConfig,
     optimizer: optax.GradientTransformation,
     tc: TrainConfig = TrainConfig(),
+    trainable_mask=None,
 ):
     """One jitted (params, opt_state, batch, key) -> (loss, params, opt_state).
 
     Donates params/opt_state so the update is in-place in HBM (no 2x weight
     peak). Under a mesh, pass TP-sharded params and DP-sharded batches —
     GSPMD propagates shardings through grads and Adam moments.
-    """
 
-    def step(params, opt_state, batch: TrainBatch, key: jax.Array):
-        loss, grads = jax.value_and_grad(rectified_flow_loss)(
-            params, cfg, batch, key, tc
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return loss, params, opt_state
+    With `trainable_mask`, the returned step has the PARTITIONED signature
+    `(trainable, opt_state, frozen, batch, key) -> (loss, trainable,
+    opt_state)`: it differentiates ONLY the trainable subtree (frozen
+    params are loss constants — no gradient or Adam buffers ever
+    materialize for them) and never returns the frozen base, so the step's
+    outputs are megabytes even when the base is the 13 GB fp8 19B. Split
+    once with `partition_params(params, mask)` before the loop, init the
+    optimizer on the trainable half, and `merge_params` once at save time.
+    """
+    if trainable_mask is None:
+        def step(params, opt_state, batch: TrainBatch, key: jax.Array):
+            loss, grads = jax.value_and_grad(rectified_flow_loss)(
+                params, cfg, batch, key, tc
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return loss, params, opt_state
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def step(trainable, opt_state, frozen, batch: TrainBatch, key: jax.Array):
+        def loss_fn(tr):
+            return rectified_flow_loss(
+                merge_params(tr, frozen), cfg, batch, key, tc
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return loss, trainable, opt_state
 
     return jax.jit(step, donate_argnums=(0, 1))

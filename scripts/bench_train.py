@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--width", type=int, default=24)
     ap.add_argument("--lora-rank", type=int, default=0,
                     help="benchmark LoRA-adapter training instead of full FT")
+    ap.add_argument("--lora-attn-only", action="store_true",
+                    help="adapters on attention projections only")
+    ap.add_argument("--fp8-base", action="store_true",
+                    help="freeze the base in fp8 serving form (QLoRA-style: "
+                    "with --layers 48 this is the full 19B fine-tuning on "
+                    "one 16 GB chip — only adapters get grads/Adam state)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -56,11 +62,32 @@ def main():
         cross_attention_dim=4096, caption_channels=None,
         compute_dtype="bfloat16", remat=True,
     )
-    params = jax.jit(
-        lambda k: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), init_ltx_model(k, cfg)
-        )
-    )(jax.random.PRNGKey(0))
+    if args.fp8_base:
+        import dataclasses
+
+        from ltx2_tpu.loader.fp8 import quantize_params_fp8
+
+        one = jax.jit(
+            lambda k: init_ltx_model(k, dataclasses.replace(cfg, num_layers=1))
+        )(jax.random.PRNGKey(0))
+        one_q = jax.jit(quantize_params_fp8)(one)
+        jax.block_until_ready(one_q)
+        stacked = jax.jit(
+            lambda b: jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, args.layers, axis=0), b
+            )
+        )(one_q["transformer_blocks"])
+        params = dict(one_q)
+        params["transformer_blocks"] = stacked
+        # Free the staging artifacts: the unquantized f32 single block is
+        # ~1.6 GB and its fp8 copy ~0.4 GB — dead weight on a 16 GB chip.
+        del one, one_q, stacked
+    else:
+        params = jax.jit(
+            lambda k: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), init_ltx_model(k, cfg)
+            )
+        )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     tokens = args.frames * args.height * args.width
@@ -76,16 +103,32 @@ def main():
     tc = TrainConfig(logit_normal_loc=None)
     mask = None
     if args.lora_rank:
+        from ltx2_tpu.training import partition_params
         from ltx2_tpu.training.lora import add_lora_params, lora_trainable_mask
 
+        kw = {}
+        if args.lora_attn_only:
+            kw["targets"] = r"transformer_blocks/.*(to_q|to_k|to_v|to_out)$"
         params, n = add_lora_params(
-            jax.random.PRNGKey(9), params, rank=args.lora_rank
+            jax.random.PRNGKey(9), params, rank=args.lora_rank, **kw
         )
         mask = lora_trainable_mask(params)
         print(f"LoRA rank {args.lora_rank} on {n} linears", flush=True)
-    opt = make_optimizer(tc, mask=mask)
-    step = make_train_step(cfg, opt, tc)
-    opt_state = opt.init(params)
+        opt = make_optimizer(tc)
+        pstep = make_train_step(cfg, opt, tc, trainable_mask=mask)
+        trainable, frozen = partition_params(params, mask)
+        opt_state = opt.init(trainable)
+        state = {"tr": trainable}
+
+        def step(params, opt_state, batch, key):
+            loss, state["tr"], opt_state = pstep(
+                state["tr"], opt_state, frozen, batch, key
+            )
+            return loss, params, opt_state
+    else:
+        opt = make_optimizer(tc)
+        step = make_train_step(cfg, opt, tc)
+        opt_state = opt.init(params)
 
     loss, params, opt_state = step(params, opt_state, batch, jax.random.PRNGKey(3))
     print(f"compile done, loss {float(loss):.4f}", flush=True)
@@ -99,7 +142,9 @@ def main():
     sec = (time.perf_counter() - t0) / n
 
     fwd = dit_step_flops(cfg, tokens, 1024, rows=1)
-    train_flops = 4 * fwd  # fwd + ~2x bwd + remat re-fwd
+    # Full FT: fwd + ~2x bwd (dX + dW) + remat re-fwd = 4x. Frozen-base
+    # LoRA: dW of frozen matmuls is skipped, bwd ~ 1x (dX only) -> 3x.
+    train_flops = (3 if args.lora_rank else 4) * fwd
     rep = mfu_report(train_flops, sec)
     print(
         f"train step ({args.layers} full-width blocks, {tokens} tokens, "

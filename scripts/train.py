@@ -195,9 +195,20 @@ def main(argv=None):
             if m
         )
         log.info("trainable params: %.2f M (regex %r)", n_train / 1e6, args.trainable)
-    opt = make_optimizer(tc, mask=mask)
-    step = make_train_step(cfg, opt, tc)
-    opt_state = opt.init(params)
+    opt = make_optimizer(tc)
+    if mask is not None:
+        # Partitioned step: frozen params are loss CONSTANTS — no grad or
+        # Adam buffers materialize for them, and the step never returns
+        # the frozen base (what makes single-chip LoRA on the fp8 19B
+        # feasible: 13 GB frozen base + MB of adapters in flight).
+        from ltx2_tpu.training import merge_params, partition_params
+
+        trainable, frozen = partition_params(params, mask)
+        step = make_train_step(cfg, opt, tc, trainable_mask=mask)
+        opt_state = opt.init(trainable)
+    else:
+        step = make_train_step(cfg, opt, tc)
+        opt_state = opt.init(params)
 
     # ---- Loop.
     rng = np.random.RandomState(args.seed + 1)
@@ -209,14 +220,23 @@ def main(argv=None):
             positions=dp_put(jnp.asarray(poss[idx])),
             context=dp_put(jnp.asarray(ctxs[idx])),
         )
-        loss, params, opt_state = step(
-            params, opt_state, batch, jax.random.PRNGKey(args.seed + 2 + i)
-        )
+        if mask is not None:
+            loss, trainable, opt_state = step(
+                trainable, opt_state, frozen, batch,
+                jax.random.PRNGKey(args.seed + 2 + i),
+            )
+        else:
+            loss, params, opt_state = step(
+                params, opt_state, batch, jax.random.PRNGKey(args.seed + 2 + i)
+            )
         if i % args.log_every == 0 or i == args.steps - 1:
             log.info(
                 "step %d/%d  loss %.5f  (%.2f s)",
                 i, args.steps, float(loss), time.perf_counter() - t0,
             )
+
+    if mask is not None:
+        params = merge_params(trainable, frozen)
 
     if args.save and lora_mode:
         from ltx2_tpu.training.lora import export_lora_checkpoint

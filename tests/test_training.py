@@ -443,3 +443,75 @@ class TestAVTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0] / 5, (losses[0], losses[-1])
         assert np.isfinite(losses).all()
+
+
+class TestPartitionedTrainStep:
+    """trainable_mask in make_train_step differentiates ONLY the selected
+    subtree (frozen params are loss constants — no grad/Adam buffers for
+    them) and must match the optax-masked (zeroed-updates) approach."""
+
+    def test_matches_masked_optimizer(self):
+        from ltx2_tpu.training import partition_params
+
+        cfg = tiny_config(num_layers=2)
+        mask_fn = lambda params: trainable_mask(params, lambda p: "attn1" in p)
+        batch = make_batch(cfg)
+        tc = TrainConfig(learning_rate=1e-2, logit_normal_loc=None)
+
+        # Reference: optax multi_transform zeroed-updates path.
+        p1 = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        opt1 = make_optimizer(tc, mask=mask_fn(p1))
+        step1 = make_train_step(cfg, opt1, tc)
+        s1 = opt1.init(p1)
+        # Partitioned path: step carries only the trainable subtree.
+        from ltx2_tpu.training import merge_params
+
+        p2 = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        m2 = mask_fn(p2)
+        tr2, fz2 = partition_params(p2, m2)
+        opt2 = make_optimizer(tc)
+        step2 = make_train_step(cfg, opt2, tc, trainable_mask=m2)
+        s2 = opt2.init(tr2)
+
+        for i in range(3):
+            l1, p1, s1 = step1(p1, s1, batch, jax.random.PRNGKey(i))
+            l2, tr2, s2 = step2(tr2, s2, fz2, batch, jax.random.PRNGKey(i))
+            np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        p2 = merge_params(tr2, fz2)
+        for (path1, a), (path2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p1),
+            jax.tree_util.tree_leaves_with_path(p2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6,
+                err_msg=jax.tree_util.keystr(path1),
+            )
+
+    def test_fp8_frozen_base_lora(self):
+        """QLoRA-style: fp8-serving frozen base + fp32 adapters. The loss
+        must be finite and decrease with ONLY adapter updates."""
+        from ltx2_tpu.loader.fp8 import quantize_params_fp8
+        from ltx2_tpu.training import partition_params
+        from ltx2_tpu.training.lora import add_lora_params, lora_trainable_mask
+
+        cfg = tiny_config(num_layers=2)
+        base = jax.jit(quantize_params_fp8)(
+            jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        )
+        params, n = add_lora_params(jax.random.PRNGKey(5), base, rank=4)
+        assert n > 0
+        mask = lora_trainable_mask(params)
+        tc = TrainConfig(learning_rate=1e-2, logit_normal_loc=None)
+        opt = make_optimizer(tc)
+        step = make_train_step(cfg, opt, tc, trainable_mask=mask)
+        trainable, frozen = partition_params(params, mask)
+        state = opt.init(trainable)
+        batch = make_batch(cfg)
+        losses = []
+        for _ in range(20):
+            loss, trainable, state = step(
+                trainable, state, frozen, batch, jax.random.PRNGKey(7)
+            )
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], (losses[0], losses[-1])
