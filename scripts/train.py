@@ -57,6 +57,10 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--fp8-serving", action="store_true",
+                   help="keep the checkpoint's fp8 weights quantized as the "
+                        "FROZEN base (QLoRA-style): with --lora-rank, the "
+                        "full 48-block 19B fine-tunes on one 16 GB chip")
     p.add_argument("--lora-rank", type=int, default=0,
                    help="train LoRA adapters of this rank instead of the "
                         "base weights; --save then writes a reference-format "
@@ -111,8 +115,14 @@ def main(argv=None):
     else:
         from ltx2_tpu.utils.model_ledger import ModelLedger
 
+        if args.fp8_serving and not (args.lora_rank or args.trainable):
+            raise SystemExit(
+                "--fp8-serving requires --lora-rank or --trainable: fp8 "
+                "weights are a FROZEN base (adamw cannot update them)"
+            )
         ledger = ModelLedger(
-            checkpoint_path=args.checkpoint, include_audio=args.audio
+            checkpoint_path=args.checkpoint, include_audio=args.audio,
+            keep_fp8=args.fp8_serving,
         )
         params, cfg = ledger.transformer()
         import dataclasses
