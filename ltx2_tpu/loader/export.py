@@ -17,7 +17,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ltx2_tpu.loader.safetensors_io import write_safetensors
+from ltx2_tpu.loader.safetensors_io import SafetensorsFile, write_safetensors
 
 # Inverse of weight_loader's KEY_REWRITE_RULES: tree key -> checkpoint key.
 INVERSE_KEY_RULES = [
@@ -64,6 +64,23 @@ def params_to_checkpoint(params, dtype=np.float32) -> Dict[str, np.ndarray]:
 
 def export_transformer_checkpoint(
     path: str, params, metadata: Optional[Dict[str, str]] = None,
+    carry_from: Optional[str] = None,
 ) -> None:
-    """Write the param tree as a reference-format safetensors checkpoint."""
-    write_safetensors(path, params_to_checkpoint(params), metadata=metadata)
+    """Write the param tree as a reference-format safetensors checkpoint.
+
+    `carry_from`: path of the source checkpoint whose NON-DiT tensors
+    (VAE encoder/decoder, text_embedding_projection, vocoder, per-channel
+    stats, ...) are copied verbatim into the export. The reference keeps
+    every component in ONE file (ModelLedger reads the VAE and connectors
+    from the same path as the DiT), so a fine-tuned checkpoint that only
+    replaced `model.diffusion_model.*` DiT keys would fail at VAE /
+    text-encoder load. Tensors are memory-mapped views — no full-file
+    materialization on host.
+    """
+    tensors = params_to_checkpoint(params)
+    if carry_from is not None:
+        src = SafetensorsFile(carry_from)
+        for key in src.keys():
+            if key not in tensors:
+                tensors[key] = src.get(key)
+    write_safetensors(path, tensors, metadata=metadata)

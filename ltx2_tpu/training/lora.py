@@ -5,7 +5,7 @@ Low-rank adapters attach to selected linears in the param tree as
 `ops.common.linear` applies y += scale * (x A^T) B^T whenever they are
 present (zero cost otherwise: the check is trace-time). B initializes to
 zero (standard LoRA: the adapted model starts EXACTLY at the base model),
-A to N(0, 1/r).
+A to N(0, 1/r) — std 1/sqrt(r), the standard LoRA variance scaling.
 
 Export writes the reference LoRA checkpoint format —
 `diffusion_model.<base>.lora_A.weight` / `.lora_B.weight` pairs with the
@@ -79,7 +79,8 @@ def add_lora_params(
                         a_shape, b_shape = (rank, inp), (out, rank)
                         scale = jnp.asarray(alpha / rank, jnp.float32)
                     v["lora_A"] = (
-                        jax.random.normal(k_a, a_shape, jnp.float32) / rank
+                        jax.random.normal(k_a, a_shape, jnp.float32)
+                        / jnp.sqrt(rank)
                     )
                     v["lora_B"] = jnp.zeros(b_shape, jnp.float32)
                     v["lora_scale"] = scale

@@ -81,7 +81,17 @@ def apply_request(base_args, request: dict):
                 f"unknown request field {key!r} (allowed: "
                 f"{sorted(REQUEST_FIELDS)})"
             )
-        setattr(args, key, REQUEST_FIELDS[key](value))
+        field_type = REQUEST_FIELDS[key]
+        if field_type is bool:
+            # bool("false") is True — reject anything but a JSON boolean
+            # rather than silently inverting the caller's intent.
+            if not isinstance(value, bool):
+                raise ValueError(
+                    f"field {key!r} must be a JSON boolean, got {value!r}"
+                )
+            setattr(args, key, value)
+        else:
+            setattr(args, key, field_type(value))
     # Audio models are resident only when the SERVER was launched with
     # --audio (setup() decided what to load); a per-request flip would
     # silently produce silent clips or hit a missing AV branch.

@@ -80,6 +80,36 @@ def build_parser():
     return p
 
 
+def _reject_fp8_trainable(params, mask):
+    """--fp8-serving + --trainable: refuse regexes that mark quantized
+    leaves trainable. A matmul `weight` stored as fp8-E4M3 (detectable by
+    its sibling `weight_scale`) cannot take AdamW updates — grads in fp8
+    storage precision are near-useless — so steer users to --lora-rank,
+    which trains fp32 adapters around the frozen quantized base."""
+    bad = []
+
+    def visit(p_node, m_node, path):
+        for k, v in p_node.items():
+            sub = f"{path}.{k}" if path else k
+            if isinstance(v, dict):
+                if "weight_scale" in v and (
+                    m_node[k].get("weight", False)
+                    or m_node[k].get("weight_scale", False)
+                ):
+                    bad.append(sub)
+                else:
+                    visit(v, m_node[k], sub)
+
+    visit(params, mask, "")
+    if bad:
+        raise SystemExit(
+            "--trainable selects fp8-quantized leaves under --fp8-serving "
+            f"(e.g. {bad[0]}.weight): quantized weights are a FROZEN base. "
+            "Use --lora-rank to train adapters, or drop --fp8-serving to "
+            "dequantize the base for full fine-tuning."
+        )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -111,6 +141,18 @@ def main(argv=None):
         params = jax.jit(lambda k: init_ltx_model(k, cfg))(
             jax.random.PRNGKey(args.seed)
         )
+        if args.fp8_serving:
+            # Honor the flag under --placeholder too: quantize the random
+            # base so the fp8 training semantics (frozen quantized base,
+            # trainable-regex guard) are drivable without a checkpoint.
+            if not (args.lora_rank or args.trainable):
+                raise SystemExit(
+                    "--fp8-serving requires --lora-rank or --trainable: fp8 "
+                    "weights are a FROZEN base (adamw cannot update them)"
+                )
+            from ltx2_tpu.loader.fp8 import quantize_params_fp8
+
+            params = jax.jit(quantize_params_fp8)(params)
         log.info("placeholder DiT (%d blocks)", cfg.num_layers)
     else:
         from ltx2_tpu.utils.model_ledger import ModelLedger
@@ -197,6 +239,8 @@ def main(argv=None):
 
         pat = re_mod.compile(args.trainable)
         mask = trainable_mask(params, lambda p: bool(pat.search(p)))
+        if args.fp8_serving:
+            _reject_fp8_trainable(params, mask)
         n_train = sum(
             int(np.prod(np.shape(l)))
             for l, m in zip(
@@ -264,7 +308,14 @@ def main(argv=None):
             from ltx2_tpu.loader.safetensors_io import read_metadata
 
             metadata = read_metadata(args.checkpoint) or None
-        export_transformer_checkpoint(args.save, params, metadata=metadata)
+        # carry_from: copy the source checkpoint's non-DiT tensors (VAE,
+        # text_embedding_projection, connectors, vocoder) so the export is
+        # a COMPLETE single-file checkpoint usable as the sole
+        # --checkpoint in generate.py (the ledger loads every component
+        # from one path).
+        export_transformer_checkpoint(
+            args.save, params, metadata=metadata, carry_from=args.checkpoint,
+        )
         log.info("saved fine-tuned checkpoint to %s", args.save)
 
 

@@ -12,6 +12,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
@@ -204,6 +205,21 @@ class TestServe:
         assert a.shape == b.shape
         assert not np.array_equal(a, b)  # different seeds -> different clips
         assert "no_such_field" in responses[2]["error"]
+
+    def test_bool_fields_reject_strings(self):
+        """bool("false") is True — a JSON string for a bool field must be
+        rejected, not silently inverted (advisor r2)."""
+        import argparse
+
+        import serve
+
+        base = argparse.Namespace(
+            audio=False, skip_vae=False, seed=0, pipeline="one-stage"
+        )
+        with pytest.raises(ValueError, match="JSON boolean"):
+            serve.apply_request(base, {"skip_vae": "false"})
+        args = serve.apply_request(base, {"skip_vae": True, "seed": 3})
+        assert args.skip_vae is True and args.seed == 3
 
     def test_serve_with_pipeline_mesh(self, tmp_path, capsys):
         """Serving with a parallelism mesh resident: requests run the

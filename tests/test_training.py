@@ -187,6 +187,54 @@ class TestTrainCLI:
         np.testing.assert_allclose(ff_t, ff_0, atol=3e-3)  # frozen (bf16 export rounding)
 
 
+    def test_export_carry_from_merges_non_dit_tensors(self, tmp_path):
+        """A fine-tuned export must be a COMPLETE single-file checkpoint:
+        non-DiT tensors (VAE, projections) carried verbatim from the
+        source checkpoint, tuned DiT keys winning over stale source ones
+        (advisor r2: tuned.safetensors as sole --checkpoint)."""
+        from ltx2_tpu.loader.export import export_transformer_checkpoint
+        from ltx2_tpu.loader.safetensors_io import SafetensorsFile, write_safetensors
+        from ltx2_tpu.models.transformer.model import LTXModelConfig, init_ltx_model
+
+        cfg = LTXModelConfig(
+            num_attention_heads=2, attention_head_dim=8, num_layers=2,
+            cross_attention_dim=32, caption_channels=None,
+        )
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        src = tmp_path / "src.safetensors"
+        write_safetensors(str(src), {
+            "model.diffusion_model.patchify_proj.weight": np.zeros((4, 4), np.float32),
+            "vae.decoder.conv_in.conv.weight": np.ones((2, 2, 3, 3, 3), np.float32),
+            "text_embedding_projection.aggregate_embed.weight": np.ones((8, 8), np.float32),
+        })
+        out = tmp_path / "tuned.safetensors"
+        export_transformer_checkpoint(str(out), params, carry_from=str(src))
+        f = SafetensorsFile(str(out))
+        keys = set(f.keys())
+        assert "vae.decoder.conv_in.conv.weight" in keys
+        assert "text_embedding_projection.aggregate_embed.weight" in keys
+        np.testing.assert_allclose(f.get("vae.decoder.conv_in.conv.weight"), 1.0)
+        # Tuned DiT keys win over the stale (4,4) source tensor.
+        assert f.get("model.diffusion_model.patchify_proj.weight").shape != (4, 4)
+
+    def test_fp8_serving_rejects_trainable_quantized_leaves(self, tmp_path):
+        """--fp8-serving + a --trainable regex that selects quantized matmul
+        weights must refuse (grads in fp8 storage precision are useless);
+        --lora-rank remains the supported combo (advisor r2)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import train as train_cli
+
+        with pytest.raises(SystemExit, match="fp8-quantized leaves"):
+            train_cli.main([
+                "--placeholder", "--synthetic", "2", "2", "3",
+                "--steps", "1", "--fp8-serving", "--trainable", "attn",
+                "--save", str(tmp_path / "x.safetensors"),
+            ])
+
+
 class TestLoRA:
     """LoRA adapters: identity at init (B=0), runtime application in
     linear, lora-only training, and export -> fuse round trip through the
