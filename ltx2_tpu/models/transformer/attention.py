@@ -97,7 +97,8 @@ def attention_apply(
             return z.reshape(b, t, cfg.heads, cfg.dim_head).transpose(0, 2, 1, 3)
 
         out = ring_attention_local(
-            heads_major(q), heads_major(k), heads_major(v), axis_name=axis
+            heads_major(q), heads_major(k), heads_major(v), axis_name=axis,
+            model_axis=cfg.tp_axis,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.inner_dim)
     else:

@@ -35,6 +35,98 @@ def _pick_block(t: int, preferred: int) -> Optional[int]:
     return None
 
 
+def _flash_backend_ok() -> bool:
+    """Test seam: flash needs the TPU mosaic backend (tests monkeypatch this
+    to exercise the sharded dispatch machinery on CPU with a stand-in)."""
+    return jax.default_backend() == "tpu"
+
+
+# Trace-time engagement log for the sharded flash paths: tests assert the
+# kernel path is ENGAGED (not just numerically equal) under TP / SP x TP
+# meshes. Keys: "flash", "flash_tp", "flash_masked", "flash_masked_tp".
+FLASH_ENGAGEMENTS: dict = {}
+
+
+def _note_engagement(kind: str) -> None:
+    FLASH_ENGAGEMENTS[kind] = FLASH_ENGAGEMENTS.get(kind, 0) + 1
+
+
+def _free_mesh_axes():
+    """The ambient mesh's non-Manual axes, or None when no mesh is active.
+
+    Under a TP-only GSPMD jit (entry points run inside
+    `jax.sharding.use_mesh(mesh)`) every axis is free; inside a
+    partial-manual shard_map (SP x TP: manual over data/seq/pipe, 'model'
+    auto) only the auto axes are free. A shard_map over ALL free axes makes
+    the region fully manual — the only context where a Pallas kernel is
+    legal on sharded operands.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty:
+        return None
+    try:
+        from jax.sharding import AxisType
+
+        free = [
+            name
+            for name, ty in zip(am.axis_names, am.axis_types)
+            if ty != AxisType.Manual
+        ]
+    except Exception:
+        free = list(am.axis_names)
+    return am, free
+
+
+def _flash_shard_ctx(batch: int, heads: int):
+    """(mesh, axis_names, batch_axis) for shard-mapping flash over the
+    ambient mesh, or None to call the kernel directly.
+
+    The head axis shards over 'model' (Megatron TP layout); the batch axis
+    shards over 'data' when divisible (CFG rows ride 'data'). Sequence and
+    head_dim stay whole per shard — flash partitions trivially over batch
+    and heads only.
+    """
+    ctx = _free_mesh_axes()
+    if ctx is None:
+        return None
+    am, free = ctx
+    if not free:
+        return None
+    sizes = dict(am.shape)
+    tp = sizes.get("model", 1) if "model" in free else 1
+    if tp <= 1:
+        return None  # no head sharding in play: call the kernel directly
+    if heads % tp != 0:
+        return None
+    data = sizes.get("data", 1) if "data" in free else 1
+    b_axis = "data" if data > 1 and batch % data == 0 else None
+    return am, frozenset(free), b_axis
+
+
+def _shard_mapped(fn, n_args, batch: int, heads: int, extra_specs=()):
+    """Wrap a per-shard flash call in a fully-manual shard_map over the
+    ambient mesh's free axes, heads on 'model' (+ batch on 'data' when it
+    divides). Returns None when there is no mesh/TP context — the caller
+    then invokes the kernel directly. Differentiable: grads flow through
+    shard_map into the kernel's custom VJP, which runs per-shard."""
+    ctx = _flash_shard_ctx(batch, heads)
+    if ctx is None:
+        return None
+    am, axis_names, b_axis = ctx
+    from jax.sharding import PartitionSpec as P
+
+    qkv_spec = P(b_axis, "model", None, None)
+    in_specs = (qkv_spec,) * n_args + tuple(extra_specs)
+    return jax.shard_map(
+        fn,
+        mesh=am,
+        in_specs=in_specs,
+        out_specs=qkv_spec,
+        axis_names=axis_names,
+        check_vma=False,
+    )
+
+
 @lru_cache(maxsize=8)
 def _flash_attention(block_q: int, block_kv: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -71,7 +163,7 @@ def _use_flash(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
     t_q, t_k = q.shape[2], k.shape[2]
     return (
         mask is None
-        and jax.default_backend() == "tpu"
+        and _flash_backend_ok()
         and t_q == t_k
         and t_q >= FLASH_MIN_TOKENS
         and _pick_block(t_q, FLASH_BLOCK_Q) is not None
@@ -114,7 +206,7 @@ def _flash_attention_masked(block_q: int, block_kv: int):
 
 
 def _use_flash_masked(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
-    if mask is None or jax.default_backend() != "tpu":
+    if mask is None or not _flash_backend_ok():
         return False
     if mask.ndim != 4 or mask.shape[2] != 1 or mask.shape[1] != 1:
         return False  # query-dependent mask: einsum path
@@ -144,13 +236,44 @@ def sdpa(
     if _use_flash(q, k, mask):
         bq = _pick_block(q.shape[2], FLASH_BLOCK_Q)
         bkv = _pick_block(k.shape[2], FLASH_BLOCK_KV)
-        return _flash_attention(bq, bkv)(q, k, v, scale)
+        run = _flash_attention(bq, bkv)
+        # Head-sharded dispatch: under a TP ('model'-axis) mesh the kernel
+        # runs per-shard on local heads via a fully-manual shard_map (a
+        # Pallas call has no GSPMD partition rule, so without this the
+        # partitioner would have to gather heads and replicate the work).
+        sharded = _shard_mapped(
+            lambda qq, kk, vv: run(qq, kk, vv, scale), 3,
+            q.shape[0], q.shape[1],
+        )
+        if sharded is not None:
+            _note_engagement("flash_tp")
+            return sharded(q, k, v)
+        _note_engagement("flash")
+        return run(q, k, v, scale)
     if _use_flash_masked(q, k, mask):
         bq = _pick_block(q.shape[2], FLASH_BLOCK_Q)
         bkv = _pick_block(k.shape[2], FLASH_BLOCK_KV)
         kv_valid = mask[:, 0, 0, :] > _MASK_VALID_THRESHOLD  # (B, S)
         kv_valid = jnp.broadcast_to(kv_valid, (q.shape[0], k.shape[2]))
-        return _flash_attention_masked(bq, bkv)(q, k, v, scale, kv_valid)
+        run = _flash_attention_masked(bq, bkv)
+        ctx = _flash_shard_ctx(q.shape[0], q.shape[1])
+        if ctx is not None:
+            from jax.sharding import PartitionSpec as P
+
+            am, axis_names, b_axis = ctx
+            qkv_spec = P(b_axis, "model", None, None)
+            sharded = jax.shard_map(
+                lambda qq, kk, vv, kvv: run(qq, kk, vv, scale, kvv),
+                mesh=am,
+                in_specs=(qkv_spec,) * 3 + (P(b_axis, None),),
+                out_specs=qkv_spec,
+                axis_names=axis_names,
+                check_vma=False,
+            )
+            _note_engagement("flash_masked_tp")
+            return sharded(q, k, v, kv_valid)
+        _note_engagement("flash_masked")
+        return run(q, k, v, scale, kv_valid)
     # Einsum fallback with fp32 softmax (short sequences, masked
     # cross-attention, CPU). Benchmarked on v5e at 6k tokens: 18 ms vs
     # 345 ms for jax.nn.dot_product_attention. The QK dot stores logits in

@@ -37,6 +37,7 @@ def ring_attention_local(
     axis_name: str,
     scale: Optional[float] = None,
     inner: str = "auto",
+    model_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Per-device body (call inside shard_map). q/k/v: (B, H, T_local, D).
 
@@ -50,6 +51,12 @@ def ring_attention_local(
                  memory, MXU-rate compute (use for very long shards);
       "auto"   — flash when on TPU and the shapes meet the kernel's tiling
                  constraints, dense otherwise.
+
+    model_axis (SP x TP): mesh axis the attention heads are feature-sharded
+    over, left AUTO by the enclosing shard_map. The flash inner nests a
+    fully-manual shard_map over it so the Pallas kernel runs on local heads
+    — the axis is invisible at trace time (GSPMD owns it), so the caller
+    must name it (attention_apply passes cfg.tp_axis).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -57,17 +64,21 @@ def ring_attention_local(
     perm = [(j, (j + 1) % n) for j in range(n)]
 
     b, h, t, d = q.shape
-    use_flash = inner == "flash" or (inner == "auto" and _flash_inner_ok(q, k))
+    use_flash = inner == "flash" or (
+        inner == "auto" and _flash_inner_ok(q, k, model_axis)
+    )
 
-    # Accumulators derive from q so they inherit BOTH its vma (varying over
-    # the ring axis — fori_loop carry types must line up) and, under SP x TP,
-    # its explicit head-axis sharding over the model axis.
+    # Accumulators derive from q so they inherit its vma (varying over the
+    # ring axis — fori_loop carry types must line up).
     q32 = q[..., 0].astype(jnp.float32)
     m0 = jnp.full_like(q32, -jnp.inf)
     l0 = jnp.zeros_like(q32)
     o0 = jnp.zeros_like(q, dtype=jnp.float32)
 
-    block_attn = _flash_block_residuals if use_flash else _dense_block_residuals
+    if use_flash:
+        block_attn = partial(_flash_block_residuals, model_axis=model_axis)
+    else:
+        block_attn = _dense_block_residuals
 
     def body(_, carry):
         k_blk, v_blk, m, l, o = carry
@@ -91,25 +102,31 @@ RING_FLASH_BLOCK_Q = 512
 RING_FLASH_BLOCK_KV = 1024
 
 
-def _flash_inner_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
-    """Static gate for the Pallas flash inner."""
-    try:
-        backend = jax.default_backend()
-    except Exception:
+def _flash_inner_ok(
+    q: jnp.ndarray, k: jnp.ndarray, model_axis: Optional[str] = None
+) -> bool:
+    """Static gate for the Pallas flash inner.
+
+    With model_axis set (SP x TP, heads feature-sharded over the auto
+    'model' axis), `_flash_block_residuals` nests a fully-manual shard_map
+    over that axis so the kernel runs on local heads — the per-shard
+    token/head_dim tiling constraints are unchanged (tokens/head_dim are
+    never sharded here). Heads must divide the axis size."""
+    from ltx2_tpu.ops.attention import _flash_backend_ok
+
+    if not _flash_backend_ok():
         return False
-    try:
-        # SP x TP: heads explicitly sharded over the model axis — the Pallas
-        # custom call has no GSPMD partition rule, so fall back to the dense
-        # inner (its einsums partition fine).
-        if any(s is not None for s in tuple(jax.typeof(q).sharding.spec)):
+    if model_axis is not None:
+        try:
+            am = jax.sharding.get_abstract_mesh()
+            if q.shape[1] % dict(am.shape)[model_axis] != 0:
+                return False
+        except Exception:
             return False
-    except Exception:
-        pass
     _b, _h, tq, d = q.shape
     tk = k.shape[2]
     return (
-        backend == "tpu"
-        and d % 128 == 0
+        d % 128 == 0
         and tq % RING_FLASH_BLOCK_Q == 0
         and tk % RING_FLASH_BLOCK_KV == 0
     )
@@ -125,14 +142,14 @@ def _dense_block_residuals(q, k_blk, v_blk, scale):
     return o.astype(jnp.float32) / l[..., None], l, m
 
 
-def _flash_block_residuals(q, k_blk, v_blk, scale):
-    """(out_normalized, l, m) from the Pallas flash kernel's softmax
-    residuals (the same l/m its backward pass uses)."""
+def _flash_impl_residuals(q, k_blk, v_blk, scale):
+    """Raw per-shard kernel call (test seam — CPU tests monkeypatch this
+    with a dense math-equivalent to drive the sharded dispatch)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         _flash_attention_impl,
     )
 
-    o, l, m = _flash_attention_impl(
+    return _flash_attention_impl(
         q, k_blk, v_blk,
         None,  # ab
         None,  # segment_ids
@@ -145,6 +162,42 @@ def _flash_block_residuals(q, k_blk, v_blk, scale):
         RING_FLASH_BLOCK_KV,
         False,  # debug
     )
+
+
+# Trace-time engagement log (tests assert flash is ENGAGED, not just equal).
+# Keys: "ring_flash", "ring_flash_tp".
+RING_ENGAGEMENTS: dict = {}
+
+
+def _flash_block_residuals(q, k_blk, v_blk, scale, model_axis=None):
+    """(out_normalized, l, m) from the Pallas flash kernel's softmax
+    residuals (the same l/m its backward pass uses).
+
+    SP x TP: when heads are feature-sharded over the (auto) model axis, the
+    kernel runs inside a nested fully-manual shard_map over that axis —
+    Pallas calls have no GSPMD partition rule, so this is what keeps the
+    ring inner at kernel efficiency instead of a dense fallback."""
+    axis = model_axis
+    if axis is not None:
+        am = jax.sharding.get_abstract_mesh()
+        P_ = P
+        impl = jax.shard_map(
+            lambda qq, kk, vv: _flash_impl_residuals(qq, kk, vv, scale),
+            mesh=am,
+            in_specs=(P_(None, axis, None, None),) * 3,
+            out_specs=(
+                P_(None, axis, None, None),
+                P_(None, axis, None),
+                P_(None, axis, None),
+            ),
+            axis_names=frozenset({axis}),
+            check_vma=False,
+        )
+        RING_ENGAGEMENTS["ring_flash_tp"] = RING_ENGAGEMENTS.get("ring_flash_tp", 0) + 1
+        o, l, m = impl(q, k_blk, v_blk)
+    else:
+        RING_ENGAGEMENTS["ring_flash"] = RING_ENGAGEMENTS.get("ring_flash", 0) + 1
+        o, l, m = _flash_impl_residuals(q, k_blk, v_blk, scale)
     return o.astype(jnp.float32), l.astype(jnp.float32), m.astype(jnp.float32)
 
 

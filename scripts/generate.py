@@ -645,6 +645,19 @@ def setup(args):
     for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh"):
         if key in meshes:
             models[key] = meshes[key]
+    dit_mesh = next(
+        (meshes[k] for k in ("tp_mesh", "pipeline_mesh", "sequence_mesh")
+         if k in meshes), None,
+    )
+    if dit_mesh is not None:
+        # Ambient mesh for the process (resident config, like the models):
+        # lets Pallas flash attention shard-map itself over the 'model' axis
+        # under TP (ops/attention._flash_shard_ctx) — a Pallas call has no
+        # GSPMD partition rule, so without this TP meshes fall back to the
+        # einsum path.
+        import jax
+
+        jax.sharding.set_mesh(dit_mesh)
     return models, ledger
 
 
