@@ -7,6 +7,7 @@ from ltx2_tpu.training.trainer import (
     partition_params,
     rectified_flow_loss,
     trainable_mask,
+    zero1_opt_state_shardings,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "partition_params",
     "rectified_flow_loss",
     "trainable_mask",
+    "zero1_opt_state_shardings",
 ]

@@ -208,17 +208,113 @@ def merge_params(trainable, frozen):
     )
 
 
+def zero1_opt_state_shardings(
+    opt_state, params, param_shardings, mesh, data_axis: str = "data"
+):
+    """ZeRO-1: NamedSharding tree for an optax state with Adam moments
+    sharded over the `data` mesh axis.
+
+    On DP-dominant meshes the Adam mu/nu otherwise replicate per data shard
+    — 2x the trainable params' fp32 bytes on EVERY device. Sharding the
+    moments over 'data' cuts optimizer memory to ~1/D per device; GSPMD
+    then computes each moment shard from the (all-reduced) gradient slice
+    and all-gathers only the parameter UPDATES once per step — the
+    classical ZeRO-1 exchange, expressed purely through shardings.
+
+    Moment leaves keep their param's TP spec and additionally shard the
+    first still-free divisible axis over `data_axis`. Non-moment state
+    (clip/count scalars) replicates. Pass the result to
+    `make_train_step(opt_state_shardings=...)` AND `jax.device_put` the
+    initial opt state with it.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pdef = jax.tree_util.tree_structure(params)
+    dsize = dict(mesh.shape).get(data_axis, 1)
+
+    def is_param_tree(node):
+        try:
+            return jax.tree_util.tree_structure(node) == pdef
+        except Exception:
+            return False
+
+    def moment_sharding(p_shard, leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        spec = list(p_shard.spec) + [None] * (ndim - len(p_shard.spec))
+        if dsize > 1:
+            for i in range(ndim):
+                if spec[i] is None and leaf.shape[i] % dsize == 0 and leaf.shape[i] >= dsize:
+                    spec[i] = data_axis
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    flat, treedef = jax.tree_util.tree_flatten(opt_state, is_leaf=is_param_tree)
+    out = [
+        jax.tree_util.tree_map(moment_sharding, param_shardings, node)
+        if is_param_tree(node)
+        else NamedSharding(mesh, P())
+        for node in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _accumulated_value_and_grad(loss_fn, params, batch, key, accum_steps):
+    """Microbatch gradient accumulation: scan `accum_steps` micro-grads in
+    fp32 and average. Peak activation memory is one microbatch's backprop;
+    the extra cost is one fp32 grad buffer for the differentiated tree."""
+    def split_micro(x):
+        if x is None:
+            return None
+        b = x.shape[0]
+        assert b % accum_steps == 0, (
+            f"batch {b} must divide --accum-steps {accum_steps}"
+        )
+        return x.reshape(accum_steps, b // accum_steps, *x.shape[1:])
+
+    micro = jax.tree_util.tree_map(split_micro, batch)
+    keys = jax.random.split(key, accum_steps)
+
+    def body(carry, inp):
+        acc_loss, acc_grads = carry
+        mb, k = inp
+        loss, grads = jax.value_and_grad(loss_fn)(params, mb, k)
+        acc_grads = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(jnp.float32), acc_grads, grads
+        )
+        return (acc_loss + loss, acc_grads), None
+
+    zeros = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
+    )
+    (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros), (micro, keys))
+    inv = 1.0 / accum_steps
+    grads = jax.tree_util.tree_map(
+        lambda g, p: (g * inv).astype(jnp.asarray(p).dtype), grads, params
+    )
+    return loss * inv, grads
+
+
 def make_train_step(
     cfg: LTXModelConfig,
     optimizer: optax.GradientTransformation,
     tc: TrainConfig = TrainConfig(),
     trainable_mask=None,
+    accum_steps: int = 1,
+    opt_state_shardings=None,
 ):
     """One jitted (params, opt_state, batch, key) -> (loss, params, opt_state).
 
     Donates params/opt_state so the update is in-place in HBM (no 2x weight
     peak). Under a mesh, pass TP-sharded params and DP-sharded batches —
     GSPMD propagates shardings through grads and Adam moments.
+
+    accum_steps > 1: the batch's leading dim splits into `accum_steps`
+    microbatches whose fp32-accumulated mean gradient feeds ONE optimizer
+    update — the effective batch no longer has to fit a backprop in HBM.
+
+    opt_state_shardings (ZeRO-1, see zero1_opt_state_shardings): pins the
+    updated optimizer state to data-sharded moments inside the step, so
+    donation keeps the 1/D-per-device layout across steps.
 
     With `trainable_mask`, the returned step has the PARTITIONED signature
     `(trainable, opt_state, frozen, batch, key) -> (loss, trainable,
@@ -229,26 +325,35 @@ def make_train_step(
     once with `partition_params(params, mask)` before the loop, init the
     optimizer on the trainable half, and `merge_params` once at save time.
     """
+    def constrain(opt_state):
+        if opt_state_shardings is None:
+            return opt_state
+        return jax.lax.with_sharding_constraint(opt_state, opt_state_shardings)
+
+    def value_and_grad(loss_fn, params, batch, key):
+        if accum_steps <= 1:
+            return jax.value_and_grad(loss_fn)(params, batch, key)
+        return _accumulated_value_and_grad(loss_fn, params, batch, key, accum_steps)
+
     if trainable_mask is None:
+        def loss_fn(p, b, k):
+            return rectified_flow_loss(p, cfg, b, k, tc)
+
         def step(params, opt_state, batch: TrainBatch, key: jax.Array):
-            loss, grads = jax.value_and_grad(rectified_flow_loss)(
-                params, cfg, batch, key, tc
-            )
+            loss, grads = value_and_grad(loss_fn, params, batch, key)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return loss, params, opt_state
+            return loss, params, constrain(opt_state)
 
         return jax.jit(step, donate_argnums=(0, 1))
 
     def step(trainable, opt_state, frozen, batch: TrainBatch, key: jax.Array):
-        def loss_fn(tr):
-            return rectified_flow_loss(
-                merge_params(tr, frozen), cfg, batch, key, tc
-            )
+        def loss_fn(tr, b, k):
+            return rectified_flow_loss(merge_params(tr, frozen), cfg, b, k, tc)
 
-        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        loss, grads = value_and_grad(loss_fn, trainable, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        return loss, trainable, opt_state
+        return loss, trainable, constrain(opt_state)
 
     return jax.jit(step, donate_argnums=(0, 1))

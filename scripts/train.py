@@ -77,6 +77,14 @@ def build_parser():
                         "(reference-format safetensors)")
     p.add_argument("--tp-devices", type=int, default=0)
     p.add_argument("--dp-devices", type=int, default=0)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="split each batch into this many microbatches and "
+                        "accumulate fp32 gradients before ONE optimizer "
+                        "update (effective batch no longer bounded by HBM)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard Adam moments over the 'data' mesh axis "
+                        "(ZeRO-1): per-device optimizer memory ~1/dp "
+                        "instead of fully replicated")
     return p
 
 
@@ -201,6 +209,9 @@ def main(argv=None):
         dp_put = lambda a: jax.device_put(  # noqa: E731
             a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
         )
+        # Ambient mesh: lets the differentiable Pallas flash kernel
+        # shard-map over 'model' (fwd AND bwd run on local heads).
+        jax.sharding.set_mesh(mesh)
         log.info("training mesh: %s", mesh)
     else:
         dp_put = lambda a: a  # noqa: E731
@@ -258,11 +269,31 @@ def main(argv=None):
         from ltx2_tpu.training import merge_params, partition_params
 
         trainable, frozen = partition_params(params, mask)
-        step = make_train_step(cfg, opt, tc, trainable_mask=mask)
         opt_state = opt.init(trainable)
+        opt_target = trainable
     else:
-        step = make_train_step(cfg, opt, tc)
         opt_state = opt.init(params)
+        opt_target = params
+
+    opt_shardings = None
+    if args.zero1:
+        if mesh is None or max(args.dp_devices, 1) <= 1:
+            raise SystemExit("--zero1 needs --dp-devices > 1 (a 'data' axis "
+                             "to shard the Adam moments over)")
+        from ltx2_tpu.parallel.sharding import dit_param_shardings
+        from ltx2_tpu.training import zero1_opt_state_shardings
+
+        param_shardings = dit_param_shardings(mesh, opt_target)
+        opt_shardings = zero1_opt_state_shardings(
+            opt_state, opt_target, param_shardings, mesh
+        )
+        opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, opt_shardings)
+        log.info("ZeRO-1: Adam moments sharded over 'data' (%d-way)",
+                 max(args.dp_devices, 1))
+    step = make_train_step(
+        cfg, opt, tc, trainable_mask=mask, accum_steps=args.accum_steps,
+        opt_state_shardings=opt_shardings,
+    )
 
     # ---- Loop.
     rng = np.random.RandomState(args.seed + 1)

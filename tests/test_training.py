@@ -127,6 +127,125 @@ class TestTrainStep:
         got = run(sharded, sharded_batch)
         np.testing.assert_allclose(got, expected, rtol=2e-4)
 
+    def test_grad_accumulation_matches_manual_average(self):
+        """accum_steps=2 must produce the identical update to manually
+        averaging the two microbatches' gradients (same per-micro keys)
+        followed by one optimizer step."""
+        import optax
+
+        from ltx2_tpu.training.trainer import rectified_flow_loss
+
+        cfg = tiny_config(num_layers=2)
+        tc = TrainConfig(learning_rate=1e-3, logit_normal_loc=None)
+        opt = make_optimizer(tc)
+        batch = make_batch(cfg, batch=4)
+        key = jax.random.PRNGKey(7)
+
+        params_a = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        step = make_train_step(cfg, opt, tc, accum_steps=2)
+        loss_a, params_a, _ = step(params_a, opt.init(params_a), batch, key)
+
+        # Manual reference: per-micro grads with the same split keys.
+        params_b = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        keys = jax.random.split(key, 2)
+        micro = jax.tree_util.tree_map(
+            lambda x: None if x is None else x.reshape(2, 2, *x.shape[1:]), batch
+        )
+        losses, grad_acc = [], None
+        for i in range(2):
+            mb = jax.tree_util.tree_map(lambda x: None if x is None else x[i], micro)
+            loss, grads = jax.value_and_grad(rectified_flow_loss)(
+                params_b, cfg, mb, keys[i], tc
+            )
+            losses.append(loss)
+            grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+            grad_acc = grads if grad_acc is None else jax.tree_util.tree_map(
+                lambda a, g: a + g, grad_acc, grads
+            )
+        grad_acc = jax.tree_util.tree_map(
+            lambda g, p: (g / 2).astype(p.dtype), grad_acc, params_b
+        )
+        updates, _ = opt.update(grad_acc, opt.init(params_b), params_b)
+        params_b = optax.apply_updates(params_b, updates)
+
+        np.testing.assert_allclose(
+            float(loss_a), float((losses[0] + losses[1]) / 2), rtol=1e-6
+        )
+        for pa, pb in zip(
+            jax.tree_util.tree_leaves(params_a), jax.tree_util.tree_leaves(params_b)
+        ):
+            # jitted-scan vs eager-loop fp reassociation: not bit-equal.
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-5)
+
+    def test_zero1_shards_moments_and_matches_replicated(self):
+        """ZeRO-1: Adam mu/nu shard over 'data' (per-device bytes ~1/D)
+        while the training losses stay equal to the replicated baseline."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ltx2_tpu.parallel.mesh import create_mesh
+        from ltx2_tpu.parallel.sharding import dit_param_shardings, shard_dit_params
+        from ltx2_tpu.training import zero1_opt_state_shardings
+
+        cfg = tiny_config(
+            num_attention_heads=4, attention_head_dim=16,
+            cross_attention_dim=64, num_layers=2,
+        )
+        tc = TrainConfig(learning_rate=1e-3, logit_normal_loc=None)
+        opt = make_optimizer(tc)
+        batch = make_batch(cfg)
+
+        # Replicated baseline.
+        base_step = make_train_step(cfg, opt, tc)
+        params = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        opt_state = opt.init(params)
+        expected = []
+        for i in range(3):
+            loss, params, opt_state = base_step(
+                params, opt_state, batch, jax.random.PRNGKey(i)
+            )
+            expected.append(float(loss))
+
+        # ZeRO-1 on a (data=2, model=4) mesh.
+        mesh = create_mesh(data=2, model=4)
+        sharded = shard_dit_params(
+            mesh, jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        )
+        opt_state = opt.init(sharded)
+        shardings = zero1_opt_state_shardings(
+            opt_state, sharded, dit_param_shardings(mesh, sharded), mesh
+        )
+        opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, shardings)
+
+        # Adam moments are physically 1/data-sharded (on top of TP).
+        adam_state = opt_state[1][0]  # chain(clip, adamw-chain)[ScaleByAdam]
+        mu_leaf = adam_state.mu["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        shard_shapes = {s.data.shape for s in mu_leaf.addressable_shards}
+        assert all(shape[0] == mu_leaf.shape[0] // 2 for shape in shard_shapes), (
+            f"mu not data-sharded: {shard_shapes} vs {mu_leaf.shape}"
+        )
+        # TP sharding preserved too (to_q is column-parallel over 4).
+        assert all(shape[1] == mu_leaf.shape[1] // 4 for shape in shard_shapes)
+
+        dp = lambda a: jax.device_put(  # noqa: E731
+            a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+        )
+        sharded_batch = TrainBatch(
+            x0=dp(batch.x0), positions=dp(batch.positions), context=dp(batch.context)
+        )
+        z_step = make_train_step(cfg, opt, tc, opt_state_shardings=shardings)
+        got = []
+        for i in range(3):
+            loss, sharded, opt_state = z_step(
+                sharded, opt_state, sharded_batch, jax.random.PRNGKey(i)
+            )
+            got.append(float(loss))
+        np.testing.assert_allclose(got, expected, rtol=2e-4)
+        # Layout survives the step (donation + with_sharding_constraint).
+        adam_state = opt_state[1][0]
+        mu_leaf = adam_state.mu["transformer_blocks"]["attn1"]["to_q"]["weight"]
+        shard_shapes = {s.data.shape for s in mu_leaf.addressable_shards}
+        assert all(shape[0] == mu_leaf.shape[0] // 2 for shape in shard_shapes)
+
     def test_remat_train_step_runs(self):
         """remat=True: backprop through the checkpointed block scan."""
         import dataclasses
