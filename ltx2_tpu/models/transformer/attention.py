@@ -88,6 +88,12 @@ def attention_apply(
             k = apply_rotary_emb(k, pe if k_pe is None else k_pe, cfg.rope_type)
 
     axis = cfg.sequence_axis
+    if axis is not None and context is None and mask is not None:
+        raise NotImplementedError(
+            "masked SELF-attention under sequence parallelism: the ring "
+            "inner has no mask path — pad token counts to a multiple of "
+            "the seq axis instead of bucketing (token_mask)"
+        )
     if axis is not None and context is None and mask is None:
         from ltx2_tpu.parallel.ring_attention import ring_attention_local
 

@@ -72,6 +72,9 @@ class StreamArgs:
     timesteps: jnp.ndarray  # (B, T|1, n_emb, D) AdaLN embeddings (fp32)
     pe: Tuple[jnp.ndarray, jnp.ndarray]  # RoPE (cos, sin)
     context_mask: Optional[jnp.ndarray] = None  # additive (B, 1, 1, S)
+    # Key-padding mask for SELF-attention (shape-bucketed serving):
+    # additive (B, 1, 1, T), -inf at padded tokens. None = all real.
+    self_mask: Optional[jnp.ndarray] = None
     embedded_timestep: Optional[jnp.ndarray] = None  # (B, T|1, D)
     cross_pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
     cross_scale_shift_timestep: Optional[jnp.ndarray] = None  # (B, 1, 4, D)
@@ -208,7 +211,9 @@ def av_block_apply(
             p["scale_shift_table"], video.timesteps, 0, 3
         )
         normed = _modulate(vx, scale_msa, shift_msa, norm_eps)
-        attn_out = attention_apply(p["attn1"], v_attn1, normed, pe=video.pe)
+        attn_out = attention_apply(
+            p["attn1"], v_attn1, normed, pe=video.pe, mask=video.self_mask
+        )
         vx = _gated_residual(vx, attn_out, gate_msa, perturb.get("video_self"))
 
         cross_out = _text_cross_attention(
@@ -237,7 +242,9 @@ def av_block_apply(
             p["audio_scale_shift_table"], audio.timesteps, 0, 3
         )
         normed = _modulate(ax, ascale, ashift, norm_eps)
-        attn_out = attention_apply(p["audio_attn1"], a_attn1, normed, pe=audio.pe)
+        attn_out = attention_apply(
+            p["audio_attn1"], a_attn1, normed, pe=audio.pe, mask=audio.self_mask
+        )
         ax = _gated_residual(ax, attn_out, agate, perturb.get("audio_self"))
 
         cross_out = _text_cross_attention(

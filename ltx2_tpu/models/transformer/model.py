@@ -62,6 +62,12 @@ class Modality:
     timesteps: jnp.ndarray  # (B,) or (B, T)
     positions: jnp.ndarray  # (B, n_dims, T, 2) position bounds
     sigma: Optional[jnp.ndarray] = None  # (B,) scalar noise level (V2)
+    # Token validity for SHAPE-BUCKETED serving: bool (B, T), False =
+    # padding token. Padded tokens are masked out of self-attention KEYS so
+    # real tokens' outputs are bit-for-bit those of the unpadded run (their
+    # own outputs are garbage and get sliced off after the loop). None =
+    # every token real.
+    token_mask: Optional[jnp.ndarray] = None
 
     def replace(self, **kwargs) -> "Modality":
         return dataclasses.replace(self, **kwargs)
@@ -235,6 +241,7 @@ def _prepare_stream(
     context = context.reshape(batch, -1, x.shape[-1])
 
     context_mask = _prepare_attention_mask(modality.context_mask, dtype)
+    self_mask = _prepare_attention_mask(modality.token_mask, dtype)
 
     if pe is None:
         pe = precompute_freqs_cis(
@@ -255,6 +262,7 @@ def _prepare_stream(
         timesteps=timestep_emb,
         pe=pe,
         context_mask=context_mask,
+        self_mask=self_mask,
         embedded_timestep=embedded,
         prompt_timestep=prompt_timestep,
     )

@@ -150,6 +150,60 @@ def post_process_latent(
     ).astype(denoised.dtype)
 
 
+def bucketed_tokens(n: int, bucket: int) -> int:
+    """Round a token count UP to the bucket grid (multiple of `bucket`)."""
+    return ((n + bucket - 1) // bucket) * bucket
+
+
+def pad_state_tokens(state: LatentState, n_bucket: int):
+    """Pad a LatentState's token axis to `n_bucket` for shape-bucketed
+    serving. Returns (padded_state, token_mask (B, n_bucket) bool).
+
+    Padding content: zeros for latent/clean (masked out of attention keys,
+    so values are irrelevant — zeros keep everything finite), denoise_mask
+    ones (pad tokens just denoise garbage), positions edge-replicated
+    (keeps RoPE finite). The loop slices back with slice_state_tokens.
+    """
+    n = state.latent.shape[1]
+    pad = n_bucket - n
+    if pad < 0:
+        raise ValueError(f"token count {n} exceeds bucket {n_bucket}")
+    b = state.latent.shape[0]
+    token_mask = jnp.concatenate(
+        [jnp.ones((b, n), bool), jnp.zeros((b, pad), bool)], axis=1
+    )
+    if pad == 0:
+        return state, token_mask
+
+    def pad1(x):
+        return jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+
+    return LatentState(
+        latent=pad1(state.latent),
+        clean_latent=pad1(state.clean_latent),
+        denoise_mask=jnp.pad(
+            state.denoise_mask,
+            [(0, 0), (0, pad)] + [(0, 0)] * (state.denoise_mask.ndim - 2),
+            constant_values=1,
+        ),
+        positions=jnp.pad(
+            state.positions, [(0, 0), (0, 0), (0, pad), (0, 0)], mode="edge"
+        ),
+    ), token_mask
+
+
+def slice_state_tokens(state: LatentState, n: int) -> LatentState:
+    """Inverse of pad_state_tokens: drop the padding tokens."""
+    if state.latent.shape[1] == n:
+        return state
+    return LatentState(
+        latent=state.latent[:, :n],
+        clean_latent=state.clean_latent[:, :n],
+        denoise_mask=state.denoise_mask[:, :n],
+        positions=state.positions[:, :, :n],
+    )
+
+
 def timesteps_from_mask(denoise_mask: jnp.ndarray, sigma) -> jnp.ndarray:
     """(B, N[, 1]) mask * sigma -> (B, N) per-token timesteps
     (common.py:193-203)."""
@@ -164,6 +218,7 @@ def modality_from_state(
     context: jnp.ndarray,
     sigma,
     uniform_timesteps: bool = False,
+    token_mask=None,
 ) -> Modality:
     """LatentState + context + sigma -> transformer Modality
     (common.py:206-232). Works for both video and audio states.
@@ -184,6 +239,7 @@ def modality_from_state(
         context=context,
         context_mask=None,
         sigma=sigma_arr,
+        token_mask=token_mask,
     )
 
 

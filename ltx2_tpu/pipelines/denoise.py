@@ -365,7 +365,8 @@ def make_video_denoise_loop(
     rows = loop_cfg.rows
     ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
 
-    def loop(params, state: LatentState, sigmas, pos_ctx, neg_ctx):
+    def loop(params, state: LatentState, sigmas, pos_ctx, neg_ctx,
+             token_mask=None):
         num_steps = sigmas.shape[0] - 1
         # Batched serving: B>1 states generate B clips in one loop. Rows are
         # pass-major — [cond x B, uncond x B, stg x B] — so guidance passes
@@ -392,6 +393,14 @@ def make_video_denoise_loop(
 
         mask = state.denoise_mask
         clean = state.clean_latent
+        tiled_token_mask = (
+            None if token_mask is None else _tile_rows(token_mask, rows)
+        )
+        if token_mask is not None and mesh is not None:
+            raise NotImplementedError(
+                "shape-bucketed serving (token_mask) does not compose with "
+                "SP/PP meshes — pad to a multiple of the mesh axis instead"
+            )
 
         sp_forward = None
         if mesh is not None and pipeline_axis is not None:
@@ -433,6 +442,7 @@ def make_video_denoise_loop(
             modality = modality_from_state(
                 tiled_state, context, sigma,
                 uniform_timesteps=loop_cfg.uniform_timesteps,
+                token_mask=tiled_token_mask,
             )
             if sp_forward is not None:
                 return sp_forward(params, modality, None, video_pe, ca_scales, text_kv)

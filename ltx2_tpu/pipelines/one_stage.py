@@ -88,6 +88,14 @@ class OneStageCFGConfig:
 
     latent_channels: int = 128
 
+    # Shape-bucketed serving: round the video token count UP to a multiple
+    # of this, mask the padding out of self-attention, slice after the
+    # loop. Any (height, width, frames) landing in the same bucket reuses
+    # ONE compiled denoise loop — a never-seen shape inside a warm bucket
+    # costs zero new XLA compiles. 0 = off. Video-only (padded video keys
+    # would leak into the a2v/v2a cross-modal attention).
+    token_bucket: int = 0
+
     def __post_init__(self):
         if self.num_frames % 8 != 1:
             raise ValueError(
@@ -303,6 +311,12 @@ class OneStagePipeline:
             uniform_timesteps=not conditionings,
         )
 
+        if config.token_bucket and internal_audio_active:
+            raise ValueError(
+                "token_bucket is video-only: padded video keys would leak "
+                "into the a2v/v2a cross-modal attention unmasked"
+            )
+
         audio_state = None
         audio_tools = None
         if internal_audio_active:
@@ -334,10 +348,23 @@ class OneStagePipeline:
                 self.transformer_cfg, loop_cfg,
                 **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh),
             )
+            token_mask = None
+            n_real = video_state.latent.shape[1]
+            if config.token_bucket:
+                from ltx2_tpu.pipelines.common import (
+                    bucketed_tokens,
+                    pad_state_tokens,
+                    slice_state_tokens,
+                )
+
+                n_bucket = bucketed_tokens(n_real, config.token_bucket)
+                video_state, token_mask = pad_state_tokens(video_state, n_bucket)
             video_state = loop(
                 self.transformer_params, video_state, sigmas,
-                positive_encoding, negative_encoding,
+                positive_encoding, negative_encoding, token_mask=token_mask,
             )
+            if config.token_bucket:
+                video_state = slice_state_tokens(video_state, n_real)
         if callback:
             callback(config.num_inference_steps, config.num_inference_steps)
 

@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", choices=["euler", "heun"], default="euler")
     p.add_argument("--apg-scale", type=float, default=0.0)
     p.add_argument("--apg-eta", type=float, default=1.0)
+    p.add_argument("--token-bucket", type=int, default=0,
+                   help="round the video token count up to a multiple of "
+                        "this and mask the padding (one-stage/text-to-video"
+                        "): any resolution landing in the same bucket "
+                        "reuses ONE compiled denoise loop — unseen shapes "
+                        "inside a warm bucket cost zero new compiles. 0 = "
+                        "exact shapes (default)")
     p.add_argument("--cross-attn-scale", type=float, default=1.0)
     p.add_argument("--cross-attn-start-block", type=int, default=40)
     # Checkpoints
@@ -714,6 +721,7 @@ def execute_request(args, models, ledger):
                 cfg_scale=args.cfg_scale,
                 audio_cfg_scale=args.audio_cfg_scale,
                 rescale_scale=0.0 if args.pipeline == "text-to-video" else args.rescale_scale,
+                token_bucket=args.token_bucket,
                 **common,
             )
             temporal_upscaler = None

@@ -70,6 +70,11 @@ def build_parser():
     p.add_argument("--warmup", action="store_true",
                    help="run one generation with the launch defaults before "
                         "accepting requests (absorbs the first-compile cost)")
+    p.add_argument("--warmup-shapes", type=str, default=None,
+                   help="comma-separated HxWxF shapes to compile-ahead at "
+                        "startup (e.g. '512x768x57,512x768x121'); with "
+                        "--token-bucket, warming one shape per bucket makes "
+                        "EVERY shape in those buckets a zero-compile hit")
     return p
 
 
@@ -133,6 +138,24 @@ def main(argv=None):
         t0 = time.perf_counter()
         generate.execute_request(args, models, ledger)
         log.info("serve: warmup generation in %.1f s", time.perf_counter() - t0)
+
+    if args.warmup_shapes:
+        import copy as copy_mod
+        import tempfile
+
+        for shape in args.warmup_shapes.split(","):
+            h, w, f = (int(v) for v in shape.strip().split("x"))
+            wa = copy_mod.copy(args)
+            wa.height, wa.width, wa.num_frames = h, w, f
+            wa.output = tempfile.mktemp(suffix=".mp4", prefix="warmup_")
+            t0 = time.perf_counter()
+            generate.execute_request(wa, models, ledger)
+            for artifact in _actual_outputs(wa.output):
+                import os
+
+                os.unlink(artifact)
+            log.info("serve: warmed %dx%dx%d in %.1f s",
+                     h, w, f, time.perf_counter() - t0)
 
     stream = sys.stdin if args.requests == "-" else open(args.requests)
     req_id = 0  # counts REQUESTS (comments/blank lines don't consume ids)

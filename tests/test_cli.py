@@ -49,6 +49,20 @@ class TestCLISmoke:
     def test_text_to_video(self, tmp_path):
         _run(tmp_path, "--pipeline", "text-to-video", "--seed", "7")
 
+    def test_token_bucket_matches_exact_shape(self, tmp_path):
+        """--token-bucket pads the token count and masks the padding: the
+        decoded frames must match the exact-shape run at the same seed
+        (fp32: identical up to pixel rounding)."""
+        ref = _run(tmp_path, "--pipeline", "one-stage", "--seed", "7")
+        # 64x96x9f -> 2x2x3 = 12 latent tokens, bucketed up to 32.
+        bucketed = _run(
+            tmp_path, "--pipeline", "one-stage", "--seed", "7",
+            "--token-bucket", "32",
+        )
+        assert np.abs(
+            ref.astype(np.int32) - bucketed.astype(np.int32)
+        ).max() <= 1
+
     def test_one_stage_audio(self, tmp_path):
         """--audio in placeholder mode: the full audio chain (AV DiT branch
         -> audio VAE decode -> vocoder) must produce a waveform file."""
@@ -220,6 +234,69 @@ class TestServe:
             serve.apply_request(base, {"skip_vae": "false"})
         args = serve.apply_request(base, {"skip_vae": True, "seed": 3})
         assert args.skip_vae is True and args.seed == 3
+
+    def test_token_bucket_unseen_shape_zero_loop_compiles(
+        self, tmp_path, capsys
+    ):
+        """Shape-bucketed serving: after warming one shape, a NEVER-SEEN
+        (height, width, frames) inside the same token bucket must reuse the
+        compiled denoise loop — zero new loop compiles (the 10s+ cost that
+        bucketing exists to kill). Asserted via jax's compile log."""
+        import logging
+
+        import jax
+        import serve
+
+        # 64x96x9f -> 12 tokens; 64x96x17f -> 18 tokens; both bucket to 32.
+        req = tmp_path / "req.jsonl"
+        req.write_text(
+            json.dumps({"output": str(tmp_path / "b.mp4"), "seed": 2,
+                        "num_frames": 17, "skip_vae": True}) + "\n"
+        )
+        records = []
+
+        class Capture(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        handler = Capture()
+        logger = logging.getLogger("jax._src.dispatch")
+        old_level = logger.level
+        logger.addHandler(handler)
+        logger.setLevel(logging.DEBUG)
+        jax.config.update("jax_log_compiles", True)
+        # The persistent cache (conftest) would turn the warmup compile
+        # into a silent HIT on re-runs and make the =1 assertion vacuous.
+        old_cache = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            serve.main([
+                "--placeholder", "--no-gemma", "--pipeline", "one-stage",
+                "--height", "64", "--width", "96", "--num-frames", "9",
+                "--num-inference-steps", "2", "--token-bucket", "32",
+                "--skip-vae",
+                "--warmup-shapes", "64x96x9",
+                "--requests", str(req),
+            ])
+        finally:
+            jax.config.update("jax_log_compiles", False)
+            jax.config.update("jax_compilation_cache_dir", old_cache)
+            logger.removeHandler(handler)
+            logger.setLevel(old_level)
+
+        responses = [
+            json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("{")
+        ]
+        assert responses[0]["status"] == "ok"
+        loop_compiles = [
+            m for m in records
+            if "Finished XLA compilation" in m and "loop" in m
+        ]
+        # The warmup shape compiles the loop ONCE; the unseen 17-frame
+        # request must not add a second loop compilation.
+        assert len(loop_compiles) == 1, loop_compiles
 
     def test_serve_with_pipeline_mesh(self, tmp_path, capsys):
         """Serving with a parallelism mesh resident: requests run the

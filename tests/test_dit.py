@@ -94,6 +94,39 @@ class TestVideoOnly:
             np.asarray(fn(params, video)), np.asarray(fn(params, video))
         )
 
+    def test_token_mask_padding_matches_unpadded(self):
+        """Shape-bucketed serving: padded tokens masked via token_mask must
+        leave the REAL tokens' outputs identical to the unpadded forward
+        (padding is invisible to self-attention keys; everything else in
+        the DiT is pointwise over tokens)."""
+        import dataclasses as dc
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        video = make_video_modality(cfg)  # 12 real tokens
+        expected = np.asarray(jitted_forward(cfg)(params, video))
+
+        n, pad = video.latent.shape[1], 4
+        b = video.latent.shape[0]
+        padded = dc.replace(
+            video,
+            latent=jnp.pad(video.latent, [(0, 0), (0, pad), (0, 0)]),
+            positions=jnp.pad(
+                video.positions, [(0, 0), (0, 0), (0, pad), (0, 0)], mode="edge"
+            ),
+            token_mask=jnp.concatenate(
+                [jnp.ones((b, n), bool), jnp.zeros((b, pad), bool)], axis=1
+            ),
+        )
+        out = jitted_forward(cfg)(params, padded)
+        assert out.shape[1] == n + pad
+        np.testing.assert_allclose(np.asarray(out)[:, :n], expected, atol=1e-5)
+
+        # Sanity: WITHOUT the mask, padding leaks into real tokens.
+        leaky = dc.replace(padded, token_mask=None)
+        out_leaky = np.asarray(jitted_forward(cfg)(params, leaky))[:, :n]
+        assert np.abs(out_leaky - expected).max() > 1e-3
+
     def test_x0_model(self):
         cfg = tiny_config()
         params = cached_params(cfg)
