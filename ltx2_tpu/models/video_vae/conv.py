@@ -28,6 +28,52 @@ import jax.numpy as jnp
 Params = Dict[str, jnp.ndarray]
 
 
+def _pad_w_halo(
+    x: jnp.ndarray, axis_name: str, pad: int, mode: str
+) -> jnp.ndarray:
+    """Explicit halo exchange for a W-sharded (B, T, H, W_local, C) tensor
+    inside shard_map: each device receives `pad` boundary columns from its
+    ring neighbors (one ppermute per side, riding ICI), and the devices at
+    the GLOBAL domain edges substitute the conv's padding rule (reflect or
+    zeros) for the missing neighbor.
+
+    This replaces GSPMD's automatic conv halo exchange, which silently
+    miscomputes when a shard is narrower than the halo (the r2 guard). The
+    explicit path is correct down to W_local == pad: when the local width
+    cannot supply its own reflect column, the value lives on the neighbor
+    and is exactly what the opposite-direction ppermute already delivered.
+    """
+    w_local = x.shape[3]
+    if w_local < pad:
+        raise ValueError(
+            f"W shard ({w_local}) narrower than conv halo ({pad}): use "
+            f"fewer devices on the W axis"
+        )
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_left = jax.lax.ppermute(x[:, :, :, -pad:], axis_name, fwd)
+    from_right = jax.lax.ppermute(x[:, :, :, :pad], axis_name, bwd)
+    if mode == "reflect":
+        # Global reflect of [c0, c1, ...] contributes columns pad..1; for
+        # pad=1 that is column 1 — local when W_local > pad, otherwise the
+        # neighbor's column 0 (already here as from_right/from_left).
+        if w_local > pad:
+            edge_l = x[:, :, :, pad:2 * pad][:, :, :, ::-1]
+            edge_r = x[:, :, :, -2 * pad:-pad][:, :, :, ::-1]
+        else:
+            edge_l, edge_r = from_right, from_left
+    else:  # zeros
+        edge_l = jnp.zeros_like(from_left)
+        edge_r = jnp.zeros_like(from_right)
+    is_first = (idx == 0)
+    is_last = (idx == n - 1)
+    left = jnp.where(is_first, edge_l, from_left)
+    right = jnp.where(is_last, edge_r, from_right)
+    return jnp.concatenate([left, x, right], axis=3)
+
+
 def conv3d_ndhwc(
     p: Params,
     x: jnp.ndarray,
@@ -35,6 +81,7 @@ def conv3d_ndhwc(
     spatial_mode: str = "reflect",
     temporal_mode: str = "replicate",
     stride: tuple = (1, 1, 1),
+    w_halo_axis: str = None,
 ) -> jnp.ndarray:
     """3D conv over channels-last (B, T, H, W, C) with VAE padding rules.
 
@@ -46,6 +93,9 @@ def conv3d_ndhwc(
     replicate) or 'zeros' (upscalers: plain symmetric zero padding).
     stride: (sT, sH, sW) — the full-VAE compress_* blocks use strided
     causal convs (reference encoder.py:61-101); default is unstrided.
+    w_halo_axis: mesh axis name when running inside shard_map with the W
+    dim sharded over it — W padding becomes an explicit neighbor halo
+    exchange (_pad_w_halo) instead of local padding; requires sW == 1.
     """
     w = p["weight"]
     k = w.shape[2]
@@ -53,11 +103,21 @@ def conv3d_ndhwc(
     s_t, s_h, s_w = stride
 
     if pad > 0:
-        x = jnp.pad(
-            x,
-            [(0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)],
-            mode=spatial_mode if spatial_mode != "zeros" else "constant",
-        )
+        if w_halo_axis is not None:
+            if s_w != 1:
+                raise ValueError("w_halo_axis requires W stride 1")
+            x = jnp.pad(
+                x,
+                [(0, 0), (0, 0), (pad, pad), (0, 0), (0, 0)],
+                mode=spatial_mode if spatial_mode != "zeros" else "constant",
+            )
+            x = _pad_w_halo(x, w_halo_axis, pad, spatial_mode)
+        else:
+            x = jnp.pad(
+                x,
+                [(0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)],
+                mode=spatial_mode if spatial_mode != "zeros" else "constant",
+            )
 
     t_pad = k - 1
     if t_pad > 0:

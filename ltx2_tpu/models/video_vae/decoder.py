@@ -146,6 +146,7 @@ def _res_block(
     causal: bool,
     time_emb: Optional[jnp.ndarray],
     channels: int,
+    w_halo_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """pixel_norm -> scale/shift -> SiLU -> conv, x2, + residual
     (simple_decoder.py:183-240). Channels-last; scale/shift math fp32."""
@@ -160,11 +161,17 @@ def _res_block(
 
     h = pixel_norm(x).astype(jnp.float32) * scale1 + shift1
     h = jax.nn.silu(h).astype(x.dtype)
-    h = conv3d_ndhwc(p["conv1"], h, causal=causal, spatial_mode="reflect")
+    h = conv3d_ndhwc(
+        p["conv1"], h, causal=causal, spatial_mode="reflect",
+        w_halo_axis=w_halo_axis,
+    )
 
     h = pixel_norm(h).astype(jnp.float32) * scale2 + shift2
     h = jax.nn.silu(h).astype(x.dtype)
-    h = conv3d_ndhwc(p["conv2"], h, causal=causal, spatial_mode="reflect")
+    h = conv3d_ndhwc(
+        p["conv2"], h, causal=causal, spatial_mode="reflect",
+        w_halo_axis=w_halo_axis,
+    )
     return h + residual
 
 
@@ -186,6 +193,7 @@ def _upsample_block(
     multiplier: int,
     residual: bool,
     in_channels: int,
+    w_halo_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Conv -> depth-to-space with residual tiled-d2s path; first frame
     trimmed when temporal stride > 1 (causal fix, simple_decoder.py:287-313)."""
@@ -201,7 +209,10 @@ def _upsample_block(
         num_repeat = stride_product // multiplier
         res = jnp.tile(res, (1, 1, 1, 1, num_repeat))
 
-    x = conv3d_ndhwc(p["conv"], x, causal=causal, spatial_mode="reflect")
+    x = conv3d_ndhwc(
+        p["conv"], x, causal=causal, spatial_mode="reflect",
+        w_halo_axis=w_halo_axis,
+    )
     x = _depth_to_space(x, final_out, stride)
     if ft > 1:
         x = x[:, 1:]
@@ -217,9 +228,16 @@ def video_decoder_apply(
     timestep: Optional[float] = 0.05,
     noise_key: Optional[jax.Array] = None,
     causal: bool = False,
+    w_halo_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Decode (B, 128, T, H, W) latent -> (B, 3, (T-1)*8+1-ish, H*32, W*32)
-    video in [-1, 1]. Jittable end-to-end."""
+    video in [-1, 1]. Jittable end-to-end.
+
+    w_halo_axis: run W-sharded inside shard_map (see tiling.decode_w_sharded)
+    — every conv exchanges explicit boundary halos over this mesh axis; all
+    other decoder ops are pointwise over W. noise_key must then be None or
+    pre-folded per shard (a shared key would generate shard-local noise that
+    differs from the unsharded run)."""
     batch = latent.shape[0]
     x = latent.astype(jnp.float32)
 
@@ -239,7 +257,10 @@ def video_decoder_apply(
         x = noise + (1.0 - cfg.decode_noise_scale) * x
 
     x = to_ndhwc(x.astype(cfg.dtype))
-    x = conv3d_ndhwc(params["conv_in"], x, causal=causal, spatial_mode="reflect")
+    x = conv3d_ndhwc(
+        params["conv_in"], x, causal=causal, spatial_mode="reflect",
+        w_halo_axis=w_halo_axis,
+    )
 
     for block_params, (kind, spec, channels) in zip(params["up_blocks"], cfg.plan()):
         if kind == "res":
@@ -250,11 +271,12 @@ def video_decoder_apply(
                     block_params["time_embedder"], t_emb
                 ).astype(jnp.float32)
             for rb in block_params["res_blocks"]:
-                x = _res_block(rb, x, causal, time_emb, channels)
+                x = _res_block(rb, x, causal, time_emb, channels, w_halo_axis)
         else:
             stride, multiplier, residual = spec
             x = _upsample_block(
-                block_params, x, causal, stride, multiplier, residual, channels
+                block_params, x, causal, stride, multiplier, residual, channels,
+                w_halo_axis,
             )
 
     # Final norm + (timestep-conditioned) scale/shift (simple_decoder.py:527-542).
@@ -272,7 +294,10 @@ def video_decoder_apply(
 
     x = x.astype(jnp.float32) * scale + shift
     x = jax.nn.silu(x).astype(cfg.dtype)
-    x = conv3d_ndhwc(params["conv_out"], x, causal=causal, spatial_mode="reflect")
+    x = conv3d_ndhwc(
+        params["conv_out"], x, causal=causal, spatial_mode="reflect",
+        w_halo_axis=w_halo_axis,
+    )
 
     x = from_ndhwc(x)
     x = unpatchify(x, patch_size_hw=cfg.patch_size, patch_size_t=1)

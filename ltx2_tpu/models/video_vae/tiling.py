@@ -319,6 +319,69 @@ def decode_tiled(
     yield output / np.maximum(weights, 1e-8)
 
 
+def decode_w_sharded(
+    latent,
+    params,
+    cfg,
+    mesh,
+    axis: str = "data",
+    timestep: Optional[float] = 0.05,
+    key: Optional[jax.Array] = None,
+    causal: bool = False,
+):
+    """Decode ONE oversized frame/clip with the W dim sharded over `axis`.
+
+    Unlike tile-DP (`decode_tiled(mesh=...)`, which replicates whole tiles
+    one per chip and needs >= n_devices tiles), this shards a SINGLE decode:
+    the latent splits along W, every conv exchanges explicit 1-column halos
+    with ring neighbors (`conv._pad_w_halo` — correct down to 1-wide
+    shards, where GSPMD's automatic conv partitioning miscomputes), and all
+    other decoder ops are pointwise over W. Per-chip activation memory and
+    FLOPs scale ~1/n; the halo traffic is 2 columns per conv over ICI.
+
+    `key`: decode-noise key; folded with the shard index so each shard
+    draws independent noise (same distribution as unsharded, different
+    stream). None disables noise injection (bit-comparable to the
+    unsharded decoder).
+
+    Returns the full (replicated-out) decoded video as a jax array.
+    """
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from ltx2_tpu.models.video_vae.decoder import video_decoder_apply
+
+    if latent.ndim == 4:
+        latent = latent[None]
+    n = dict(mesh.shape)[axis]
+    if latent.shape[-1] % n != 0:
+        raise ValueError(
+            f"latent W ({latent.shape[-1]}) must divide the '{axis}' axis ({n})"
+        )
+
+    def body(p, z, k):
+        if k is not None:
+            k = _jax.random.fold_in(k, _jax.lax.axis_index(axis))
+        return video_decoder_apply(
+            p, cfg, z, timestep=timestep, noise_key=k, causal=causal,
+            w_halo_axis=axis,
+        )
+
+    param_specs = _jax.tree_util.tree_map(lambda _: P(), params)
+    fn = _jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            param_specs,
+            P(None, None, None, None, axis),
+            None if key is None else P(),
+        ),
+        out_specs=P(None, None, None, None, axis),
+        axis_names=frozenset({axis}),
+    )
+    return _jax.jit(fn)(params, latent, key)
+
+
 def should_auto_tile(latent_shape: Tuple[int, ...], voxel_threshold: int = 4000) -> bool:
     """Auto-enable tiling when latent voxels exceed the threshold
     (one_stage.py:74-84)."""

@@ -136,6 +136,7 @@ class OneStagePipeline:
         sequence_mesh=None,
         pipeline_mesh=None,
         vae_mesh=None,
+        vae_w_mesh=None,
     ):
         # Optional jax.sharding.Mesh with a 'seq' axis: the denoise loops run
         # token-sharded (ring attention) end-to-end (SURVEY §2.12).
@@ -146,6 +147,10 @@ class OneStagePipeline:
         # Optional Mesh with a 'data' axis: tiled VAE decode runs
         # data-parallel, same-shape tiles batched one per chip.
         self.vae_mesh = vae_mesh
+        # Optional Mesh with a 'data' axis: UNTILED decode runs W-sharded
+        # with explicit per-conv halo exchange (tiling.decode_w_sharded) —
+        # a single oversized frame splits across chips, no tile replication.
+        self.vae_w_mesh = vae_w_mesh
         self.transformer_params = transformer_params
         self.transformer_cfg = transformer_cfg
         self.video_encoder_params = video_encoder_params
@@ -195,6 +200,15 @@ class OneStagePipeline:
             video = chunks[0] if len(chunks) == 1 else np.concatenate(chunks, axis=2)
             video = np.clip((video + 1) / 2, 0, 1) * 255
             return video.astype(np.uint8)[0].transpose(1, 2, 3, 0)
+        if self.vae_w_mesh is not None:
+            from ltx2_tpu.models.video_vae.chunking import _to_uint8_frames
+            from ltx2_tpu.models.video_vae.tiling import decode_w_sharded
+
+            video = decode_w_sharded(
+                jnp.asarray(latent), self.video_decoder_params,
+                self.video_decoder_cfg, self.vae_w_mesh, key=key,
+            )
+            return np.asarray(_to_uint8_frames(video))
         return decode_latent(
             latent, self.video_decoder_params, self.video_decoder_cfg, key=key
         )

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", choices=["euler", "heun"], default="euler")
     p.add_argument("--apg-scale", type=float, default=0.0)
     p.add_argument("--apg-eta", type=float, default=1.0)
+    p.add_argument("--vae-w-shard", type=int, default=0,
+                   help="decode the video W-sharded over this many chips "
+                        "with explicit per-conv halo exchange (untiled "
+                        "decode of one oversized frame; latent W must "
+                        "divide the count). 0 = single-chip decode")
     p.add_argument("--token-bucket", type=int, default=0,
                    help="round the video token count up to a multiple of "
                         "this and mask the padding (one-stage/text-to-video"
@@ -394,7 +399,22 @@ def build_meshes(args):
     pp = args.pp_stages if args.pp_stages and args.pp_stages > 1 else 0
     tp = args.tp_devices if args.tp_devices and args.tp_devices > 1 else 0
     vae_dp = args.vae_dp_devices if args.vae_dp_devices and args.vae_dp_devices > 1 else 0
+    vae_w = getattr(args, "vae_w_shard", 0)
+    vae_w = vae_w if vae_w and vae_w > 1 else 0
     meshes = {}
+    if vae_w:
+        import jax as _jax
+
+        from ltx2_tpu.parallel.mesh import create_mesh
+
+        if len(_jax.devices()) < vae_w:
+            raise SystemExit(
+                f"--vae-w-shard {vae_w} but only "
+                f"{len(_jax.devices())} devices visible"
+            )
+        meshes["vae_w_mesh"] = create_mesh(
+            data=vae_w, model=1, devices=_jax.devices()[:vae_w]
+        )
     if vae_dp:
         # Independent mesh for tiled VAE decode (devices may overlap the DiT
         # mesh — decode runs after the denoise loop).
@@ -649,7 +669,7 @@ def setup(args):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     meshes = build_meshes(args)
     models, ledger = build_models(args, meshes)
-    for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh"):
+    for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh", "vae_w_mesh"):
         if key in meshes:
             models[key] = meshes[key]
     dit_mesh = next(

@@ -1210,6 +1210,63 @@ class TestConsolidateLatent:
         np.testing.assert_allclose(got, expected, atol=1e-5)
 
 
+class TestWShardedDecode:
+    """Explicit-halo W-sharded VAE decode (tiling.decode_w_sharded): one
+    oversized frame decodes sharded over 'data' with per-conv boundary
+    ppermutes — including the 1-wide-shard case where GSPMD's automatic
+    conv halo exchange miscomputes (the r2 consolidate_latent guard)."""
+
+    def _setup(self, base_channels=16):
+        from ltx2_tpu.models.video_vae import VideoDecoderConfig, init_video_decoder
+
+        cfg = VideoDecoderConfig(base_channels=base_channels)
+        params = jax.jit(lambda k: init_video_decoder(k, cfg))(jax.random.PRNGKey(1))
+        return cfg, params
+
+    def test_shard_narrower_than_halo_matches(self):
+        """W=4 over 4 devices -> 1-wide shards == the halo width. This
+        exact layout produced ~60% error through GSPMD's conv partitioner;
+        the explicit exchange must be exact."""
+        from ltx2_tpu.models.video_vae.decoder import video_decoder_apply
+        from ltx2_tpu.models.video_vae.tiling import decode_w_sharded
+
+        cfg, params = self._setup()
+        lat = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 2, 2, 4), jnp.float32)
+        expected = np.asarray(
+            jax.jit(
+                lambda z: video_decoder_apply(
+                    params, cfg, z, timestep=0.05, noise_key=None
+                )
+            )(lat)
+        )
+        mesh = create_mesh(data=4, model=1, devices=jax.devices()[:4])
+        got = np.asarray(
+            decode_w_sharded(lat, params, cfg, mesh, axis="data", key=None)
+        )
+        np.testing.assert_allclose(got, expected, atol=2e-5)
+
+    def test_wider_shards_match_and_scale(self):
+        """W=8 over 2 devices (normal serving split) — equality plus the
+        per-device shard shapes actually 1/n."""
+        from ltx2_tpu.models.video_vae.decoder import video_decoder_apply
+        from ltx2_tpu.models.video_vae.tiling import decode_w_sharded
+
+        cfg, params = self._setup()
+        lat = jax.random.normal(jax.random.PRNGKey(3), (1, 128, 2, 3, 8), jnp.float32)
+        expected = np.asarray(
+            jax.jit(
+                lambda z: video_decoder_apply(
+                    params, cfg, z, timestep=0.05, noise_key=None
+                )
+            )(lat)
+        )
+        mesh = create_mesh(data=2, model=1, devices=jax.devices()[:2])
+        out = decode_w_sharded(lat, params, cfg, mesh, axis="data", key=None)
+        shard_ws = {s.data.shape[-1] for s in out.addressable_shards}
+        assert shard_ws == {out.shape[-1] // 2}, shard_ws
+        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5)
+
+
 class TestPipelineSequenceComposition:
     """PP x SP (x TP): blocks stage over 'pipe' while tokens shard over
     'seq' — the GPipe ppermute and the ring-attention ppermute ride
