@@ -185,6 +185,41 @@ class TestCLISmoke:
         assert seen["latent_dtype"] == jnp.bfloat16
 
 
+class TestDownloadWeights:
+    """Interactive downloader parity (reference scripts/download_weights.py):
+    selection quick-options, already-downloaded skip, disk-space refusal."""
+
+    def test_interactive_recommended_skips_downloaded(self, tmp_path, monkeypatch):
+        import download_weights as dw
+
+        # Mark 'distilled' as already present.
+        (tmp_path / "ltx-2-19b-distilled.safetensors").write_bytes(b"x")
+        monkeypatch.setattr("builtins.input", lambda *_: "r")
+        selected = dw.interactive_selection(str(tmp_path))
+        assert selected == {"gemma"}  # distilled skipped as downloaded
+
+    def test_interactive_custom_keys_filters_unknown(self, tmp_path, monkeypatch):
+        import download_weights as dw
+
+        monkeypatch.setattr(
+            "builtins.input", lambda *_: "distilled-fp8, bogus ,gemma"
+        )
+        assert dw.interactive_selection(str(tmp_path)) == {"distilled-fp8", "gemma"}
+
+    def test_disk_space_refusal(self, tmp_path, monkeypatch):
+        import shutil as shutil_mod
+
+        import download_weights as dw
+
+        usage = shutil_mod.disk_usage(str(tmp_path))
+        monkeypatch.setattr(
+            dw.shutil, "disk_usage",
+            lambda _p: usage._replace(free=int(1e9)),
+        )
+        assert not dw.check_disk_space({"distilled"}, str(tmp_path))
+        assert dw.check_disk_space({"temporal-upscaler"}, str(tmp_path))
+
+
 class TestServe:
     """Persistent serving loop: models load once, requests stream as JSON
     lines, responses come back as JSON lines; a bad request must not kill
