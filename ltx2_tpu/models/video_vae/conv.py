@@ -2,11 +2,14 @@
 
 Channels-last (B, T, H, W, C) with the VAE's exact padding semantics.
 Execution strategy: kT separate 2D convolutions over temporal taps with the
-(B, T) dims merged — measured 1.5x faster than XLA's direct 3D conv
-lowering on v5e (99 vs 66 TFLOP/s at decoder shapes) because the TPU 2D
-conv emitter tiles better. (The reference also sums kT 2D convs, but as an
-MLX missing-op workaround, simple_decoder.py:62-180 — here it is a measured
-performance choice; the math is identical either way.)
+(B, T) dims merged — the fastest lowering at every decoder stage in the
+round-3 shootout (scripts/bench_conv_lowering.py, v5e, serialized
+output-feeds-input chains): e.g. C=128 @121x128x192 104 vs 83 TF/s for
+XLA's native 3D lowering, C=256 132 vs 106; tap-wise matmuls and
+kT-merged-into-channels 2D convs measured slower still. (The reference
+also sums kT 2D convs, but as an MLX missing-op workaround,
+simple_decoder.py:62-180 — here it is a measured performance choice; the
+math is identical either way.)
 
 Padding semantics preserved exactly (parity hazard #2, SURVEY.md):
 - spatial: 'reflect' (decoder, simple_decoder.py:105-117) or zeros (encoder)
