@@ -23,6 +23,53 @@ import jax
 import numpy as np
 
 
+def zero1_report():
+    """Per-device optimizer-state bytes for FULL 48-block (19B) fine-tuning,
+    replicated vs ZeRO-1 (training.zero1_opt_state_shardings): Adam mu+nu
+    are 2x fp32 per trainable param, so a DP-replicated optimizer costs
+    8 bytes/param on EVERY chip — more than the bf16 weights themselves.
+    Sharded over 'data', the per-device share divides by D; shapes are
+    computed ABSTRACTLY (jax.eval_shape) so this reports the real tree, not
+    a back-of-envelope, without allocating anything."""
+    import jax.numpy as jnp
+
+    from ltx2_tpu.models.transformer.model import (
+        LTXModelConfig,
+        LTXModelType,
+        init_ltx_model,
+    )
+
+    cfg = LTXModelConfig(
+        model_type=LTXModelType.VideoOnly,
+        num_attention_heads=32, attention_head_dim=128,
+        in_channels=128, out_channels=128, num_layers=48,
+        cross_attention_dim=4096, caption_channels=None,
+        compute_dtype="bfloat16",
+    )
+    shapes = jax.eval_shape(
+        lambda k: init_ltx_model(k, cfg), jax.random.PRNGKey(0)
+    )
+    n_params = sum(
+        int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(shapes)
+    )
+    weight_gb = n_params * 2 / 1e9  # bf16
+    opt_gb = n_params * 8 / 1e9  # Adam mu + nu, fp32
+    grad_gb = n_params * 2 / 1e9  # bf16 grads (transient)
+    print(f"48-block DiT: {n_params/1e9:.2f} B params")
+    print(f"  bf16 weights/chip        : {weight_gb:6.1f} GB")
+    print(f"  Adam mu+nu fp32 replicated: {opt_gb:6.1f} GB/chip "
+          f"(full FT impossible on 16 GB chips)")
+    print(f"  {'D':>4} {'ZeRO-1 opt GB/chip':>20} {'weights+opt+grads GB':>22}")
+    for d in (4, 8, 16, 32, 64):
+        z = opt_gb / d
+        print(f"  {d:>4} {z:>20.2f} {weight_gb + z + grad_gb:>22.1f}")
+    print("(weights column assumes replicated weights — TP over the same "
+          "chips divides them too, and zero1 composes on top of TP specs; "
+          "activation memory extra, remat bounds it to ~one block. "
+          "Shardings validated on the virtual mesh in tests/test_training.py"
+          "::TestTrainStep::test_zero1_shards_moments_and_matches_replicated)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=2)
@@ -37,7 +84,15 @@ def main():
                     help="freeze the base in fp8 serving form (QLoRA-style: "
                     "with --layers 48 this is the full 19B fine-tuning on "
                     "one 16 GB chip — only adapters get grads/Adam state)")
+    ap.add_argument("--zero1-report", action="store_true",
+                    help="print the per-device optimizer-memory table for "
+                    "FULL 48-block fine-tuning with and without ZeRO-1 "
+                    "(abstract shapes only — runs anywhere, no HBM)")
     args = ap.parse_args()
+
+    if args.zero1_report:
+        zero1_report()
+        return
 
     import jax.numpy as jnp
 
