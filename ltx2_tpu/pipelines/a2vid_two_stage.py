@@ -45,26 +45,33 @@ def load_audio_file(
     max_duration: Optional[float] = None,
 ) -> Tuple[np.ndarray, int]:
     """Load + resample audio -> ((channels, samples), sr)
-    (a2vid_two_stage.py:96-156). soundfile if present, else ffmpeg."""
+    (a2vid_two_stage.py:96-156). soundfile if present; plain PCM .wav via
+    the stdlib (no external deps); anything else via ffmpeg."""
+
+    def _read_wave(path):
+        with wave.open(path, "r") as wf:
+            sr = wf.getframerate()
+            n = wf.getnframes()
+            raw = np.frombuffer(wf.readframes(n), dtype=np.int16)
+            return (
+                raw.astype(np.float32) / 32768.0
+            ).reshape(-1, wf.getnchannels()), sr
+
     try:
         import soundfile as sf
 
         data, sr = sf.read(audio_path)
     except ImportError:
-        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
-            cmd = [
-                "ffmpeg", "-v", "quiet", "-i", audio_path,
-                "-ar", str(target_sr), "-ac", "2", "-y", tmp.name,
-            ]
-            subprocess.run(cmd, check=True)
-            with wave.open(tmp.name, "r") as wf:
-                sr = wf.getframerate()
-                n = wf.getnframes()
-                data = (
-                    np.frombuffer(wf.readframes(n), dtype=np.int16).astype(np.float32)
-                    / 32768.0
-                )
-                data = data.reshape(-1, wf.getnchannels())
+        try:
+            data, sr = _read_wave(audio_path)
+        except (wave.Error, EOFError):
+            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+                cmd = [
+                    "ffmpeg", "-v", "quiet", "-i", audio_path,
+                    "-ar", str(target_sr), "-ac", "2", "-y", tmp.name,
+                ]
+                subprocess.run(cmd, check=True)
+                data, sr = _read_wave(tmp.name)
 
     if data.ndim == 1:
         data = data[:, np.newaxis]
@@ -93,14 +100,43 @@ class A2VidPipelineTwoStage(DistilledPipeline):
         self.audio_encoder_cfg = audio_encoder_cfg
 
     def _encode_audio_to_latent(self, waveform: np.ndarray, sr: int, config: A2VidConfig):
-        """Waveform -> frozen audio latent via the audio VAE encoder when
-        available; None otherwise (reference behavior,
-        a2vid_two_stage.py:206-224: generate audio from prompt)."""
+        """Waveform -> frozen audio latent via the audio VAE encoder.
+
+        BEYOND the reference: its `_encode_audio_to_latent` prints "Audio
+        VAE encoder not yet ported" and always returns None
+        (a2vid_two_stage.py:206-224), so its a2vid freezes NOISE. Here the
+        full direction is wired — programmatic 64-mel analysis
+        (audio_vae/analysis.py) -> audio_encoder_apply -> normalized
+        latent at the duration-matched frame count. None when no encoder
+        weights are resident (then the noise-freeze fallback applies,
+        exactly the reference behavior)."""
         if self.audio_encoder_params is None:
             return None
-        # Mel analysis requires the checkpoint STFT bases (vocoder mel_stft);
-        # without them the encoder path is unavailable.
-        return None
+        from ltx2_tpu.models.audio_vae.analysis import (
+            AudioAnalysisConfig,
+            waveform_to_latent,
+        )
+        from ltx2_tpu.types import AudioLatentShape, VideoPixelShape
+
+        shape = AudioLatentShape.from_video_pixel_shape(
+            VideoPixelShape(
+                batch=1, frames=config.num_frames, height=config.height,
+                width=config.width, fps=config.fps,
+            ),
+            channels=config.audio_vae_channels,
+            mel_bins=config.audio_mel_bins,
+            sample_rate=config.audio_sample_rate,
+            hop_length=config.audio_hop_length,
+            audio_latent_downsample_factor=config.audio_downsample_factor,
+        )
+        analysis = AudioAnalysisConfig(
+            sample_rate=sr, hop_length=config.audio_hop_length,
+            n_mels=config.audio_mel_bins * config.audio_downsample_factor,
+        )
+        return waveform_to_latent(
+            waveform, self.audio_encoder_params, self.audio_encoder_cfg,
+            analysis, shape.frames,
+        )
 
     def __call__(  # type: ignore[override]
         self,
@@ -124,10 +160,21 @@ class A2VidPipelineTwoStage(DistilledPipeline):
                 max_duration=duration,
             )
 
+        # Frozen-audio semantics (reference _video_only_denoise_loop): the
+        # audio latent — encoded from the source waveform when encoder
+        # weights are resident, otherwise the noised init — stays frozen
+        # (denoise_mask=0) through BOTH stages while the video denoises
+        # against it via the AV cross-modal attention.
+        initial_audio_latent = None
+        if source_waveform is not None:
+            initial_audio_latent = self._encode_audio_to_latent(
+                source_waveform, config.audio_sample_rate, config
+            )
         result = super().__call__(
             text_encoding, text_mask, config,
             images=images, callback=callback,
             audio_encoding=audio_encoding, skip_decode=skip_decode,
+            freeze_audio=True, initial_audio_latent=initial_audio_latent,
         )
 
         # Pass the ORIGINAL waveform through as the output audio

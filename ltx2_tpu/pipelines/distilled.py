@@ -134,6 +134,7 @@ class DistilledPipeline(OneStagePipeline):
         initial_audio_latent=None,
         normalize_audio_noise: bool = False,
         extra_conditionings=None,
+        freeze_audio: bool = False,
     ):
         latent_shape = VideoLatentShape.from_pixel_shape(
             pixel_shape, latent_channels=config.latent_channels
@@ -159,8 +160,12 @@ class DistilledPipeline(OneStagePipeline):
         # distilled: no CFG; per-batch timesteps when nothing conditions the
         # mask (stage 2 always conditions via initial_video_latent... the
         # mask stays all-ones there too — only conditionings write to it).
+        # freeze_audio forces per-token timesteps: the frozen audio tokens
+        # must see timestep = mask * sigma = 0 (reference one_stage
+        # semantics, pinned by the a2vid recipe oracle).
         loop_cfg = DenoiseLoopConfig(
-            guider=CFGGuider(1.0), uniform_timesteps=not conditionings
+            guider=CFGGuider(1.0),
+            uniform_timesteps=not conditionings and not freeze_audio,
         )
         sig = jnp.asarray(sigmas, jnp.float32)
 
@@ -181,11 +186,30 @@ class DistilledPipeline(OneStagePipeline):
             audio_state = audio_tools.create_initial_state(
                 dtype=jnp.dtype(config.dtype), initial_latent=initial_audio_latent
             )
+
+            def _freeze(state):
+                # mask=0 + latent==clean: the Euler velocity is exactly 0,
+                # so the latent is bit-frozen through the loop (a2vid).
+                return state.replace(
+                    clean_latent=state.latent,
+                    denoise_mask=jnp.zeros_like(state.denoise_mask),
+                )
+
+            if freeze_audio and initial_audio_latent is not None:
+                # Encoded conditioning: freeze BEFORE the noiser (mask 0
+                # no-ops the blend, keeping the encoded latent noise-free —
+                # reference a2vid's encoded branch).
+                audio_state = _freeze(audio_state)
             audio_state = noiser(akey, audio_state, noise_scale=noise_scale)
-            if normalize_audio_noise:
+            if normalize_audio_noise and not freeze_audio:
                 audio_state = audio_state.replace(
                     latent=channelwise_normalize_audio(audio_state.latent)
                 )
+            if freeze_audio and initial_audio_latent is None:
+                # Reference fallback: noise init, frozen through the loop
+                # (a2vid_two_stage.py _video_only_denoise_loop never steps
+                # the audio latent).
+                audio_state = _freeze(audio_state)
             loop = make_av_denoise_loop(
                 self.transformer_cfg, loop_cfg, **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh)
             )
@@ -219,6 +243,8 @@ class DistilledPipeline(OneStagePipeline):
         callback: Optional[Callable[[str, int, int], None]] = None,
         audio_encoding: Optional[jnp.ndarray] = None,
         skip_decode: bool = False,
+        freeze_audio: bool = False,
+        initial_audio_latent=None,
     ) -> Union[np.ndarray, Tuple[np.ndarray, Optional[jnp.ndarray]]]:
         images = images or []
         key = jax.random.PRNGKey(config.seed)
@@ -239,6 +265,8 @@ class DistilledPipeline(OneStagePipeline):
             stage_1_shape, np.asarray(DISTILLED_SIGMA_VALUES, np.float32),
             text_encoding, audio_encoding, config, images, k1, 1.0,
             internal_audio_active, normalize_audio_noise=True,
+            initial_audio_latent=initial_audio_latent,
+            freeze_audio=freeze_audio,
         )
         if callback:
             callback("stage1", len(DISTILLED_SIGMA_VALUES) - 1, len(DISTILLED_SIGMA_VALUES) - 1)
@@ -270,6 +298,7 @@ class DistilledPipeline(OneStagePipeline):
                 internal_audio_active,
                 initial_video_latent=upscaled_video_latent,
                 initial_audio_latent=stage_1_audio,
+                freeze_audio=freeze_audio,
             )
             if stage_2_audio is not None:
                 final_audio_latent = stage_2_audio

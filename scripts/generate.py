@@ -882,7 +882,9 @@ def execute_request(args, models, ledger):
             from ltx2_tpu.pipelines import A2VidConfig, A2VidPipelineTwoStage
 
             up = _upscaler_kwargs(args, ledger)
-            pipeline = A2VidPipelineTwoStage(**models, **up)
+            pipeline = A2VidPipelineTwoStage(
+                **models, **up, **_audio_encoder_kwargs(args, ledger)
+            )
             cfg = A2VidConfig(audio_path=args.audio_file or "", **common)
             result = pipeline(pos, None, cfg, audio_encoding=pos_a,
                               skip_decode=args.skip_vae)
@@ -901,6 +903,31 @@ def execute_request(args, models, ledger):
                 output_fps=args.output_fps, audio=audio_out,
             )
         log.info("video saved to %s", args.output)
+
+
+def _audio_encoder_kwargs(args, ledger):
+    """Audio VAE encoder for a2vid's waveform->frozen-latent path (beyond
+    reference: its encoder was never ported). Placeholder mode gets a tiny
+    random encoder so the path is drivable without weights."""
+    if args.placeholder or args.checkpoint is None:
+        import jax
+
+        from ltx2_tpu.models.audio_vae.encoder import (
+            AudioEncoderConfig,
+            init_audio_encoder,
+        )
+
+        cfg = AudioEncoderConfig(ch=8, num_res_blocks=1, z_channels=8, mel_bins=16)
+        params = jax.jit(lambda k: init_audio_encoder(k, cfg))(
+            jax.random.PRNGKey(6)
+        )
+        return dict(audio_encoder_params=params, audio_encoder_cfg=cfg)
+    if ledger is None:
+        return {}
+    params, cfg = ledger.audio_encoder()
+    if params is None:
+        return {}
+    return dict(audio_encoder_params=params, audio_encoder_cfg=cfg)
 
 
 def _upscaler_kwargs(args, ledger):

@@ -163,6 +163,107 @@ class TestA2Vid:
         np.testing.assert_allclose(np.asarray(audio)[0], waveform)
 
 
+class TestA2VidFrozenEncode:
+    """Round-3 a2vid semantics: the audio latent — ENCODED from the source
+    waveform via the wired audio VAE encoder (the reference's own encoder
+    was never ported), or the noised init as fallback — stays bit-frozen
+    through BOTH distilled stages while the video denoises against it."""
+
+    def _audio_encoder(self):
+        from ltx2_tpu.models.audio_vae.encoder import (
+            AudioEncoderConfig,
+            init_audio_encoder,
+        )
+
+        cfg = AudioEncoderConfig(ch=4, num_res_blocks=1, z_channels=2, mel_bins=4)
+        params = jax.jit(lambda k: init_audio_encoder(k, cfg))(jax.random.PRNGKey(9))
+        return params, cfg
+
+    def test_encode_shape_chain(self):
+        """waveform -> 16-mel analysis -> encoder -> (1, z, L, mel_bins)
+        at the duration-matched latent frame count."""
+        enc_params, enc_cfg = self._audio_encoder()
+        pipeline, _ = make_pipeline(
+            A2VidPipelineTwoStage, model_type=LTXModelType.AudioVideo,
+            audio_encoder_params=enc_params, audio_encoder_cfg=enc_cfg,
+        )
+        config = A2VidConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            audio_enabled=True, audio_vae_channels=2, audio_mel_bins=4,
+        )
+        waveform = np.random.default_rng(1).normal(size=(2, 6000)).astype(np.float32)
+        latent = pipeline._encode_audio_to_latent(
+            waveform, config.audio_sample_rate, config
+        )
+        from ltx2_tpu.types import AudioLatentShape, VideoPixelShape
+
+        shape = AudioLatentShape.from_video_pixel_shape(
+            VideoPixelShape(batch=1, frames=9, height=64, width=64, fps=config.fps),
+            channels=2, mel_bins=4,
+            sample_rate=config.audio_sample_rate,
+            hop_length=config.audio_hop_length,
+            audio_latent_downsample_factor=config.audio_downsample_factor,
+        )
+        assert latent.shape == (1, 2, shape.frames, 4), latent.shape
+        assert bool(jnp.all(jnp.isfinite(latent)))
+
+    def test_encoded_latent_bit_frozen_through_both_stages(self):
+        """DistilledPipeline with freeze_audio + an initial audio latent:
+        the returned final audio latent is EXACTLY the input (velocity 0
+        through every step of both stages)."""
+        from ltx2_tpu.pipelines.distilled import DistilledConfig, DistilledPipeline
+
+        pipeline, dit_cfg = make_pipeline(
+            DistilledPipeline, model_type=LTXModelType.AudioVideo
+        )
+        config = DistilledConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            audio_enabled=True, audio_vae_channels=2, audio_mel_bins=4,
+        )
+        from ltx2_tpu.types import AudioLatentShape, VideoPixelShape
+
+        shape = AudioLatentShape.from_video_pixel_shape(
+            VideoPixelShape(batch=1, frames=9, height=64, width=64, fps=config.fps),
+            channels=2, mel_bins=4,
+            sample_rate=config.audio_sample_rate,
+            hop_length=config.audio_hop_length,
+            audio_latent_downsample_factor=config.audio_downsample_factor,
+        )
+        encoded = jax.random.normal(
+            jax.random.PRNGKey(3), (1, 2, shape.frames, 4), jnp.float32
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent, final_audio = pipeline(
+            pos, None, config, skip_decode=True,
+            freeze_audio=True, initial_audio_latent=encoded,
+        )
+        assert latent.shape == (1, 8, 2, 2, 2)
+        np.testing.assert_array_equal(
+            np.asarray(final_audio), np.asarray(encoded),
+            err_msg="frozen audio latent drifted through the two stages",
+        )
+
+    def test_fallback_freezes_noise(self):
+        """No encoder weights: a2vid still freezes the (noised) audio init
+        — the reference _video_only_denoise_loop behavior — and passes the
+        source waveform through."""
+        pipeline, dit_cfg = make_pipeline(
+            A2VidPipelineTwoStage, model_type=LTXModelType.AudioVideo
+        )
+        assert pipeline.audio_encoder_params is None
+        config = A2VidConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            audio_enabled=True, audio_vae_channels=2, audio_mel_bins=4,
+        )
+        waveform = np.random.default_rng(0).normal(size=(2, 1600)).astype(np.float32)
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        latent, audio = pipeline(
+            pos, None, config, source_waveform=waveform, skip_decode=True
+        )
+        assert bool(jnp.all(jnp.isfinite(latent)))
+        np.testing.assert_allclose(np.asarray(audio)[0], waveform)
+
+
 class TestICLora:
     def test_control_conditioning_stage1_only(self, tmp_path):
         from ltx2_tpu.conditioning.keyframe import VideoConditionByKeyframeIndex

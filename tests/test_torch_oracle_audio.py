@@ -436,3 +436,100 @@ class TestBWEChainOracle:
         want = torch.clamp(residual[:, :, :n] + skip[:, :, :n], -1, 1)[:, :, :out_len]
 
         assert_close(got, want, rtol=1e-3, atol=1e-4, msg="BWE chain")
+
+
+class TestAnalysisBasisOracle:
+    """Round-3 programmatic STFT/mel analysis (audio_vae/analysis.py — the
+    waveform->latent direction the reference never shipped): the built DFT
+    basis must reproduce torch.stft magnitudes exactly, and the slaney
+    filterbank must satisfy the structural slaney invariants."""
+
+    def test_stft_basis_matches_torch_stft(self):
+        from ltx2_tpu.models.audio_vae.analysis import (
+            AudioAnalysisConfig,
+            make_analysis_params,
+        )
+        from ltx2_tpu.models.audio_vae.vocoder import stft_magnitude_phase
+
+        cfg = AudioAnalysisConfig(
+            sample_rate=16000, filter_length=256, win_length=256, hop_length=64,
+            n_mels=16,
+        )
+        params = make_analysis_params(cfg)
+        g = torch.Generator().manual_seed(77)
+        y = torch.randn(2, 2048, generator=g)
+
+        mag, _phase = stft_magnitude_phase(
+            params["stft_fn"], cfg.mel_cfg(), t2j(y)
+        )
+
+        # Independent torch side: same causal left pad, torch.stft.
+        left = cfg.win_length - cfg.hop_length
+        yp = F.pad(y, (left, 0))
+        window = torch.hann_window(cfg.win_length, periodic=True)
+        spec = torch.stft(
+            yp, n_fft=cfg.filter_length, hop_length=cfg.hop_length,
+            win_length=cfg.win_length, window=window, center=False,
+            return_complex=True,
+        )
+        want = spec.abs()
+        assert_close(mag, want, rtol=1e-3, atol=1e-3, msg="stft magnitude")
+
+    def test_mel_basis_slaney_invariants(self):
+        from ltx2_tpu.models.audio_vae.analysis import make_mel_basis
+
+        sr, n_fft, n_mels = 16000, 512, 64
+        basis = make_mel_basis(sr, n_fft, n_mels)
+        assert basis.shape == (n_mels, n_fft // 2 + 1)
+        assert (basis >= 0).all()
+        # Each filter is a single triangle: one peak, increasing center freq.
+        peaks = basis.argmax(axis=1)
+        assert (np.diff(peaks) > 0).all(), "mel peaks not monotonically increasing"
+        # Slaney normalization: filter area (sum * df) ~ 2 / bandwidth =>
+        # energy-normalized: sum_i w_i * bandwidth_i / 2 ~ df-spacing const.
+        freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+        df = freqs[1] - freqs[0]
+        areas = basis.sum(axis=1) * df
+        # Interior filters integrate to ~1 under slaney scaling.
+        assert np.all(np.abs(areas[2:-2] - 1.0) < 0.2), areas[2:-2]
+        # Low band is linear in mel scale: first peaks evenly spaced.
+        low_spacing = np.diff(peaks[:8])
+        assert low_spacing.max() - low_spacing.min() <= 2
+
+    def test_waveform_to_latent_matches_manual_chain(self):
+        """waveform_to_latent == mel analysis -> pad -> encoder, assembled
+        independently here."""
+        from ltx2_tpu.models.audio_vae.analysis import (
+            AudioAnalysisConfig,
+            make_analysis_params,
+            waveform_to_latent,
+        )
+        from ltx2_tpu.models.audio_vae.encoder import (
+            AudioEncoderConfig,
+            audio_encoder_apply,
+            init_audio_encoder,
+        )
+        from ltx2_tpu.models.audio_vae.vocoder import mel_spectrogram
+
+        enc_cfg = AudioEncoderConfig(ch=4, num_res_blocks=1, z_channels=2, mel_bins=4)
+        enc_params = jax.jit(lambda k: init_audio_encoder(k, enc_cfg))(
+            jax.random.PRNGKey(8)
+        )
+        cfg = AudioAnalysisConfig(
+            sample_rate=16000, filter_length=256, win_length=256, hop_length=64,
+            n_mels=16,
+        )
+        wav = np.random.default_rng(5).normal(size=(2, 4096)).astype(np.float32)
+        target_frames = 7
+        got = waveform_to_latent(wav, enc_params, enc_cfg, cfg, target_frames)
+        assert got.shape == (1, 2, target_frames, 4)
+
+        params = make_analysis_params(cfg)
+        log_mel, _m, _p, _e = mel_spectrogram(params, cfg.mel_cfg(), jax.numpy.asarray(wav))
+        spec = jax.numpy.transpose(log_mel, (0, 2, 1))[None]
+        t_target = 4 * target_frames - 3
+        spec = spec[:, :, :t_target] if spec.shape[2] >= t_target else jax.numpy.pad(
+            spec, [(0, 0), (0, 0), (0, t_target - spec.shape[2]), (0, 0)], mode="edge"
+        )
+        want = audio_encoder_apply(enc_params, enc_cfg, spec)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
