@@ -672,20 +672,31 @@ def setup(args):
     for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh", "vae_w_mesh"):
         if key in meshes:
             models[key] = meshes[key]
-    dit_mesh = next(
-        (meshes[k] for k in ("tp_mesh", "pipeline_mesh", "sequence_mesh")
-         if k in meshes), None,
-    )
-    if dit_mesh is not None:
-        # Ambient mesh for the process (resident config, like the models):
-        # lets Pallas flash attention shard-map itself over the 'model' axis
-        # under TP (ops/attention._flash_shard_ctx) — a Pallas call has no
-        # GSPMD partition rule, so without this TP meshes fall back to the
-        # einsum path.
-        import jax
-
-        jax.sharding.set_mesh(dit_mesh)
+    global _ACTIVE_DIT_MESH
+    _ACTIVE_DIT_MESH = meshes.get("tp_mesh")
     return models, ledger
+
+
+# Resident TP mesh (set by setup): execute_request enters it as the
+# AMBIENT mesh so Pallas flash attention can shard-map itself over the
+# 'model' axis under TP-only GSPMD jit (ops/attention._flash_shard_ctx —
+# a Pallas call has no GSPMD partition rule). SP/PP paths do NOT need it:
+# their shard_map regions establish the abstract mesh themselves (and an
+# ambient mesh there trips GSPMD's sharding translation on the token
+# axis). Scoped per request, NOT process-global: a leaked ambient mesh
+# would bleed into unrelated later computations (and, in-process, into
+# other tests).
+_ACTIVE_DIT_MESH = None
+
+
+def _mesh_scope():
+    import contextlib
+
+    import jax
+
+    if _ACTIVE_DIT_MESH is None:
+        return contextlib.nullcontext()
+    return jax.sharding.set_mesh(_ACTIVE_DIT_MESH)
 
 
 def main(argv=None):
@@ -703,6 +714,11 @@ def main(argv=None):
 def execute_request(args, models, ledger):
     """Encode prompts, run the requested pipeline, write the output.
     `models`/`ledger` come from setup() and may be reused across calls."""
+    with _mesh_scope():
+        return _execute_request(args, models, ledger)
+
+
+def _execute_request(args, models, ledger):
     from ltx2_tpu.utils.profiling import log, phase
 
     embeddings = encode_prompts(args, ledger, models["transformer_cfg"])

@@ -209,9 +209,6 @@ def main(argv=None):
         dp_put = lambda a: jax.device_put(  # noqa: E731
             a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
         )
-        # Ambient mesh: lets the differentiable Pallas flash kernel
-        # shard-map over 'model' (fwd AND bwd run on local heads).
-        jax.sharding.set_mesh(mesh)
         log.info("training mesh: %s", mesh)
     else:
         dp_put = lambda a: a  # noqa: E731
@@ -295,10 +292,20 @@ def main(argv=None):
         opt_state_shardings=opt_shardings,
     )
 
-    # ---- Loop.
+    # ---- Loop. Runs under the ambient mesh (SCOPED, not process-global —
+    # a leaked ambient mesh bleeds into unrelated later computations): lets
+    # the differentiable Pallas flash kernel shard-map over 'model' so fwd
+    # AND bwd run on local heads.
+    import contextlib
+
+    mesh_scope = (
+        jax.sharding.set_mesh(mesh) if mesh is not None
+        else contextlib.nullcontext()
+    )
     rng = np.random.RandomState(args.seed + 1)
     t0 = time.perf_counter()
-    for i in range(args.steps):
+    with mesh_scope:
+      for i in range(args.steps):
         idx = rng.randint(0, n_samples, size=args.batch_size)
         batch = TrainBatch(
             x0=dp_put(jnp.asarray(x0s[idx])),

@@ -283,6 +283,10 @@ class TestServe:
         import serve
 
         # 64x96x9f -> 12 tokens; 64x96x17f -> 18 tokens; both bucket to 32.
+        # cfg-scale 2.41 makes this test's loop config UNIQUE in the suite:
+        # make_video_denoise_loop lru-caches on (model_cfg, loop_cfg), so a
+        # loop compiled by an earlier in-process test would make the
+        # warmup's expected single compile silently 0.
         req = tmp_path / "req.jsonl"
         req.write_text(
             json.dumps({"output": str(tmp_path / "b.mp4"), "seed": 2,
@@ -309,6 +313,7 @@ class TestServe:
                 "--placeholder", "--no-gemma", "--pipeline", "one-stage",
                 "--height", "64", "--width", "96", "--num-frames", "9",
                 "--num-inference-steps", "2", "--token-bucket", "32",
+                "--cfg-scale", "2.41",
                 "--skip-vae",
                 "--warmup-shapes", "64x96x9",
                 "--requests", str(req),
