@@ -63,7 +63,14 @@ def load_video_frames(
     video_path: str, height: int, width: int, num_frames: int
 ) -> np.ndarray:
     """Decode frames via ffmpeg rawvideo pipe -> (1, 3, F, H, W) in [-1, 1]
-    (retake.py:97-139)."""
+    (retake.py:97-139). GIF/WebP/y4m decode in pure Python even without
+    ffmpeg (utils/video_io.py)."""
+    from pathlib import Path as _Path
+
+    if _Path(video_path).suffix.lower() in (".gif", ".webp", ".apng", ".y4m"):
+        from ltx2_tpu.utils.video_io import read_video_any
+
+        return read_video_any(video_path, height, width, num_frames)
     cmd = [
         "ffmpeg", "-v", "quiet", "-i", video_path,
         "-vf", f"scale={width}:{height}",

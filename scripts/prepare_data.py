@@ -12,6 +12,9 @@ Pixel sources:
                        or uint8 in [0, 255]
   --images DIR         directory of stills -> one-frame clips (i2v-style),
                        resized/cropped to --height x --width
+  --videos DIR         directory of video clips; .gif/.webp/.y4m decode in
+                       PURE PYTHON (utils/video_io.py — no ffmpeg in this
+                       image), other containers via ffmpeg when present
 
 Context sources:
   --embedding emb.npz  a generate.py --save-embedding file; its "positive"
@@ -48,6 +51,12 @@ def build_parser():
                    help=".npz with 'pixels' (N, 3, F, H, W)")
     p.add_argument("--images", type=str, default=None,
                    help="directory of images -> one-frame clips")
+    p.add_argument("--videos", type=str, default=None,
+                   help="directory of video clips: .gif/.webp/.y4m decode "
+                        "in pure Python (no ffmpeg needed), .mp4/.webm via "
+                        "ffmpeg when present")
+    p.add_argument("--num-frames", type=int, default=9,
+                   help="frames per clip for --videos (snapped to 8k+1)")
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=768)
     p.add_argument("--checkpoint", type=str, default=None)
@@ -108,8 +117,23 @@ def main(argv=None):
             np.asarray(load_image_tensor(str(q), args.height, args.width))
             for q in paths
         ]
+    elif args.videos:
+        from pathlib import Path
+
+        from ltx2_tpu.utils.video_io import read_video_any
+
+        n_frames = args.num_frames - (args.num_frames - 1) % 8  # snap 8k+1
+        exts = (".gif", ".webp", ".apng", ".y4m", ".mp4", ".webm", ".mov")
+        paths = sorted(
+            q for q in Path(args.videos).iterdir()
+            if q.suffix.lower() in exts
+        )
+        clips = [
+            read_video_any(str(q), args.height, args.width, n_frames)
+            for q in paths
+        ]
     if not clips:
-        raise SystemExit("pass --pixels clips.npz or --images DIR")
+        raise SystemExit("pass --pixels clips.npz, --images DIR or --videos DIR")
     log.info("%d clips", len(clips))
 
     # ---- Encode + patchify (encoder output is already stats-normalized).
