@@ -59,14 +59,21 @@ def _pad_w_halo(
     from_left = jax.lax.ppermute(x[:, :, :, -pad:], axis_name, fwd)
     from_right = jax.lax.ppermute(x[:, :, :, :pad], axis_name, bwd)
     if mode == "reflect":
-        # Global reflect of [c0, c1, ...] contributes columns pad..1; for
-        # pad=1 that is column 1 — local when W_local > pad, otherwise the
-        # neighbor's column 0 (already here as from_right/from_left).
+        # Global reflect of [c0, c1, ...] prepends [c_pad .. c_1] and
+        # appends [c_{W-2} .. c_{W-1-pad}] — columns 1..pad (reversed) and
+        # -pad-1..-1 (reversed). Local when W_local > pad; at
+        # W_local == pad == 1 the single reflect column lives on the
+        # neighbor and is exactly the opposite-direction ppermute payload.
         if w_local > pad:
-            edge_l = x[:, :, :, pad:2 * pad][:, :, :, ::-1]
-            edge_r = x[:, :, :, -2 * pad:-pad][:, :, :, ::-1]
-        else:
+            edge_l = x[:, :, :, 1:pad + 1][:, :, :, ::-1]
+            edge_r = x[:, :, :, -pad - 1:-1][:, :, :, ::-1]
+        elif pad == 1:
             edge_l, edge_r = from_right, from_left
+        else:
+            raise ValueError(
+                f"reflect halo with W shard ({w_local}) == pad ({pad}) > 1 "
+                f"needs columns from two shards; use fewer devices on W"
+            )
     else:  # zeros
         edge_l = jnp.zeros_like(from_left)
         edge_r = jnp.zeros_like(from_right)

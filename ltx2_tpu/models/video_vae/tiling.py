@@ -14,6 +14,7 @@ reference's O(tiles * volume) concatenation dance (tiling.py:415-475).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Iterator, List, Optional, Tuple
 
 import jax
@@ -346,18 +347,26 @@ def decode_w_sharded(
 
     Returns the full (replicated-out) decoded video as a jax array.
     """
-    import jax as _jax
-    from jax.sharding import PartitionSpec as P
-
-    from ltx2_tpu.models.video_vae.decoder import video_decoder_apply
-
     if latent.ndim == 4:
         latent = latent[None]
     n = dict(mesh.shape)[axis]
     if latent.shape[-1] % n != 0:
         raise ValueError(
-            f"latent W ({latent.shape[-1]}) must divide the '{axis}' axis ({n})"
+            f"latent W ({latent.shape[-1]}) must be divisible by the "
+            f"'{axis}' axis size ({n})"
         )
+    fn = _w_sharded_decoder(cfg, mesh, axis, timestep, causal, key is None)
+    return fn(params, latent, key)
+
+
+@lru_cache(maxsize=16)
+def _w_sharded_decoder(cfg, mesh, axis, timestep, causal, no_key):
+    """Cached jitted W-sharded decoder — a fresh jit per call would
+    re-trace (and, cold, re-compile) the whole decoder on EVERY request."""
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from ltx2_tpu.models.video_vae.decoder import video_decoder_apply
 
     def body(p, z, k):
         if k is not None:
@@ -367,19 +376,22 @@ def decode_w_sharded(
             w_halo_axis=axis,
         )
 
-    param_specs = _jax.tree_util.tree_map(lambda _: P(), params)
-    fn = _jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            param_specs,
-            P(None, None, None, None, axis),
-            None if key is None else P(),
-        ),
-        out_specs=P(None, None, None, None, axis),
-        axis_names=frozenset({axis}),
-    )
-    return _jax.jit(fn)(params, latent, key)
+    def run(params, latent, key):
+        param_specs = _jax.tree_util.tree_map(lambda _: P(), params)
+        fn = _jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                param_specs,
+                P(None, None, None, None, axis),
+                None if no_key else P(),
+            ),
+            out_specs=P(None, None, None, None, axis),
+            axis_names=frozenset({axis}),
+        )
+        return fn(params, latent, key)
+
+    return _jax.jit(run)
 
 
 def should_auto_tile(latent_shape: Tuple[int, ...], voxel_threshold: int = 4000) -> bool:

@@ -103,12 +103,15 @@ def _flash_shard_ctx(batch: int, heads: int):
     return am, frozenset(free), b_axis
 
 
-def _shard_mapped(fn, n_args, batch: int, heads: int, extra_specs=()):
+def _shard_mapped(fn, n_args, batch: int, heads: int, extra_batch_specs=0):
     """Wrap a per-shard flash call in a fully-manual shard_map over the
     ambient mesh's free axes, heads on 'model' (+ batch on 'data' when it
     divides). Returns None when there is no mesh/TP context — the caller
     then invokes the kernel directly. Differentiable: grads flow through
-    shard_map into the kernel's custom VJP, which runs per-shard."""
+    shard_map into the kernel's custom VJP, which runs per-shard.
+
+    extra_batch_specs: count of trailing operands that shard only on the
+    batch axis (e.g. the masked path's (B, S) kv_valid)."""
     ctx = _flash_shard_ctx(batch, heads)
     if ctx is None:
         return None
@@ -116,7 +119,7 @@ def _shard_mapped(fn, n_args, batch: int, heads: int, extra_specs=()):
     from jax.sharding import PartitionSpec as P
 
     qkv_spec = P(b_axis, "model", None, None)
-    in_specs = (qkv_spec,) * n_args + tuple(extra_specs)
+    in_specs = (qkv_spec,) * n_args + (P(b_axis, None),) * extra_batch_specs
     return jax.shard_map(
         fn,
         mesh=am,
@@ -256,20 +259,11 @@ def sdpa(
         kv_valid = mask[:, 0, 0, :] > _MASK_VALID_THRESHOLD  # (B, S)
         kv_valid = jnp.broadcast_to(kv_valid, (q.shape[0], k.shape[2]))
         run = _flash_attention_masked(bq, bkv)
-        ctx = _flash_shard_ctx(q.shape[0], q.shape[1])
-        if ctx is not None:
-            from jax.sharding import PartitionSpec as P
-
-            am, axis_names, b_axis = ctx
-            qkv_spec = P(b_axis, "model", None, None)
-            sharded = jax.shard_map(
-                lambda qq, kk, vv, kvv: run(qq, kk, vv, scale, kvv),
-                mesh=am,
-                in_specs=(qkv_spec,) * 3 + (P(b_axis, None),),
-                out_specs=qkv_spec,
-                axis_names=axis_names,
-                check_vma=False,
-            )
+        sharded = _shard_mapped(
+            lambda qq, kk, vv, kvv: run(qq, kk, vv, scale, kvv), 3,
+            q.shape[0], q.shape[1], extra_batch_specs=1,
+        )
+        if sharded is not None:
             _note_engagement("flash_masked_tp")
             return sharded(q, k, v, kv_valid)
         _note_engagement("flash_masked")

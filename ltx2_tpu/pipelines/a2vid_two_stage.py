@@ -50,6 +50,14 @@ def load_audio_file(
 
     def _read_wave(path):
         with wave.open(path, "r") as wf:
+            if wf.getsampwidth() != 2:
+                # Only 16-bit PCM decodes correctly here; 8/24/32-bit wavs
+                # must fall through to ffmpeg (which converts to s16) —
+                # reinterpreting their bytes as int16 would silently
+                # corrupt the audio.
+                raise wave.Error(
+                    f"{wf.getsampwidth() * 8}-bit PCM needs ffmpeg"
+                )
             sr = wf.getframerate()
             n = wf.getnframes()
             raw = np.frombuffer(wf.readframes(n), dtype=np.int16)

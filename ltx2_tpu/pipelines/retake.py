@@ -67,9 +67,9 @@ def load_video_frames(
     ffmpeg (utils/video_io.py)."""
     from pathlib import Path as _Path
 
-    if _Path(video_path).suffix.lower() in (".gif", ".webp", ".apng", ".y4m"):
-        from ltx2_tpu.utils.video_io import read_video_any
+    from ltx2_tpu.utils.video_io import PURE_PYTHON_SUFFIXES, read_video_any
 
+    if _Path(video_path).suffix.lower() in PURE_PYTHON_SUFFIXES:
         return read_video_any(video_path, height, width, num_frames)
     cmd = [
         "ffmpeg", "-v", "quiet", "-i", video_path,

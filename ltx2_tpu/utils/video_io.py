@@ -79,6 +79,13 @@ def read_y4m(path: str, height: int, width: int, num_frames: int) -> np.ndarray:
                 cs = token[1:]
         if not w or not h:
             raise ValueError(f"{path}: missing W/H in y4m header")
+        import re as _re
+
+        if _re.search(r"p(9|10|12|14|16)$", cs):
+            # C420p10/p12/p16 etc: >8-bit samples double the plane bytes —
+            # parsing them as 8-bit would desync the frame stream. (Plain
+            # 'p' belongs to chroma-siting tags like 420jpeg/420paldv.)
+            raise ValueError(f"{path}: only 8-bit y4m supported, got C{cs}")
         if cs.startswith("420"):
             sub, cw, ch = 2, (w + 1) // 2, (h + 1) // 2
         elif cs.startswith("444"):
@@ -120,7 +127,10 @@ def read_y4m(path: str, height: int, width: int, num_frames: int) -> np.ndarray:
     return _pack(frames, height, width, num_frames)
 
 
-PURE_PYTHON_SUFFIXES = (".gif", ".webp", ".apng", ".png", ".y4m")
+# Single source of truth for what decodes without ffmpeg — shared by
+# read_video_any and retake.load_video_frames (duplicated lists drift).
+PIL_SUFFIXES = (".gif", ".webp", ".apng", ".png")
+PURE_PYTHON_SUFFIXES = PIL_SUFFIXES + (".y4m",)
 
 
 def read_video_any(
@@ -131,7 +141,7 @@ def read_video_any(
     suffix = Path(path).suffix.lower()
     if suffix == ".y4m":
         return read_y4m(path, height, width, num_frames)
-    if suffix in (".gif", ".webp", ".apng", ".png"):
+    if suffix in PIL_SUFFIXES:
         return read_pil_animation(path, height, width, num_frames)
     from ltx2_tpu.pipelines.retake import load_video_frames
 

@@ -178,10 +178,17 @@ def main():
         print_table(args.out_dir)
         return
 
-    if not selected:
+    # Already-downloaded files are skipped by download() — exclude them
+    # from the disk estimate too, or a completed --all re-run refuses.
+    pending = {
+        e[0] for e in WEIGHT_TABLE
+        if e[0] in selected and not _is_downloaded(args.out_dir, e[0], e[2])
+    }
+    if not pending:
         print("Nothing to download.")
+        print_table(args.out_dir)
         return
-    if not args.skip_disk_check and not check_disk_space(selected, args.out_dir):
+    if not args.skip_disk_check and not check_disk_space(pending, args.out_dir):
         sys.exit(1)
     failed = [k for k in sorted(selected) if not download(k, args.out_dir, args.token)]
     if failed:
