@@ -17,7 +17,11 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ltx2_tpu.loader.safetensors_io import SafetensorsFile, write_safetensors
+from ltx2_tpu.loader.safetensors_io import (
+    _DTYPES as _SRC_DTYPES,
+    SafetensorsFile,
+    write_safetensors_streaming,
+)
 
 # Inverse of weight_loader's KEY_REWRITE_RULES: tree key -> checkpoint key.
 INVERSE_KEY_RULES = [
@@ -40,26 +44,50 @@ def _flatten(tree, prefix=""):
     return out
 
 
-def params_to_checkpoint(params, dtype=np.float32) -> Dict[str, np.ndarray]:
-    """Stacked DiT param tree -> flat reference-style checkpoint dict
-    (model.diffusion_model.* keys, per-block unstacked)."""
+def _rewrite(key: str) -> str:
+    for pat, repl in INVERSE_KEY_RULES:
+        key = re.sub(pat, repl, key)
+    return f"model.diffusion_model.{key}"
+
+
+def _fetch(leaf, index, dtype) -> np.ndarray:
+    """Device->host fetch of one (un)stacked tensor, converted on host.
+
+    Slicing on device before the transfer keeps peak host memory at one
+    per-block tensor (e.g. one 4096x16384 FFN weight), never the full
+    (L, ...) stack.
+    """
+    part = jnp.asarray(leaf) if index is None else jnp.asarray(leaf)[index]
+    return np.asarray(part.astype(jnp.float32)).astype(dtype)
+
+
+def iter_checkpoint_specs(params, dtype=np.float32):
+    """Yield streaming-writer specs (name, np_dtype, shape, producer) for a
+    stacked DiT param tree, without materializing any tensor data."""
+    dtype = np.dtype(dtype)
     flat = _flatten(params)
-    ckpt: Dict[str, np.ndarray] = {}
     for key, leaf in flat.items():
-        arr = np.asarray(jnp.asarray(leaf).astype(jnp.float32)).astype(dtype)
+        shape = tuple(int(s) for s in jnp.shape(leaf))
         if key.startswith("transformer_blocks."):
             sub = key[len("transformer_blocks."):]
-            for i in range(arr.shape[0]):
-                full = f"transformer_blocks.{i}.{sub}"
-                for pat, repl in INVERSE_KEY_RULES:
-                    full = re.sub(pat, repl, full)
-                ckpt[f"model.diffusion_model.{full}"] = arr[i]
+            for i in range(shape[0]):
+                yield (
+                    _rewrite(f"transformer_blocks.{i}.{sub}"), dtype, shape[1:],
+                    (lambda leaf=leaf, i=i: _fetch(leaf, i, dtype)),
+                )
         else:
-            full = key
-            for pat, repl in INVERSE_KEY_RULES:
-                full = re.sub(pat, repl, full)
-            ckpt[f"model.diffusion_model.{full}"] = arr
-    return ckpt
+            yield (
+                _rewrite(key), dtype, shape,
+                (lambda leaf=leaf: _fetch(leaf, None, dtype)),
+            )
+
+
+def params_to_checkpoint(params, dtype=np.float32) -> Dict[str, np.ndarray]:
+    """Stacked DiT param tree -> flat reference-style checkpoint dict
+    (model.diffusion_model.* keys, per-block unstacked). Eager — fine for
+    test-sized trees; real exports go through the streaming specs."""
+    return {name: producer()
+            for name, _dt, _shape, producer in iter_checkpoint_specs(params, dtype)}
 
 
 def export_transformer_checkpoint(
@@ -74,13 +102,20 @@ def export_transformer_checkpoint(
     every component in ONE file (ModelLedger reads the VAE and connectors
     from the same path as the DiT), so a fine-tuned checkpoint that only
     replaced `model.diffusion_model.*` DiT keys would fail at VAE /
-    text-encoder load. Tensors are memory-mapped views — no full-file
-    materialization on host.
+    text-encoder load.
+
+    Fully streaming: the header is computed from shapes alone, DiT blocks
+    are fetched from device one tensor at a time, and carried tensors are
+    memory-mapped views copied file-to-file — peak host memory is one
+    tensor, so a real ~40 GB export needs no checkpoint-sized RAM.
     """
-    tensors = params_to_checkpoint(params)
+    specs = list(iter_checkpoint_specs(params))
+    dit_keys = {name for name, _d, _s, _p in specs}
     if carry_from is not None:
         src = SafetensorsFile(carry_from)
         for key in src.keys():
-            if key not in tensors:
-                tensors[key] = src.get(key)
-    write_safetensors(path, tensors, metadata=metadata)
+            if key not in dit_keys:
+                dt, shape = src.info(key)
+                specs.append((key, _SRC_DTYPES[dt], shape,
+                              (lambda src=src, key=key: src.get(key))))
+    write_safetensors_streaming(path, specs, metadata=metadata)

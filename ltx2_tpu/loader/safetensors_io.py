@@ -92,29 +92,36 @@ def read_metadata(path: str) -> Dict[str, str]:
     return header.get("__metadata__", {}) or {}
 
 
-def write_safetensors(
+def write_safetensors_streaming(
     path: str,
-    tensors: Dict[str, np.ndarray],
+    specs,
     metadata: Optional[Dict[str, str]] = None,
 ) -> None:
-    """Minimal safetensors writer (tests + checkpoint caching)."""
+    """Streaming safetensors writer.
+
+    `specs` is an iterable of ``(name, np_dtype, shape, producer)`` where
+    ``producer()`` returns the tensor data on demand. The header (which
+    must precede the data region) is computed from dtype+shape alone, so
+    data is produced and written ONE TENSOR AT A TIME — peak host memory
+    is a single tensor, not the whole checkpoint. This is what makes a
+    real multi-GB export (19B DiT + carried VAE/text-encoder tensors)
+    feasible: the eager writer would need ~2x the checkpoint size in RAM.
+    """
+    specs = list(specs)
     header: Dict[str, object] = {}
     if metadata:
         header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
     offset = 0
-    blobs = []
-    for name, arr in tensors.items():
-        arr = np.ascontiguousarray(arr)
-        dtype_name = _DTYPE_NAMES.get(arr.dtype)
+    for name, dtype, shape, _producer in specs:
+        dtype_name = _DTYPE_NAMES.get(np.dtype(dtype))
         if dtype_name is None:
-            raise ValueError(f"Unsupported dtype {arr.dtype} for {name}")
-        nbytes = arr.nbytes
-        header[name] = {
+            raise ValueError(f"Unsupported dtype {dtype} for {name}")
+        nbytes = int(np.dtype(dtype).itemsize) * int(np.prod(shape, dtype=np.int64))
+        header[str(name)] = {
             "dtype": dtype_name,
-            "shape": list(arr.shape),
+            "shape": [int(s) for s in shape],
             "data_offsets": [offset, offset + nbytes],
         }
-        blobs.append(arr.tobytes())
         offset += nbytes
     header_bytes = json.dumps(header).encode("utf-8")
     # Pad header to 8-byte alignment (spec recommendation).
@@ -124,5 +131,25 @@ def write_safetensors(
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(header_bytes)))
         f.write(header_bytes)
-        for blob in blobs:
-            f.write(blob)
+        for name, dtype, shape, producer in specs:
+            # asarray keeps 0-d shapes (ascontiguousarray would promote to 1-d)
+            arr = np.asarray(producer(), order="C")
+            if arr.dtype != np.dtype(dtype) or tuple(arr.shape) != tuple(shape):
+                raise ValueError(
+                    f"Producer for {name} returned {arr.dtype}{arr.shape}, "
+                    f"declared {np.dtype(dtype)}{tuple(shape)}"
+                )
+            f.write(arr.tobytes())
+
+
+def write_safetensors(
+    path: str,
+    tensors: Dict[str, np.ndarray],
+    metadata: Optional[Dict[str, str]] = None,
+) -> None:
+    """Eager-dict safetensors writer (tests + small checkpoint caching)."""
+    specs = []
+    for name, arr in tensors.items():
+        arr = np.asarray(arr)
+        specs.append((name, arr.dtype, arr.shape, (lambda a=arr: a)))
+    write_safetensors_streaming(path, specs, metadata=metadata)

@@ -110,6 +110,86 @@ class TestCheckpointRoundTrip:
         assert loaded["transformer_blocks"]["attn1"]["to_q"]["weight"].dtype == jnp.bfloat16
 
 
+class TestStreamingWriter:
+    def test_streaming_matches_eager_bytes(self, tmp_path):
+        """Streaming writer (header-from-shapes + per-tensor data) must emit
+        a byte-identical file to the eager dict writer."""
+        from ltx2_tpu.loader.safetensors_io import write_safetensors_streaming
+        import ml_dtypes
+
+        rng = np.random.default_rng(0)
+        tensors = {
+            "a.weight": rng.normal(size=(4, 6)).astype(np.float32),
+            "b.weight": rng.normal(size=(3,)).astype(ml_dtypes.bfloat16),
+            "c.scale": rng.normal(size=()).astype(np.float16),
+        }
+        eager = tmp_path / "eager.safetensors"
+        streamed = tmp_path / "streamed.safetensors"
+        write_safetensors(str(eager), tensors, metadata={"model_version": "2.0.0"})
+
+        calls = []
+
+        def make_producer(name, arr):
+            def produce():
+                calls.append(name)
+                return arr
+            return produce
+
+        write_safetensors_streaming(
+            str(streamed),
+            [(n, a.dtype, a.shape, make_producer(n, a)) for n, a in tensors.items()],
+            metadata={"model_version": "2.0.0"},
+        )
+        assert eager.read_bytes() == streamed.read_bytes()
+        # Producers run in declared order, once each (data is streamed, not batched).
+        assert calls == list(tensors.keys())
+
+    def test_streaming_producer_mismatch_raises(self, tmp_path):
+        from ltx2_tpu.loader.safetensors_io import write_safetensors_streaming
+
+        with np.testing.assert_raises(ValueError):
+            write_safetensors_streaming(
+                str(tmp_path / "bad.safetensors"),
+                [("x", np.float32, (2, 2), lambda: np.zeros((3, 3), np.float32))],
+            )
+
+    def test_export_specs_are_lazy_and_match_eager(self, tmp_path):
+        """iter_checkpoint_specs declares shapes without producing data, and
+        export_transformer_checkpoint's streamed file loads back identically."""
+        from ltx2_tpu.loader.export import (
+            export_transformer_checkpoint,
+            iter_checkpoint_specs,
+        )
+        from ltx2_tpu.loader.safetensors_io import SafetensorsFile
+
+        cfg = tiny_config()
+        params = cached_params(cfg)
+        specs = list(iter_checkpoint_specs(params))
+        eager = params_to_checkpoint(params)
+        assert {n for n, _d, _s, _p in specs} == set(eager.keys())
+        for name, dtype, shape, _p in specs:
+            assert tuple(shape) == eager[name].shape
+            assert np.dtype(dtype) == eager[name].dtype
+
+        # carry_from: non-DiT tensors copied via mmap views, DiT keys win.
+        src = tmp_path / "src.safetensors"
+        write_safetensors(
+            str(src),
+            {
+                "vae.decoder.conv_in.weight": np.full((2, 2), 7.0, np.float32),
+                next(iter(eager)): np.zeros_like(next(iter(eager.values()))),
+            },
+        )
+        out = tmp_path / "out.safetensors"
+        export_transformer_checkpoint(str(out), params, carry_from=str(src))
+        f = SafetensorsFile(str(out))
+        np.testing.assert_array_equal(
+            f.get("vae.decoder.conv_in.weight"), np.full((2, 2), 7.0, np.float32)
+        )
+        first_key = next(iter(eager))
+        np.testing.assert_allclose(f.get(first_key), eager[first_key], atol=0)
+
+
 class TestMetadata:
     def test_version_detection(self, tmp_path):
         path = str(tmp_path / "v23.safetensors")
