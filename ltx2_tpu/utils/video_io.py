@@ -146,3 +146,186 @@ def read_video_any(
     from ltx2_tpu.pipelines.retake import load_video_frames
 
     return load_video_frames(path, height, width, num_frames)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python video WRITERS (playable output without ffmpeg)
+# ---------------------------------------------------------------------------
+# The reference muxes H.264 via an external ffmpeg binary
+# (generate.py:2153-2362); when ffmpeg is absent this framework previously
+# degraded to GIF + npz. These writers produce genuinely playable files
+# with the stdlib + PIL only:
+#
+# - write_y4m: lossless YUV4MPEG2 (C444 full-resolution chroma), the
+#   interchange format every ffmpeg/x264/mpv toolchain accepts; exact
+#   inverse of read_y4m's BT.601 limited-range math.
+# - write_avi_mjpeg: RIFF/AVI container with MJPEG video (PIL JPEG per
+#   frame) and optional interleaved 16-bit PCM audio — one file, with
+#   sound, playable in VLC/mpv/ffplay/QuickTime.
+
+
+def rgb_to_ycbcr601(frames_u8: np.ndarray):
+    """(..., 3) uint8 RGB -> limited-range BT.601 (y, cb, cr) float planes.
+
+    Exact forward of read_y4m's inverse: Y' in [16, 235], chroma in
+    [16, 240] around 128.
+    """
+    rgb = frames_u8.astype(np.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    yf = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = (b - yf) / 1.772
+    cr = (r - yf) / 1.402
+    y = yf * (219.0 / 255.0) + 16.0
+    u = cb * (224.0 / 255.0) + 128.0
+    v = cr * (224.0 / 255.0) + 128.0
+    return y, u, v
+
+
+def write_y4m(path: str, frames_u8: np.ndarray, fps: float) -> None:
+    """Write (F, H, W, 3) uint8 RGB as YUV4MPEG2 C444 (8-bit, progressive).
+
+    C444 keeps chroma at full resolution (no subsampling loss and no
+    even-dimension requirement); read_y4m round-trips it to within
+    +-1 count rounding.
+    """
+    from fractions import Fraction
+
+    frames_u8 = np.asarray(frames_u8, np.uint8)
+    if frames_u8.ndim != 4 or frames_u8.shape[-1] != 3:
+        raise ValueError(f"expected (F, H, W, 3) uint8, got {frames_u8.shape}")
+    f, h, w, _ = frames_u8.shape
+    rate = Fraction(fps).limit_denominator(1_000_000)
+    with open(path, "wb") as fh:
+        fh.write(
+            f"YUV4MPEG2 W{w} H{h} F{rate.numerator}:{rate.denominator} "
+            f"Ip A1:1 C444\n".encode("ascii")
+        )
+        y, u, v = rgb_to_ycbcr601(frames_u8)
+        y = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        u = np.clip(np.round(u), 0, 255).astype(np.uint8)
+        v = np.clip(np.round(v), 0, 255).astype(np.uint8)
+        for i in range(f):
+            fh.write(b"FRAME\n")
+            fh.write(y[i].tobytes())
+            fh.write(u[i].tobytes())
+            fh.write(v[i].tobytes())
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE size + payload, padded to even length."""
+    import struct
+
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list_chunk(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def write_avi_mjpeg(
+    path: str,
+    frames_u8: np.ndarray,
+    fps: float,
+    audio: np.ndarray | None = None,
+    sample_rate: int = 24000,
+    quality: int = 92,
+) -> None:
+    """Write (F, H, W, 3) uint8 RGB as an AVI with MJPEG video and optional
+    interleaved 16-bit PCM audio.
+
+    audio: float32 in [-1, 1], (N,), (C, N) or (1, C, N). Audio is sliced
+    into per-frame '01wb' chunks so players can stream A/V in sync.
+    """
+    import io
+    import struct
+
+    from PIL import Image
+
+    frames_u8 = np.asarray(frames_u8, np.uint8)
+    if frames_u8.ndim != 4 or frames_u8.shape[-1] != 3:
+        raise ValueError(f"expected (F, H, W, 3) uint8, got {frames_u8.shape}")
+    num_frames, h, w, _ = frames_u8.shape
+
+    jpegs = []
+    for frame in frames_u8:
+        buf = io.BytesIO()
+        Image.fromarray(frame).save(buf, format="JPEG", quality=quality)
+        jpegs.append(buf.getvalue())
+
+    pcm = None
+    channels = 0
+    if audio is not None:
+        a = np.asarray(audio, np.float32)
+        if a.ndim == 3:
+            a = a[0]
+        if a.ndim == 1:
+            a = a[None]
+        channels = a.shape[0]
+        # (C, N) -> interleaved (N, C) int16
+        pcm = np.clip(np.round(a.T * 32767.0), -32768, 32767).astype("<i2")
+
+    rate = max(1, int(round(fps * 1000)))
+    scale = 1000
+    usec_per_frame = int(round(1_000_000 * scale / rate))
+
+    # --- stream headers ---
+    # MainAVIHeader: flags 0x10 = AVIF_HASINDEX.
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0x10, num_frames, 0,
+        2 if pcm is not None else 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh_v = struct.pack(
+        "<4s4sI2H8I4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, scale, rate, 0, num_frames,
+        max(len(j) for j in jpegs), 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    # BITMAPINFOHEADER with 'MJPG' compression.
+    strf_v = struct.pack(
+        "<I2i2H2I2i2I", 40, w, h, 1, 24,
+        struct.unpack("<I", b"MJPG")[0], w * h * 3, 0, 0, 0, 0,
+    )
+    strl = _list_chunk(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+
+    audio_chunks: list[bytes] = []
+    if pcm is not None:
+        block_align = 2 * channels
+        # dwScale=1 / dwRate=sample_rate, dwSampleSize=block_align (PCM).
+        strh_a = struct.pack(
+            "<4s4sI2H8I4H",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0,
+            0, 1, sample_rate, 0, pcm.shape[0],
+            sample_rate * block_align, 0xFFFFFFFF, block_align,
+            0, 0, 0, 0,
+        )
+        strf_a = struct.pack(
+            "<2H2I2H", 1, channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+        strl += _list_chunk(
+            b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)
+        )
+        # Slice audio into per-frame chunks (last chunk takes the tail).
+        edges = np.linspace(0, pcm.shape[0], num_frames + 1).astype(np.int64)
+        audio_chunks = [
+            pcm[edges[i] : edges[i + 1]].tobytes() for i in range(num_frames)
+        ]
+
+    hdrl = _list_chunk(b"hdrl", _chunk(b"avih", avih) + strl)
+
+    # --- movi payload + idx1 (offsets relative to the 'movi' fourcc) ---
+    movi_payload = b""
+    idx = b""
+    for i, jpeg in enumerate(jpegs):
+        offset = 4 + len(movi_payload)
+        movi_payload += _chunk(b"00dc", jpeg)
+        idx += struct.pack("<4s3I", b"00dc", 0x10, offset, len(jpeg))
+        if audio_chunks and audio_chunks[i]:
+            offset = 4 + len(movi_payload)
+            movi_payload += _chunk(b"01wb", audio_chunks[i])
+            idx += struct.pack("<4s3I", b"01wb", 0x10, offset, len(audio_chunks[i]))
+    movi = _list_chunk(b"movi", movi_payload)
+
+    riff_payload = b"AVI " + hdrl + movi + _chunk(b"idx1", idx)
+    with open(path, "wb") as fh:
+        fh.write(_chunk(b"RIFF", riff_payload))

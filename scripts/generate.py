@@ -585,9 +585,28 @@ def build_models(args, meshes=None):
 def save_video(frames: np.ndarray, output: str, fps: float, output_fps=None, audio=None,
                audio_sample_rate: int = 24000):
     """ffmpeg H.264 mux with optional minterpolate + audio
-    (generate.py:2153-2362). Falls back to GIF + npz when ffmpeg is absent."""
+    (generate.py:2153-2362). `.avi` / `.y4m` outputs are written by the
+    pure-Python muxers (no ffmpeg needed); other containers fall back to
+    playable AVI + GIF + npz when ffmpeg is absent."""
     import shutil
 
+    suffix = output.rsplit(".", 1)[-1].lower() if "." in output else ""
+    if suffix in ("avi", "y4m"):
+        from ltx2_tpu.utils.video_io import write_avi_mjpeg, write_y4m
+
+        if suffix == "y4m":
+            write_y4m(output, frames, fps)
+            if audio is not None:
+                audio_np = np.asarray(audio, np.float32)
+                if audio_np.ndim == 3:
+                    audio_np = audio_np[0]
+                _write_wav(output.rsplit(".", 1)[0] + ".wav", audio_np, audio_sample_rate)
+        else:
+            write_avi_mjpeg(
+                output, frames, fps, audio=audio, sample_rate=audio_sample_rate
+            )
+        print(f"wrote {output}")
+        return
     if shutil.which("ffmpeg") is None:
         _save_video_fallback(frames, output, fps, audio, audio_sample_rate)
         return
@@ -626,10 +645,15 @@ def save_video(frames: np.ndarray, output: str, fps: float, output_fps=None, aud
 
 def _save_video_fallback(frames: np.ndarray, output: str, fps: float, audio,
                          audio_sample_rate: int):
-    """No-ffmpeg fallback: animated GIF + raw frames npz (+ wav)."""
+    """No-ffmpeg fallback: playable MJPEG AVI (audio muxed in) + animated
+    GIF preview + raw frames npz (+ wav)."""
     from PIL import Image
 
+    from ltx2_tpu.utils.video_io import write_avi_mjpeg
+
     base = output.rsplit(".", 1)[0]
+    avi_path = base + ".avi"
+    write_avi_mjpeg(avi_path, frames, fps, audio=audio, sample_rate=audio_sample_rate)
     gif_path = base + ".gif"
     imgs = [Image.fromarray(f) for f in frames]
     imgs[0].save(
@@ -642,7 +666,7 @@ def _save_video_fallback(frames: np.ndarray, output: str, fps: float, audio,
         if audio_np.ndim == 3:
             audio_np = audio_np[0]
         _write_wav(base + ".wav", audio_np, audio_sample_rate)
-    print(f"ffmpeg not found - wrote {gif_path} and {base}_frames.npz")
+    print(f"ffmpeg not found - wrote {avi_path}, {gif_path} and {base}_frames.npz")
 
 
 def _write_wav(path: str, audio: np.ndarray, sample_rate: int):

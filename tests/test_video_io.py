@@ -108,3 +108,95 @@ class TestY4M:
         y4m = tmp_path / "a.y4m"
         _write_y4m(y4m, frames)
         assert read_video_any(str(y4m), 8, 8, 2).shape == (1, 3, 2, 8, 8)
+
+
+class TestWriters:
+    def test_y4m_writer_roundtrip(self, tmp_path):
+        """write_y4m (C444) -> read_y4m recovers frames within the BT.601
+        limited-range quantization (219/255 scale ~= 1.16 full-range counts
+        per limited count; two roundings -> up to +-3 counts on 8-bit)."""
+        from ltx2_tpu.utils.video_io import write_y4m
+
+        frames = _gradient_frames(3, 10, 14)
+        path = str(tmp_path / "out.y4m")
+        write_y4m(path, frames, fps=24.0)
+        video = read_y4m(path, 10, 14, 3)
+        decoded = ((video[0].transpose(1, 2, 3, 0) + 1) * 127.5).astype(np.int32)
+        assert np.abs(decoded - frames.astype(np.int32)).max() <= 3
+
+    def test_y4m_writer_header(self, tmp_path):
+        from ltx2_tpu.utils.video_io import write_y4m
+
+        path = str(tmp_path / "hdr.y4m")
+        write_y4m(path, _gradient_frames(1, 6, 8), fps=30000 / 1001)
+        header = open(path, "rb").readline().decode()
+        assert "W8" in header and "H6" in header and "C444" in header
+        assert "F30000:1001" in header
+
+    def test_avi_writer_structure_and_jpeg(self, tmp_path):
+        """RIFF/AVI layout: fourccs present, header geometry/counts right,
+        idx1 consistent, and the first 00dc chunk decodes via PIL to the
+        original frame within JPEG tolerance."""
+        import io
+        import struct
+
+        from PIL import Image
+
+        from ltx2_tpu.utils.video_io import write_avi_mjpeg
+
+        frames = _gradient_frames(4, 16, 24)
+        audio = np.sin(np.linspace(0, 40, 4000, dtype=np.float32))[None] * 0.5
+        path = str(tmp_path / "out.avi")
+        write_avi_mjpeg(path, frames, fps=12.0, audio=audio, sample_rate=24000)
+        data = open(path, "rb").read()
+
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+        # MainAVIHeader: frame count, stream count, geometry.
+        avih_at = data.index(b"avih") + 8
+        fields = struct.unpack("<14I", data[avih_at : avih_at + 56])
+        assert fields[4] == 4  # dwTotalFrames
+        assert fields[6] == 2  # dwStreams (video + audio)
+        assert fields[8] == 24 and fields[9] == 16  # width, height
+        assert b"vids" in data and b"MJPG" in data and b"auds" in data
+
+        # idx1 entries: 4 video + 4 audio chunks, keyframe-flagged.
+        idx_at = data.index(b"idx1")
+        idx_size = struct.unpack("<I", data[idx_at + 4 : idx_at + 8])[0]
+        assert idx_size == 8 * 16
+        movi_at = data.index(b"movi")
+        first = struct.unpack("<4s3I", data[idx_at + 8 : idx_at + 24])
+        assert first[0] == b"00dc" and first[1] == 0x10
+
+        # Decode the first video chunk: offset is relative to 'movi'.
+        chunk_at = movi_at + first[2]
+        assert data[chunk_at : chunk_at + 4] == b"00dc"
+        size = struct.unpack("<I", data[chunk_at + 4 : chunk_at + 8])[0]
+        jpeg = data[chunk_at + 8 : chunk_at + 8 + size]
+        img = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"), np.int32)
+        assert img.shape == (16, 24, 3)
+        assert np.abs(img - frames[0].astype(np.int32)).mean() < 8
+
+        # Audio chunks carry the full PCM stream.
+        pcm_bytes = 0
+        at = idx_at + 8
+        for _ in range(8):
+            cc, _fl, _off, sz = struct.unpack("<4s3I", data[at : at + 16])
+            if cc == b"01wb":
+                pcm_bytes += sz
+            at += 16
+        assert pcm_bytes == 4000 * 2  # mono int16
+
+    def test_avi_writer_video_only(self, tmp_path):
+        import struct
+
+        from ltx2_tpu.utils.video_io import write_avi_mjpeg
+
+        frames = _gradient_frames(2, 8, 8)
+        path = str(tmp_path / "v.avi")
+        write_avi_mjpeg(path, frames, fps=24.0)
+        data = open(path, "rb").read()
+        avih_at = data.index(b"avih") + 8
+        fields = struct.unpack("<14I", data[avih_at : avih_at + 56])
+        assert fields[6] == 1  # video stream only
+        assert b"auds" not in data
