@@ -8,6 +8,7 @@ from ltx2_tpu.training.trainer import (
     rectified_flow_loss,
     trainable_mask,
     zero1_opt_state_shardings,
+    zero2_grad_shardings,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "rectified_flow_loss",
     "trainable_mask",
     "zero1_opt_state_shardings",
+    "zero2_grad_shardings",
 ]

@@ -208,6 +208,43 @@ def merge_params(trainable, frozen):
     )
 
 
+def _data_extended_sharding(leaf, p_shard, mesh, data_axis: str):
+    """Param sharding + the `data` axis on the first still-free divisible
+    dim — the shared layout rule for ZeRO-1 moments and ZeRO-2 grads."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dsize = dict(mesh.shape).get(data_axis, 1)
+    ndim = getattr(leaf, "ndim", 0)
+    spec = list(p_shard.spec) + [None] * (ndim - len(p_shard.spec))
+    if dsize > 1:
+        for i in range(ndim):
+            if spec[i] is None and leaf.shape[i] % dsize == 0 and leaf.shape[i] >= dsize:
+                spec[i] = data_axis
+                break
+    return NamedSharding(mesh, P(*spec))
+
+
+def zero2_grad_shardings(params, param_shardings, mesh, data_axis: str = "data"):
+    """ZeRO-2: NamedSharding tree pinning GRADIENTS data-sharded.
+
+    ZeRO-1 shards the Adam moments; the gradient itself still materializes
+    full-size (fp32) on every device between backprop and the optimizer
+    update — on DP meshes that is the peak-memory term remat can't touch.
+    Constraining grads to the same data-extended layout as the moments
+    makes GSPMD REDUCE-SCATTER the microbatch gradients straight into
+    1/D-per-device shards (instead of all-reduce to replicated), run the
+    moment/update math shard-local, and all-gather only the parameter
+    updates — the classical ZeRO-2 exchange, expressed purely through
+    shardings. Pass to `make_train_step(grad_shardings=...)`; under
+    `accum_steps > 1` the fp32 accumulator carries the same 1/D layout, so
+    accumulation memory also drops D-fold.
+    """
+    return jax.tree_util.tree_map(
+        lambda p_shard, leaf: _data_extended_sharding(leaf, p_shard, mesh, data_axis),
+        param_shardings, params,
+    )
+
+
 def zero1_opt_state_shardings(
     opt_state, params, param_shardings, mesh, data_axis: str = "data"
 ):
@@ -230,7 +267,6 @@ def zero1_opt_state_shardings(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     pdef = jax.tree_util.tree_structure(params)
-    dsize = dict(mesh.shape).get(data_axis, 1)
 
     def is_param_tree(node):
         try:
@@ -239,14 +275,7 @@ def zero1_opt_state_shardings(
             return False
 
     def moment_sharding(p_shard, leaf):
-        ndim = getattr(leaf, "ndim", 0)
-        spec = list(p_shard.spec) + [None] * (ndim - len(p_shard.spec))
-        if dsize > 1:
-            for i in range(ndim):
-                if spec[i] is None and leaf.shape[i] % dsize == 0 and leaf.shape[i] >= dsize:
-                    spec[i] = data_axis
-                    break
-        return NamedSharding(mesh, P(*spec))
+        return _data_extended_sharding(leaf, p_shard, mesh, data_axis)
 
     flat, treedef = jax.tree_util.tree_flatten(opt_state, is_leaf=is_param_tree)
     out = [
@@ -258,10 +287,13 @@ def zero1_opt_state_shardings(
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _accumulated_value_and_grad(loss_fn, params, batch, key, accum_steps):
+def _accumulated_value_and_grad(
+    loss_fn, params, batch, key, accum_steps, grad_shardings=None
+):
     """Microbatch gradient accumulation: scan `accum_steps` micro-grads in
     fp32 and average. Peak activation memory is one microbatch's backprop;
-    the extra cost is one fp32 grad buffer for the differentiated tree."""
+    the extra cost is one fp32 grad buffer for the differentiated tree
+    (1/D per device when `grad_shardings` pins it, ZeRO-2 style)."""
     def split_micro(x):
         if x is None:
             return None
@@ -274,18 +306,25 @@ def _accumulated_value_and_grad(loss_fn, params, batch, key, accum_steps):
     micro = jax.tree_util.tree_map(split_micro, batch)
     keys = jax.random.split(key, accum_steps)
 
+    def pin(grads):
+        if grad_shardings is None:
+            return grads
+        return jax.lax.with_sharding_constraint(grads, grad_shardings)
+
     def body(carry, inp):
         acc_loss, acc_grads = carry
         mb, k = inp
         loss, grads = jax.value_and_grad(loss_fn)(params, mb, k)
+        # Pinning the per-microbatch grads here turns backprop's cross-data
+        # all-reduce into a reduce-scatter; the fp32 carry then stays 1/D.
         acc_grads = jax.tree_util.tree_map(
-            lambda a, g: a + g.astype(jnp.float32), acc_grads, grads
+            lambda a, g: a + g.astype(jnp.float32), acc_grads, pin(grads)
         )
-        return (acc_loss + loss, acc_grads), None
+        return (acc_loss + loss, pin(acc_grads)), None
 
-    zeros = jax.tree_util.tree_map(
+    zeros = pin(jax.tree_util.tree_map(
         lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
-    )
+    ))
     (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros), (micro, keys))
     inv = 1.0 / accum_steps
     grads = jax.tree_util.tree_map(
@@ -301,6 +340,7 @@ def make_train_step(
     trainable_mask=None,
     accum_steps: int = 1,
     opt_state_shardings=None,
+    grad_shardings=None,
 ):
     """One jitted (params, opt_state, batch, key) -> (loss, params, opt_state).
 
@@ -316,6 +356,12 @@ def make_train_step(
     updated optimizer state to data-sharded moments inside the step, so
     donation keeps the 1/D-per-device layout across steps.
 
+    grad_shardings (ZeRO-2, see zero2_grad_shardings): pins the gradient
+    tree data-sharded the moment backprop produces it, so GSPMD lowers the
+    cross-'data' gradient sync to reduce-scatter (not all-reduce) and the
+    grad + clip + Adam math runs on 1/D shards. With accum_steps > 1 the
+    fp32 accumulator carries the same layout.
+
     With `trainable_mask`, the returned step has the PARTITIONED signature
     `(trainable, opt_state, frozen, batch, key) -> (loss, trainable,
     opt_state)`: it differentiates ONLY the trainable subtree (frozen
@@ -330,10 +376,18 @@ def make_train_step(
             return opt_state
         return jax.lax.with_sharding_constraint(opt_state, opt_state_shardings)
 
+    def pin_grads(grads):
+        if grad_shardings is None:
+            return grads
+        return jax.lax.with_sharding_constraint(grads, grad_shardings)
+
     def value_and_grad(loss_fn, params, batch, key):
         if accum_steps <= 1:
-            return jax.value_and_grad(loss_fn)(params, batch, key)
-        return _accumulated_value_and_grad(loss_fn, params, batch, key, accum_steps)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+            return loss, pin_grads(grads)
+        return _accumulated_value_and_grad(
+            loss_fn, params, batch, key, accum_steps, grad_shardings
+        )
 
     if trainable_mask is None:
         def loss_fn(p, b, k):

@@ -85,6 +85,11 @@ def build_parser():
                    help="shard Adam moments over the 'data' mesh axis "
                         "(ZeRO-1): per-device optimizer memory ~1/dp "
                         "instead of fully replicated")
+    p.add_argument("--zero2", action="store_true",
+                   help="additionally pin GRADIENTS data-sharded (ZeRO-2): "
+                        "backprop's cross-data sync lowers to reduce-scatter "
+                        "and grad/clip/Adam math runs on 1/dp shards "
+                        "(implies --zero1)")
     return p
 
 
@@ -273,23 +278,33 @@ def main(argv=None):
         opt_target = params
 
     opt_shardings = None
-    if args.zero1:
+    grad_shardings = None
+    if args.zero1 or args.zero2:
+        which = "--zero2" if args.zero2 else "--zero1"
         if mesh is None or max(args.dp_devices, 1) <= 1:
-            raise SystemExit("--zero1 needs --dp-devices > 1 (a 'data' axis "
+            raise SystemExit(f"{which} needs --dp-devices > 1 (a 'data' axis "
                              "to shard the Adam moments over)")
         from ltx2_tpu.parallel.sharding import dit_param_shardings
-        from ltx2_tpu.training import zero1_opt_state_shardings
+        from ltx2_tpu.training import (
+            zero1_opt_state_shardings, zero2_grad_shardings,
+        )
 
         param_shardings = dit_param_shardings(mesh, opt_target)
         opt_shardings = zero1_opt_state_shardings(
             opt_state, opt_target, param_shardings, mesh
         )
         opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, opt_shardings)
-        log.info("ZeRO-1: Adam moments sharded over 'data' (%d-way)",
+        if args.zero2:
+            grad_shardings = zero2_grad_shardings(
+                opt_target, param_shardings, mesh
+            )
+        log.info("ZeRO-%d: Adam moments%s sharded over 'data' (%d-way)",
+                 2 if args.zero2 else 1,
+                 " + gradients" if args.zero2 else "",
                  max(args.dp_devices, 1))
     step = make_train_step(
         cfg, opt, tc, trainable_mask=mask, accum_steps=args.accum_steps,
-        opt_state_shardings=opt_shardings,
+        opt_state_shardings=opt_shardings, grad_shardings=grad_shardings,
     )
 
     # ---- Loop. Runs under the ambient mesh (SCOPED, not process-global —
