@@ -85,6 +85,17 @@ def build_parser():
                    help="shard Adam moments over the 'data' mesh axis "
                         "(ZeRO-1): per-device optimizer memory ~1/dp "
                         "instead of fully replicated")
+    p.add_argument("--save-state", type=str, default=None,
+                   help="periodically persist (step, trainable params, "
+                        "optimizer state) to this path for exact mid-run "
+                        "resume (atomic; overwrites)")
+    p.add_argument("--save-every", type=int, default=100,
+                   help="checkpoint the training state every N steps "
+                        "(with --save-state)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume from a --save-state file: continues at the "
+                        "saved step with bit-identical losses/weights vs "
+                        "the uninterrupted run (config must match)")
     p.add_argument("--zero2", action="store_true",
                    help="additionally pin GRADIENTS data-sharded (ZeRO-2): "
                         "backprop's cross-data sync lowers to reduce-scatter "
@@ -317,10 +328,44 @@ def main(argv=None):
         jax.sharding.set_mesh(mesh) if mesh is not None
         else contextlib.nullcontext()
     )
+    start = 0
+    if args.resume:
+        from ltx2_tpu.training.checkpoint import load_train_state
+
+        if mask is not None:
+            start, trainable, opt_state = load_train_state(
+                args.resume, trainable, opt_state
+            )
+        else:
+            start, params, opt_state = load_train_state(
+                args.resume, params, opt_state
+            )
+        log.info("resumed training state from %s at step %d", args.resume, start)
+
+    state_meta = {
+        "seed": str(args.seed), "batch_size": str(args.batch_size),
+        "accum_steps": str(args.accum_steps),
+        "trainable": str(args.trainable), "lora_rank": str(args.lora_rank),
+    }
+
+    def save_state(next_step):
+        from ltx2_tpu.training.checkpoint import save_train_state
+
+        save_train_state(
+            args.save_state, next_step,
+            trainable if mask is not None else params,
+            opt_state, metadata=state_meta,
+        )
+        log.info("saved training state -> %s (step %d)", args.save_state, next_step)
+
     rng = np.random.RandomState(args.seed + 1)
+    # Fast-forward the batch-index stream so a resumed run sees the exact
+    # batches the uninterrupted run would have at each step.
+    for _ in range(start):
+        rng.randint(0, n_samples, size=args.batch_size)
     t0 = time.perf_counter()
     with mesh_scope:
-      for i in range(args.steps):
+      for i in range(start, args.steps):
         idx = rng.randint(0, n_samples, size=args.batch_size)
         batch = TrainBatch(
             x0=dp_put(jnp.asarray(x0s[idx])),
@@ -341,6 +386,10 @@ def main(argv=None):
                 "step %d/%d  loss %.5f  (%.2f s)",
                 i, args.steps, float(loss), time.perf_counter() - t0,
             )
+        if args.save_state and (
+            (i + 1) % args.save_every == 0 or i == args.steps - 1
+        ):
+            save_state(i + 1)
 
     if mask is not None:
         params = merge_params(trainable, frozen)

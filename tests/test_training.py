@@ -398,6 +398,43 @@ class TestTrainCLI:
         np.testing.assert_allclose(ff_t, ff_0, atol=3e-3)  # frozen (bf16 export rounding)
 
 
+    def test_resume_is_exact(self, tmp_path):
+        """--save-state/--resume: an interrupted run resumed mid-stream
+        produces a final checkpoint BYTE-IDENTICAL to the uninterrupted
+        run (optimizer state, batch-index stream, and per-step keys all
+        restored exactly)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import train as train_cli
+
+        common = [
+            "--placeholder", "--synthetic", "2", "2", "3",
+            "--batch-size", "2", "--lr", "1e-2",
+            "--trainable", "attn1", "--seed", "0",
+        ]
+        straight = tmp_path / "straight.safetensors"
+        train_cli.main(common + ["--steps", "4", "--save", str(straight)])
+
+        state = tmp_path / "state.safetensors"
+        train_cli.main(common + [
+            "--steps", "2", "--save-state", str(state), "--save-every", "2",
+        ])
+        resumed = tmp_path / "resumed.safetensors"
+        train_cli.main(common + [
+            "--steps", "4", "--resume", str(state), "--save", str(resumed),
+        ])
+        assert straight.read_bytes() == resumed.read_bytes()
+
+        # A mismatched config (different trainable set -> different tree)
+        # must fail loudly, not scramble leaves.
+        with pytest.raises(ValueError, match="different configuration"):
+            train_cli.main(common[:-4] + [
+                "--trainable", "ff", "--seed", "0",
+                "--steps", "4", "--resume", str(state),
+            ])
+
     def test_export_carry_from_merges_non_dit_tensors(self, tmp_path):
         """A fine-tuned export must be a COMPLETE single-file checkpoint:
         non-DiT tensors (VAE, projections) carried verbatim from the
