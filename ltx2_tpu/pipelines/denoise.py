@@ -67,6 +67,14 @@ class DenoiseLoopConfig:
     # conditioning): per-batch timesteps instead of per-token -> AdaLN
     # embeddings shrink from (B, N, n, D) to (B, 1, n, D).
     uniform_timesteps: bool = False
+    # Guidance reuse: run the unconditional CFG forward only every k-th
+    # step (step 0 always) and carry the x0-space guidance delta
+    # (pos - neg, fp32) between recomputes; skip steps reconstruct
+    # neg = pos - delta so every guider (CFG, CFG*, APG) works unchanged.
+    # The delta drifts far more slowly across sigmas than either branch,
+    # so k=2 is a conservative setting that removes ~half the uncond
+    # forwards from the 30-step CFG recipes. 1 = exact CFG (default).
+    cfg_interval: int = 1
 
     @property
     def need_cfg(self) -> bool:
@@ -361,9 +369,23 @@ def make_video_denoise_loop(
     With `pipeline_axis` instead, the block stack runs GPipe-pipelined over
     that mesh axis (per-stage weight HBM ~1/P); microbatches default to the
     guidance rows (0 = rows).
+
+    With `loop_cfg.cfg_interval > 1`, the unconditional forward runs only
+    on every k-th step (step 0 always); in between, a lax.cond dispatches a
+    reduced cond-only forward and the carried fp32 guidance delta stands in
+    for the uncond branch (neg = pos - delta, so CFG*/APG projections work
+    unchanged). Exact for cfg_interval=1.
     """
-    rows = loop_cfg.rows
     ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
+    if loop_cfg.cfg_interval < 1:
+        raise ValueError(f"cfg_interval must be >= 1, got {loop_cfg.cfg_interval}")
+    reuse_cfg = loop_cfg.need_cfg and loop_cfg.cfg_interval > 1
+    if reuse_cfg and pipeline_axis is not None:
+        raise NotImplementedError(
+            "cfg_interval > 1 does not compose with pipeline parallelism: "
+            "the GPipe microbatch schedule is built from the guidance rows, "
+            "which differ between recompute and reuse steps"
+        )
 
     def loop(params, state: LatentState, sigmas, pos_ctx, neg_ctx,
              token_mask=None):
@@ -373,58 +395,127 @@ def make_video_denoise_loop(
         # AND samples share one DiT forward per step (the reference's
         # batched-CFG trick, extended to multi-clip throughput batching).
         batch = state.latent.shape[0]
-
-        contexts = [pos_ctx]
-        if loop_cfg.need_cfg:
-            contexts.append(neg_ctx)
-        if loop_cfg.need_stg:
-            contexts.append(pos_ctx)
-        context = jnp.concatenate(contexts, axis=0)
-
-        positions = _tile_rows(state.positions, rows)
-        video_pe = _precompute_video_pe(model_cfg, state.positions, rows)
-        perturb = _build_perturbations(loop_cfg, rows, batch)
-
-        text_kv = None
-        if loop_cfg.cache_text_kv and not model_cfg.cross_attention_adaln:
-            from ltx2_tpu.models.transformer.model import precompute_text_kv
-
-            text_kv = precompute_text_kv(params, model_cfg, video_context=context)
-
         mask = state.denoise_mask
         clean = state.clean_latent
-        tiled_token_mask = (
-            None if token_mask is None else _tile_rows(token_mask, rows)
-        )
+
         if token_mask is not None and mesh is not None:
             raise NotImplementedError(
                 "shape-bucketed serving (token_mask) does not compose with "
                 "SP/PP meshes — pad to a multiple of the mesh axis instead"
             )
-
-        sp_forward = None
-        if mesh is not None and pipeline_axis is not None:
-            assert text_kv is None, "cache_text_kv is incompatible with pipeline_axis"
-            if dict(mesh.shape).get(sequence_axis, 1) > 1:
-                _check_seq_divisible(
-                    state.latent.shape[1], mesh, sequence_axis, "video"
-                )
-            sp_forward = _make_pp_forward(
-                model_cfg, mesh, pipeline_axis,
-                pipeline_microbatches or rows, perturb, ca_scales, n_modalities=1,
-            )
-        elif mesh is not None:
-            if text_kv is not None and dict(mesh.shape).get("model", 1) > 1:
-                raise ValueError(
-                    "cache_text_kv is incompatible with SP x TP (the cached "
-                    "K/V would need head sharding) — drop --cache-text-kv"
-                )
+        if mesh is not None and (
+            pipeline_axis is None or dict(mesh.shape).get(sequence_axis, 1) > 1
+        ):
             _check_seq_divisible(
                 state.latent.shape[1], mesh, sequence_axis, "video"
             )
-            sp_forward = _make_sp_forward(
-                model_cfg, mesh, sequence_axis, perturb, n_modalities=1
+
+        def build_forward(with_cfg: bool):
+            """One DiT forward over this step kind's guidance rows.
+
+            Recompute steps carry [cond, uncond, stg] x batch; reuse steps
+            drop the uncond row, so contexts, RoPE tiling, perturbation
+            layout and the SP/PP wrappers are all built per row plan.
+            """
+            r = 1 + int(with_cfg) + int(loop_cfg.need_stg)
+            contexts = [pos_ctx]
+            if with_cfg:
+                contexts.append(neg_ctx)
+            if loop_cfg.need_stg:
+                contexts.append(pos_ctx)
+            context = jnp.concatenate(contexts, axis=0)
+
+            positions = _tile_rows(state.positions, r)
+            video_pe = _precompute_video_pe(model_cfg, state.positions, r)
+            perturb = _build_perturbations(loop_cfg, r, batch)
+
+            text_kv = None
+            if loop_cfg.cache_text_kv and not model_cfg.cross_attention_adaln:
+                from ltx2_tpu.models.transformer.model import precompute_text_kv
+
+                text_kv = precompute_text_kv(
+                    params, model_cfg, video_context=context
+                )
+
+            tiled_token_mask = (
+                None if token_mask is None else _tile_rows(token_mask, r)
             )
+
+            sp_forward = None
+            if mesh is not None and pipeline_axis is not None:
+                assert text_kv is None, (
+                    "cache_text_kv is incompatible with pipeline_axis"
+                )
+                sp_forward = _make_pp_forward(
+                    model_cfg, mesh, pipeline_axis,
+                    pipeline_microbatches or r, perturb, ca_scales,
+                    n_modalities=1,
+                )
+            elif mesh is not None:
+                if text_kv is not None and dict(mesh.shape).get("model", 1) > 1:
+                    raise ValueError(
+                        "cache_text_kv is incompatible with SP x TP (the cached "
+                        "K/V would need head sharding) — drop --cache-text-kv"
+                    )
+                sp_forward = _make_sp_forward(
+                    model_cfg, mesh, sequence_axis, perturb, n_modalities=1
+                )
+
+            def forward(latent, sigma):
+                tiled_state = LatentState(
+                    latent=_tile_rows(latent, r),
+                    denoise_mask=_tile_rows(mask, r),
+                    positions=positions,
+                    clean_latent=_tile_rows(clean, r),
+                )
+                modality = modality_from_state(
+                    tiled_state, context, sigma,
+                    uniform_timesteps=loop_cfg.uniform_timesteps,
+                    token_mask=tiled_token_mask,
+                )
+                if sp_forward is not None:
+                    return sp_forward(
+                        params, modality, None, video_pe, ca_scales, text_kv
+                    )
+                from ltx2_tpu.models.transformer.model import x0_model_apply
+
+                return x0_model_apply(
+                    params, model_cfg, video=modality,
+                    perturbations=perturb, ca_scales=ca_scales,
+                    video_pe=video_pe, text_kv=text_kv,
+                )
+
+            return forward
+
+        forward_full = build_forward(with_cfg=loop_cfg.need_cfg)
+        forward_reduced = build_forward(with_cfg=False) if reuse_cfg else None
+
+        def combine(pos, neg, perturbed, stg_flag):
+            """_combine_guidance on pre-split rows (bit-identical math)."""
+            denoised = (
+                loop_cfg.guider.guide(pos, neg) if loop_cfg.need_cfg else pos
+            )
+            if loop_cfg.need_stg:
+                delta = loop_cfg.stg_scale * (denoised - perturbed)
+                denoised = denoised + stg_flag * delta
+            return denoised
+
+        def split(outs, with_cfg):
+            pos = outs[0:batch]
+            neg = outs[batch : 2 * batch] if with_cfg else None
+            off = (1 + int(with_cfg)) * batch
+            perturbed = outs[off : off + batch] if loop_cfg.need_stg else None
+            return pos, neg, perturbed
+
+        def eval_full(latent, sigma, cfg_delta, stg_flag):
+            pos, neg, perturbed = split(forward_full(latent, sigma), True)
+            new_delta = pos.astype(jnp.float32) - neg.astype(jnp.float32)
+            return combine(pos, neg, perturbed, stg_flag), new_delta
+
+        def eval_reused(latent, sigma, cfg_delta, stg_flag):
+            pos, _, perturbed = split(forward_reduced(latent, sigma), False)
+            neg = (pos.astype(jnp.float32) - cfg_delta).astype(pos.dtype)
+            return combine(pos, neg, perturbed, stg_flag), cfg_delta
 
         # Per-step STG active flags (cutoff): static schedule length.
         step_ids = jnp.arange(num_steps)
@@ -432,36 +523,22 @@ def make_video_denoise_loop(
             jnp.float32
         )
 
-        def forward(latent, sigma):
-            tiled_state = LatentState(
-                latent=_tile_rows(latent, rows),
-                denoise_mask=_tile_rows(mask, rows),
-                positions=positions,
-                clean_latent=_tile_rows(clean, rows),
-            )
-            modality = modality_from_state(
-                tiled_state, context, sigma,
-                uniform_timesteps=loop_cfg.uniform_timesteps,
-                token_mask=tiled_token_mask,
-            )
-            if sp_forward is not None:
-                return sp_forward(params, modality, None, video_pe, ca_scales, text_kv)
-            from ltx2_tpu.models.transformer.model import x0_model_apply
-
-            return x0_model_apply(
-                params, model_cfg, video=modality,
-                perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
-                text_kv=text_kv,
-            )
-
         def step_fn(carry, xs):
-            latent, prev_velocity = carry
-            step_idx, sigma, sigma_next, stg_flag = xs
-
-            outs = forward(latent, sigma)
-            denoised = _combine_guidance(
-                loop_cfg, outs, loop_cfg.guider, stg_flag, batch
-            )
+            if reuse_cfg:
+                latent, prev_velocity, cfg_delta = carry
+                step_idx, sigma, sigma_next, stg_flag, cfg_flag = xs
+                denoised, cfg_delta = jax.lax.cond(
+                    cfg_flag, eval_full, eval_reused,
+                    latent, sigma, cfg_delta, stg_flag,
+                )
+            else:
+                latent, prev_velocity = carry
+                step_idx, sigma, sigma_next, stg_flag = xs
+                cfg_delta = None
+                outs = forward_full(latent, sigma)
+                denoised = _combine_guidance(
+                    loop_cfg, outs, loop_cfg.guider, stg_flag, batch
+                )
             denoised, prev_velocity = _ge_correct(
                 loop_cfg, latent, denoised, sigma, prev_velocity, step_idx
             )
@@ -469,10 +546,17 @@ def make_video_denoise_loop(
 
             if loop_cfg.sampler == "heun":
                 predicted = _euler_step(latent, denoised, sigma, sigma_next)
-                outs2 = forward(predicted, sigma_next)
-                denoised2 = _combine_guidance(
-                    loop_cfg, outs2, loop_cfg.guider, stg_flag, batch
-                )
+                if reuse_cfg:
+                    # Heun's corrector reuses the step's (possibly fresh)
+                    # delta — one reduced forward instead of a full one.
+                    denoised2, _ = eval_reused(
+                        predicted, sigma_next, cfg_delta, stg_flag
+                    )
+                else:
+                    outs2 = forward_full(predicted, sigma_next)
+                    denoised2 = _combine_guidance(
+                        loop_cfg, outs2, loop_cfg.guider, stg_flag, batch
+                    )
                 denoised2 = post_process_latent(denoised2, mask, clean)
                 v1 = (latent.astype(jnp.float32) - denoised) / sigma
                 safe_next = jnp.where(sigma_next == 0, 1.0, sigma_next)
@@ -488,6 +572,8 @@ def make_video_denoise_loop(
             else:
                 new_latent = _euler_step(latent, denoised, sigma, sigma_next)
 
+            if reuse_cfg:
+                return (new_latent, prev_velocity, cfg_delta), None
             return (new_latent, prev_velocity), None
 
         init = (state.latent, jnp.zeros_like(state.latent, jnp.float32))
@@ -497,7 +583,10 @@ def make_video_denoise_loop(
             sigmas[1:].astype(jnp.float32),
             stg_flags,
         )
-        (final_latent, _), _ = jax.lax.scan(step_fn, init, xs)
+        if reuse_cfg:
+            init = init + (jnp.zeros_like(state.latent, jnp.float32),)
+            xs = xs + ((step_ids % loop_cfg.cfg_interval) == 0,)
+        (final_latent, *_), _ = jax.lax.scan(step_fn, init, xs)
         return state.replace(latent=final_latent)
 
     return jax.jit(loop)
@@ -521,108 +610,177 @@ def make_av_denoise_loop(
     attention all-gathers the other modality's K/V over the ring); with
     `pipeline_axis` instead, the block stack runs GPipe-pipelined over that
     axis with the guidance rows as microbatches.
+
+    With `loop_cfg.cfg_interval > 1`, the uncond row runs only every k-th
+    step; separate video and audio guidance deltas carry between (the
+    modalities have independent guiders and scales).
     """
-    rows = loop_cfg.rows
     ca_scales = _ca_scales(loop_cfg, model_cfg.num_layers)
+    if loop_cfg.cfg_interval < 1:
+        raise ValueError(f"cfg_interval must be >= 1, got {loop_cfg.cfg_interval}")
+    reuse_cfg = loop_cfg.need_cfg and loop_cfg.cfg_interval > 1
+    if reuse_cfg and pipeline_axis is not None:
+        raise NotImplementedError(
+            "cfg_interval > 1 does not compose with pipeline parallelism: "
+            "the GPipe microbatch schedule is built from the guidance rows, "
+            "which differ between recompute and reuse steps"
+        )
 
     def loop(params, video_state, audio_state, sigmas, pos_v, neg_v, pos_a, neg_a):
         num_steps = sigmas.shape[0] - 1
         batch = video_state.latent.shape[0]
 
-        def stack_ctx(pos, neg):
-            ctxs = [pos]
-            if loop_cfg.need_cfg:
-                ctxs.append(neg)
-            if loop_cfg.need_stg:
-                ctxs.append(pos)
-            return jnp.concatenate(ctxs, axis=0)
-
-        v_ctx = stack_ctx(pos_v, neg_v)
-        a_ctx = stack_ctx(pos_a, neg_a)
-
-        v_positions = _tile_rows(video_state.positions, rows)
-        a_positions = _tile_rows(audio_state.positions, rows)
-        video_pe = _precompute_video_pe(model_cfg, video_state.positions, rows)
-        perturb = _build_perturbations(loop_cfg, rows, batch)
-
-        text_kv = None
-        if loop_cfg.cache_text_kv and not model_cfg.cross_attention_adaln:
-            from ltx2_tpu.models.transformer.model import precompute_text_kv
-
-            text_kv = precompute_text_kv(
-                params, model_cfg, video_context=v_ctx, audio_context=a_ctx
-            )
-
         v_mask, v_clean = video_state.denoise_mask, video_state.clean_latent
         a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
 
-        sp_forward = None
-        if mesh is not None and pipeline_axis is not None:
-            assert text_kv is None, "cache_text_kv is incompatible with pipeline_axis"
-            if dict(mesh.shape).get(sequence_axis, 1) > 1:
-                _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
-                _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
-            sp_forward = _make_pp_forward(
-                model_cfg, mesh, pipeline_axis,
-                pipeline_microbatches or rows, perturb, ca_scales, n_modalities=2,
+        if mesh is not None and (
+            pipeline_axis is None or dict(mesh.shape).get(sequence_axis, 1) > 1
+        ):
+            _check_seq_divisible(
+                video_state.latent.shape[1], mesh, sequence_axis, "video"
             )
-        elif mesh is not None:
-            if text_kv is not None and dict(mesh.shape).get("model", 1) > 1:
-                raise ValueError(
-                    "cache_text_kv is incompatible with SP x TP (the cached "
-                    "K/V would need head sharding) — drop --cache-text-kv"
+            _check_seq_divisible(
+                audio_state.latent.shape[1], mesh, sequence_axis, "audio"
+            )
+
+        def build_forward(with_cfg: bool):
+            r = 1 + int(with_cfg) + int(loop_cfg.need_stg)
+
+            def stack_ctx(pos, neg):
+                ctxs = [pos]
+                if with_cfg:
+                    ctxs.append(neg)
+                if loop_cfg.need_stg:
+                    ctxs.append(pos)
+                return jnp.concatenate(ctxs, axis=0)
+
+            v_ctx = stack_ctx(pos_v, neg_v)
+            a_ctx = stack_ctx(pos_a, neg_a)
+            v_positions = _tile_rows(video_state.positions, r)
+            a_positions = _tile_rows(audio_state.positions, r)
+            video_pe = _precompute_video_pe(model_cfg, video_state.positions, r)
+            perturb = _build_perturbations(loop_cfg, r, batch)
+
+            text_kv = None
+            if loop_cfg.cache_text_kv and not model_cfg.cross_attention_adaln:
+                from ltx2_tpu.models.transformer.model import precompute_text_kv
+
+                text_kv = precompute_text_kv(
+                    params, model_cfg, video_context=v_ctx, audio_context=a_ctx
                 )
-            _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
-            _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
-            sp_forward = _make_sp_forward(
-                model_cfg, mesh, sequence_axis, perturb, n_modalities=2
-            )
+
+            sp_forward = None
+            if mesh is not None and pipeline_axis is not None:
+                assert text_kv is None, (
+                    "cache_text_kv is incompatible with pipeline_axis"
+                )
+                sp_forward = _make_pp_forward(
+                    model_cfg, mesh, pipeline_axis,
+                    pipeline_microbatches or r, perturb, ca_scales,
+                    n_modalities=2,
+                )
+            elif mesh is not None:
+                if text_kv is not None and dict(mesh.shape).get("model", 1) > 1:
+                    raise ValueError(
+                        "cache_text_kv is incompatible with SP x TP (the cached "
+                        "K/V would need head sharding) — drop --cache-text-kv"
+                    )
+                sp_forward = _make_sp_forward(
+                    model_cfg, mesh, sequence_axis, perturb, n_modalities=2
+                )
+
+            def forward(v_latent, a_latent, sigma):
+                v_state = LatentState(
+                    latent=_tile_rows(v_latent, r),
+                    denoise_mask=_tile_rows(v_mask, r),
+                    positions=v_positions,
+                    clean_latent=_tile_rows(v_clean, r),
+                )
+                a_state = LatentState(
+                    latent=_tile_rows(a_latent, r),
+                    denoise_mask=_tile_rows(a_mask, r),
+                    positions=a_positions,
+                    clean_latent=_tile_rows(a_clean, r),
+                )
+                v_mod = modality_from_state(
+                    v_state, v_ctx, sigma, uniform_timesteps=loop_cfg.uniform_timesteps
+                )
+                a_mod = modality_from_state(
+                    a_state, a_ctx, sigma, uniform_timesteps=loop_cfg.uniform_timesteps
+                )
+                if sp_forward is not None:
+                    return sp_forward(params, v_mod, a_mod, video_pe, ca_scales, text_kv)
+                from ltx2_tpu.models.transformer.model import x0_model_apply
+
+                return x0_model_apply(
+                    params, model_cfg, video=v_mod, audio=a_mod,
+                    perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
+                    text_kv=text_kv,
+                )
+
+            return forward
+
+        forward_full = build_forward(with_cfg=loop_cfg.need_cfg)
+        forward_reduced = build_forward(with_cfg=False) if reuse_cfg else None
+
+        def combine(pos, neg, perturbed, guider, stg_flag):
+            denoised = guider.guide(pos, neg) if loop_cfg.need_cfg else pos
+            if loop_cfg.need_stg:
+                delta = loop_cfg.stg_scale * (denoised - perturbed)
+                denoised = denoised + stg_flag * delta
+            return denoised
+
+        def split(outs, with_cfg):
+            pos = outs[0:batch]
+            neg = outs[batch : 2 * batch] if with_cfg else None
+            off = (1 + int(with_cfg)) * batch
+            perturbed = outs[off : off + batch] if loop_cfg.need_stg else None
+            return pos, neg, perturbed
+
+        def eval_full(v_latent, a_latent, sigma, v_delta, a_delta, stg_flag):
+            v_outs, a_outs = forward_full(v_latent, a_latent, sigma)
+            vp, vn, vperturbed = split(v_outs, True)
+            ap, an, aperturbed = split(a_outs, True)
+            new_v_delta = vp.astype(jnp.float32) - vn.astype(jnp.float32)
+            new_a_delta = ap.astype(jnp.float32) - an.astype(jnp.float32)
+            v_denoised = combine(vp, vn, vperturbed, loop_cfg.guider, stg_flag)
+            a_denoised = combine(ap, an, aperturbed, loop_cfg.audio_guider, 0.0)
+            return v_denoised, a_denoised, new_v_delta, new_a_delta
+
+        def eval_reused(v_latent, a_latent, sigma, v_delta, a_delta, stg_flag):
+            v_outs, a_outs = forward_reduced(v_latent, a_latent, sigma)
+            vp, _, vperturbed = split(v_outs, False)
+            ap, _, aperturbed = split(a_outs, False)
+            vn = (vp.astype(jnp.float32) - v_delta).astype(vp.dtype)
+            an = (ap.astype(jnp.float32) - a_delta).astype(ap.dtype)
+            v_denoised = combine(vp, vn, vperturbed, loop_cfg.guider, stg_flag)
+            a_denoised = combine(ap, an, aperturbed, loop_cfg.audio_guider, 0.0)
+            return v_denoised, a_denoised, v_delta, a_delta
 
         step_ids = jnp.arange(num_steps)
         stg_flags = ((step_ids + 1) / num_steps <= loop_cfg.stg_cutoff).astype(
             jnp.float32
         )
 
-        def forward(v_latent, a_latent, sigma):
-            v_state = LatentState(
-                latent=_tile_rows(v_latent, rows),
-                denoise_mask=_tile_rows(v_mask, rows),
-                positions=v_positions,
-                clean_latent=_tile_rows(v_clean, rows),
-            )
-            a_state = LatentState(
-                latent=_tile_rows(a_latent, rows),
-                denoise_mask=_tile_rows(a_mask, rows),
-                positions=a_positions,
-                clean_latent=_tile_rows(a_clean, rows),
-            )
-            v_mod = modality_from_state(
-                v_state, v_ctx, sigma, uniform_timesteps=loop_cfg.uniform_timesteps
-            )
-            a_mod = modality_from_state(
-                a_state, a_ctx, sigma, uniform_timesteps=loop_cfg.uniform_timesteps
-            )
-            if sp_forward is not None:
-                return sp_forward(params, v_mod, a_mod, video_pe, ca_scales, text_kv)
-            from ltx2_tpu.models.transformer.model import x0_model_apply
-
-            return x0_model_apply(
-                params, model_cfg, video=v_mod, audio=a_mod,
-                perturbations=perturb, ca_scales=ca_scales, video_pe=video_pe,
-                text_kv=text_kv,
-            )
-
         def step_fn(carry, xs):
-            v_latent, a_latent, prev_velocity = carry
-            step_idx, sigma, sigma_next, stg_flag = xs
-
-            v_outs, a_outs = forward(v_latent, a_latent, sigma)
-            v_denoised = _combine_guidance(
-                loop_cfg, v_outs, loop_cfg.guider, stg_flag, batch
-            )
-            a_denoised = _combine_guidance(
-                loop_cfg, a_outs, loop_cfg.audio_guider, 0.0, batch
-            )
+            if reuse_cfg:
+                v_latent, a_latent, prev_velocity, v_delta, a_delta = carry
+                step_idx, sigma, sigma_next, stg_flag, cfg_flag = xs
+                v_denoised, a_denoised, v_delta, a_delta = jax.lax.cond(
+                    cfg_flag, eval_full, eval_reused,
+                    v_latent, a_latent, sigma, v_delta, a_delta, stg_flag,
+                )
+            else:
+                v_latent, a_latent, prev_velocity = carry
+                step_idx, sigma, sigma_next, stg_flag = xs
+                v_delta = a_delta = None
+                v_outs, a_outs = forward_full(v_latent, a_latent, sigma)
+                v_denoised = _combine_guidance(
+                    loop_cfg, v_outs, loop_cfg.guider, stg_flag, batch
+                )
+                a_denoised = _combine_guidance(
+                    loop_cfg, a_outs, loop_cfg.audio_guider, 0.0, batch
+                )
             v_denoised, prev_velocity = _ge_correct(
                 loop_cfg, v_latent, v_denoised, sigma, prev_velocity, step_idx
             )
@@ -632,13 +790,18 @@ def make_av_denoise_loop(
             if loop_cfg.sampler == "heun":
                 v_pred = _euler_step(v_latent, v_denoised, sigma, sigma_next)
                 a_pred = _euler_step(a_latent, a_denoised, sigma, sigma_next)
-                v_outs2, a_outs2 = forward(v_pred, a_pred, sigma_next)
-                v_d2 = _combine_guidance(
-                    loop_cfg, v_outs2, loop_cfg.guider, stg_flag, batch
-                )
-                a_d2 = _combine_guidance(
-                    loop_cfg, a_outs2, loop_cfg.audio_guider, 0.0, batch
-                )
+                if reuse_cfg:
+                    v_d2, a_d2, _, _ = eval_reused(
+                        v_pred, a_pred, sigma_next, v_delta, a_delta, stg_flag
+                    )
+                else:
+                    v_outs2, a_outs2 = forward_full(v_pred, a_pred, sigma_next)
+                    v_d2 = _combine_guidance(
+                        loop_cfg, v_outs2, loop_cfg.guider, stg_flag, batch
+                    )
+                    a_d2 = _combine_guidance(
+                        loop_cfg, a_outs2, loop_cfg.audio_guider, 0.0, batch
+                    )
                 v_d2 = post_process_latent(v_d2, v_mask, v_clean)
                 a_d2 = post_process_latent(a_d2, a_mask, a_clean)
                 safe_next = jnp.where(sigma_next == 0, 1.0, sigma_next)
@@ -657,6 +820,8 @@ def make_av_denoise_loop(
                 new_v = _euler_step(v_latent, v_denoised, sigma, sigma_next)
                 new_a = _euler_step(a_latent, a_denoised, sigma, sigma_next)
 
+            if reuse_cfg:
+                return (new_v, new_a, prev_velocity, v_delta, a_delta), None
             return (new_v, new_a, prev_velocity), None
 
         init = (
@@ -670,7 +835,13 @@ def make_av_denoise_loop(
             sigmas[1:].astype(jnp.float32),
             stg_flags,
         )
-        (final_v, final_a, _), _ = jax.lax.scan(step_fn, init, xs)
+        if reuse_cfg:
+            init = init + (
+                jnp.zeros_like(video_state.latent, jnp.float32),
+                jnp.zeros_like(audio_state.latent, jnp.float32),
+            )
+            xs = xs + ((step_ids % loop_cfg.cfg_interval) == 0,)
+        (final_v, final_a, *_), _ = jax.lax.scan(step_fn, init, xs)
         return video_state.replace(latent=final_v), audio_state.replace(latent=final_a)
 
     return jax.jit(loop)
@@ -691,6 +862,12 @@ class MultiModalLoopConfig:
     rescale_scale: float = 0.0
     modality_scale: float = 3.0
     skip_step: int = 0
+    # Guidance reuse: recompute the uncond AND modality-isolation rows
+    # every k-th step only; their fp32 deltas (cond - row, per modality)
+    # carry between. The STG row (if any) always runs live. For the
+    # default 3-row recipe (cond/uncond/mod) skip steps run 1 row instead
+    # of 3. 1 = exact (default).
+    cfg_interval: int = 1
 
     @property
     def need_cfg(self) -> bool:
@@ -714,15 +891,19 @@ class MultiModalLoopConfig:
         return 1 + int(self.need_cfg) + int(self.need_stg) + int(self.need_mod)
 
 
-def _build_mm_perturbations(mm: MultiModalLoopConfig) -> Optional[BatchedPerturbationConfig]:
+def _build_mm_perturbations(
+    mm: MultiModalLoopConfig, with_guidance: bool = True
+) -> Optional[BatchedPerturbationConfig]:
     """Row-wise perturbations: the STG row skips video self-attn; the
-    modality-isolation row skips both A<->V cross attentions."""
+    modality-isolation row skips both A<->V cross attentions. With
+    `with_guidance=False` (guidance-reuse skip steps) the uncond and
+    modality rows are absent."""
     from ltx2_tpu.components.perturbations import Perturbation, PerturbationType
 
-    if not (mm.need_stg or mm.need_mod):
+    if not (mm.need_stg or (mm.need_mod and with_guidance)):
         return None
     rows = [PerturbationConfig.empty()]  # cond
-    if mm.need_cfg:
+    if mm.need_cfg and with_guidance:
         rows.append(PerturbationConfig.empty())
     if mm.need_stg:
         rows.append(
@@ -735,7 +916,7 @@ def _build_mm_perturbations(mm: MultiModalLoopConfig) -> Optional[BatchedPerturb
                 )
             )
         )
-    if mm.need_mod:
+    if mm.need_mod and with_guidance:
         rows.append(
             PerturbationConfig(
                 perturbations=(
@@ -747,23 +928,41 @@ def _build_mm_perturbations(mm: MultiModalLoopConfig) -> Optional[BatchedPerturb
     return BatchedPerturbationConfig(perturbations=tuple(rows))
 
 
-def _mm_combine(mm: MultiModalLoopConfig, outs, cfg_scale: float, skip_flag):
-    """MultiModalGuider.calculate (guiders.py:244-273) over batched rows."""
+def _mm_split(mm: MultiModalLoopConfig, outs, with_guidance: bool = True):
+    """Split batched rows -> (cond, uncond, ptb, mod); absent rows None.
+
+    `with_guidance=False` is the reduced reuse-step layout: the uncond and
+    modality-isolation rows are dropped (their deltas come from the carry),
+    the STG perturbation row (if any) stays live.
+    """
     idx = 1
     cond = outs[0:1]
-    pred = cond
-    if mm.need_cfg:
+    uncond = ptb = mod = None
+    if mm.need_cfg and with_guidance:
         uncond = outs[idx : idx + 1]
         idx += 1
-        pred = pred + (cfg_scale - 1.0) * (cond - uncond)
     if mm.need_stg:
         ptb = outs[idx : idx + 1]
         idx += 1
-        pred = pred + mm.stg_scale * (cond - ptb)
-    if mm.need_mod:
+    if mm.need_mod and with_guidance:
         mod = outs[idx : idx + 1]
         idx += 1
-        pred = pred + (mm.modality_scale - 1.0) * (cond - mod)
+    return cond, uncond, ptb, mod
+
+
+def _mm_combine_deltas(
+    mm: MultiModalLoopConfig, cond, d_uncond, ptb, d_mod, cfg_scale, skip_flag
+):
+    """MultiModalGuider.calculate (guiders.py:244-273) in delta form:
+    d_uncond = cond - uncond, d_mod = cond - mod (fp32 carries under
+    guidance reuse); the STG term uses the live perturbed row."""
+    pred = cond
+    if mm.need_cfg:
+        pred = pred + (cfg_scale - 1.0) * d_uncond.astype(cond.dtype)
+    if mm.need_stg:
+        pred = pred + mm.stg_scale * (cond - ptb)
+    if mm.need_mod:
+        pred = pred + (mm.modality_scale - 1.0) * d_mod.astype(cond.dtype)
     if mm.rescale_scale != 0:
         cond_std = jnp.sqrt(jnp.var(cond) + 1e-8)
         pred_std = jnp.sqrt(jnp.var(pred) + 1e-8)
@@ -771,6 +970,14 @@ def _mm_combine(mm: MultiModalLoopConfig, outs, cfg_scale: float, skip_flag):
         pred = pred * factor
     # Guidance skipped on flagged steps -> plain cond (guiders.py:284-287).
     return jnp.where(skip_flag > 0, cond, pred)
+
+
+def _mm_combine(mm: MultiModalLoopConfig, outs, cfg_scale: float, skip_flag):
+    """MultiModalGuider.calculate over full batched rows."""
+    cond, uncond, ptb, mod = _mm_split(mm, outs)
+    d_uncond = (cond - uncond) if mm.need_cfg else None
+    d_mod = (cond - mod) if mm.need_mod else None
+    return _mm_combine_deltas(mm, cond, d_uncond, ptb, d_mod, cfg_scale, skip_flag)
 
 
 @lru_cache(maxsize=16)
@@ -790,47 +997,138 @@ def make_multimodal_av_denoise_loop(
     NOTE on SP + rescale: _mm_combine's std-ratio rescale reduces over the
     full token axis; it runs in the outer GSPMD jit (on the gathered loop
     latents), so token sharding inside the forward does not change its math.
+
+    With `mm.cfg_interval > 1`, the uncond and modality-isolation rows run
+    only every k-th step; their fp32 deltas (per modality) carry between,
+    so the default 3-row recipe runs a single cond row on skip steps.
     """
-    rows = mm.rows
-    perturb = _build_mm_perturbations(mm)
+    if mm.cfg_interval < 1:
+        raise ValueError(f"cfg_interval must be >= 1, got {mm.cfg_interval}")
+    reuse = mm.cfg_interval > 1 and (mm.need_cfg or mm.need_mod)
+    if reuse and pipeline_axis is not None:
+        raise NotImplementedError(
+            "cfg_interval > 1 does not compose with pipeline parallelism: "
+            "the GPipe microbatch schedule is built from the guidance rows, "
+            "which differ between recompute and reuse steps"
+        )
 
     def loop(params, video_state, audio_state, sigmas, pos_v, neg_v, pos_a, neg_a):
         num_steps = sigmas.shape[0] - 1
 
-        def stack_ctx(pos, neg):
-            ctxs = [pos]
-            if mm.need_cfg:
-                ctxs.append(neg)
-            if mm.need_stg:
-                ctxs.append(pos)
-            if mm.need_mod:
-                ctxs.append(pos)
-            return jnp.concatenate(ctxs, axis=0)
-
-        v_ctx = stack_ctx(pos_v, neg_v)
-        a_ctx = stack_ctx(pos_a, neg_a)
-        v_positions = _tile_rows(video_state.positions, rows)
-        a_positions = _tile_rows(audio_state.positions, rows)
-        video_pe = _precompute_video_pe(model_cfg, video_state.positions, rows)
-
         v_mask, v_clean = video_state.denoise_mask, video_state.clean_latent
         a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
 
-        sp_forward = None
-        if mesh is not None and pipeline_axis is not None:
-            if dict(mesh.shape).get(sequence_axis, 1) > 1:
-                _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
-                _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
-            sp_forward = _make_pp_forward(
-                model_cfg, mesh, pipeline_axis,
-                pipeline_microbatches or rows, perturb, None, n_modalities=2,
-            )
-        elif mesh is not None:
+        if mesh is not None and (
+            pipeline_axis is None or dict(mesh.shape).get(sequence_axis, 1) > 1
+        ):
             _check_seq_divisible(video_state.latent.shape[1], mesh, sequence_axis, "video")
             _check_seq_divisible(audio_state.latent.shape[1], mesh, sequence_axis, "audio")
-            sp_forward = _make_sp_forward(
-                model_cfg, mesh, sequence_axis, perturb, n_modalities=2
+
+        def build_forward(with_guidance: bool):
+            r = 1 + int(mm.need_stg) + (
+                (int(mm.need_cfg) + int(mm.need_mod)) if with_guidance else 0
             )
+            perturb = _build_mm_perturbations(mm, with_guidance)
+
+            def stack_ctx(pos, neg):
+                ctxs = [pos]
+                if mm.need_cfg and with_guidance:
+                    ctxs.append(neg)
+                if mm.need_stg:
+                    ctxs.append(pos)
+                if mm.need_mod and with_guidance:
+                    ctxs.append(pos)
+                return jnp.concatenate(ctxs, axis=0)
+
+            v_ctx = stack_ctx(pos_v, neg_v)
+            a_ctx = stack_ctx(pos_a, neg_a)
+            v_positions = _tile_rows(video_state.positions, r)
+            a_positions = _tile_rows(audio_state.positions, r)
+            video_pe = _precompute_video_pe(model_cfg, video_state.positions, r)
+
+            sp_forward = None
+            if mesh is not None and pipeline_axis is not None:
+                sp_forward = _make_pp_forward(
+                    model_cfg, mesh, pipeline_axis,
+                    pipeline_microbatches or r, perturb, None, n_modalities=2,
+                )
+            elif mesh is not None:
+                sp_forward = _make_sp_forward(
+                    model_cfg, mesh, sequence_axis, perturb, n_modalities=2
+                )
+
+            def forward(v_latent, a_latent, sigma):
+                v_state = LatentState(
+                    latent=_tile_rows(v_latent, r),
+                    denoise_mask=_tile_rows(v_mask, r),
+                    positions=v_positions,
+                    clean_latent=_tile_rows(v_clean, r),
+                )
+                a_state = LatentState(
+                    latent=_tile_rows(a_latent, r),
+                    denoise_mask=_tile_rows(a_mask, r),
+                    positions=a_positions,
+                    clean_latent=_tile_rows(a_clean, r),
+                )
+                v_mod = modality_from_state(v_state, v_ctx, sigma)
+                a_mod = modality_from_state(a_state, a_ctx, sigma)
+                if sp_forward is not None:
+                    return sp_forward(params, v_mod, a_mod, video_pe, None, None)
+                from ltx2_tpu.models.transformer.model import x0_model_apply
+
+                return x0_model_apply(
+                    params, model_cfg, video=v_mod, audio=a_mod,
+                    perturbations=perturb, video_pe=video_pe,
+                )
+
+            return forward
+
+        forward_full = build_forward(with_guidance=True)
+        forward_reduced = build_forward(with_guidance=False) if reuse else None
+
+        def zero_delta(state):
+            return jnp.zeros((1,) + state.latent.shape[1:], jnp.float32)
+
+        def eval_full(v_latent, a_latent, sigma, deltas, skip_flag):
+            v_outs, a_outs = forward_full(v_latent, a_latent, sigma)
+            v_cond, v_uncond, v_ptb, v_mod_row = _mm_split(mm, v_outs)
+            a_cond, a_uncond, a_ptb, a_mod_row = _mm_split(mm, a_outs)
+            v_du = (
+                (v_cond - v_uncond).astype(jnp.float32)
+                if mm.need_cfg else deltas[0]
+            )
+            v_dm = (
+                (v_cond - v_mod_row).astype(jnp.float32)
+                if mm.need_mod else deltas[1]
+            )
+            a_du = (
+                (a_cond - a_uncond).astype(jnp.float32)
+                if mm.need_cfg else deltas[2]
+            )
+            a_dm = (
+                (a_cond - a_mod_row).astype(jnp.float32)
+                if mm.need_mod else deltas[3]
+            )
+            v_den = _mm_combine_deltas(
+                mm, v_cond, v_du, v_ptb, v_dm, mm.video_cfg_scale, skip_flag
+            )
+            a_den = _mm_combine_deltas(
+                mm, a_cond, a_du, a_ptb, a_dm, mm.audio_cfg_scale, skip_flag
+            )
+            return v_den, a_den, (v_du, v_dm, a_du, a_dm)
+
+        def eval_reused(v_latent, a_latent, sigma, deltas, skip_flag):
+            v_outs, a_outs = forward_reduced(v_latent, a_latent, sigma)
+            v_cond, _, v_ptb, _ = _mm_split(mm, v_outs, with_guidance=False)
+            a_cond, _, a_ptb, _ = _mm_split(mm, a_outs, with_guidance=False)
+            v_du, v_dm, a_du, a_dm = deltas
+            v_den = _mm_combine_deltas(
+                mm, v_cond, v_du, v_ptb, v_dm, mm.video_cfg_scale, skip_flag
+            )
+            a_den = _mm_combine_deltas(
+                mm, a_cond, a_du, a_ptb, a_dm, mm.audio_cfg_scale, skip_flag
+            )
+            return v_den, a_den, deltas
 
         step_ids = jnp.arange(num_steps)
         if mm.skip_step > 0:
@@ -839,41 +1137,30 @@ def make_multimodal_av_denoise_loop(
             skip_flags = jnp.zeros((num_steps,), jnp.float32)
 
         def step_fn(carry, xs):
-            v_latent, a_latent = carry
-            sigma, sigma_next, skip_flag = xs
-
-            v_state = LatentState(
-                latent=_tile_rows(v_latent, rows),
-                denoise_mask=_tile_rows(v_mask, rows),
-                positions=v_positions,
-                clean_latent=_tile_rows(v_clean, rows),
-            )
-            a_state = LatentState(
-                latent=_tile_rows(a_latent, rows),
-                denoise_mask=_tile_rows(a_mask, rows),
-                positions=a_positions,
-                clean_latent=_tile_rows(a_clean, rows),
-            )
-            v_mod = modality_from_state(v_state, v_ctx, sigma)
-            a_mod = modality_from_state(a_state, a_ctx, sigma)
-            if sp_forward is not None:
-                v_outs, a_outs = sp_forward(
-                    params, v_mod, a_mod, video_pe, None, None
+            if reuse:
+                v_latent, a_latent, deltas = carry
+                sigma, sigma_next, skip_flag, cfg_flag = xs
+                v_denoised, a_denoised, deltas = jax.lax.cond(
+                    cfg_flag, eval_full, eval_reused,
+                    v_latent, a_latent, sigma, deltas, skip_flag,
                 )
             else:
-                from ltx2_tpu.models.transformer.model import x0_model_apply
-
-                v_outs, a_outs = x0_model_apply(
-                    params, model_cfg, video=v_mod, audio=a_mod,
-                    perturbations=perturb, video_pe=video_pe,
+                v_latent, a_latent = carry
+                sigma, sigma_next, skip_flag = xs
+                zeros = (
+                    zero_delta(video_state), zero_delta(video_state),
+                    zero_delta(audio_state), zero_delta(audio_state),
                 )
-            v_denoised = _mm_combine(mm, v_outs, mm.video_cfg_scale, skip_flag)
-            a_denoised = _mm_combine(mm, a_outs, mm.audio_cfg_scale, skip_flag)
+                v_denoised, a_denoised, _ = eval_full(
+                    v_latent, a_latent, sigma, zeros, skip_flag
+                )
             v_denoised = post_process_latent(v_denoised, v_mask, v_clean)
             a_denoised = post_process_latent(a_denoised, a_mask, a_clean)
 
             new_v = _euler_step(v_latent, v_denoised, sigma, sigma_next)
             new_a = _euler_step(a_latent, a_denoised, sigma, sigma_next)
+            if reuse:
+                return (new_v, new_a, deltas), None
             return (new_v, new_a), None
 
         xs = (
@@ -881,9 +1168,14 @@ def make_multimodal_av_denoise_loop(
             sigmas[1:].astype(jnp.float32),
             skip_flags,
         )
-        (final_v, final_a), _ = jax.lax.scan(
-            step_fn, (video_state.latent, audio_state.latent), xs
-        )
+        init = (video_state.latent, audio_state.latent)
+        if reuse:
+            init = init + ((
+                zero_delta(video_state), zero_delta(video_state),
+                zero_delta(audio_state), zero_delta(audio_state),
+            ),)
+            xs = xs + ((step_ids % mm.cfg_interval) == 0,)
+        (final_v, final_a, *_), _ = jax.lax.scan(step_fn, init, xs)
         return video_state.replace(latent=final_v), audio_state.replace(latent=final_a)
 
     return jax.jit(loop)

@@ -72,6 +72,10 @@ class OneStageCFGConfig:
     cfg_scale: float = 3.0
     audio_cfg_scale: float = 7.0
     rescale_scale: float = 0.7
+    # Guidance reuse (denoise.py): run the uncond forward every k-th step
+    # and carry the guidance delta between (AV loops carry separate
+    # video/audio deltas); 1 = exact CFG.
+    cfg_interval: int = 1
 
     tiling_config: Optional[TilingConfig] = None
 
@@ -323,6 +327,7 @@ class OneStagePipeline:
             # No token conditioning -> mask is all-ones -> per-batch
             # timesteps (saves the (B,N,n,D) fp32 AdaLN expansion).
             uniform_timesteps=not conditionings,
+            cfg_interval=config.cfg_interval,
         )
 
         if config.token_bucket and internal_audio_active:

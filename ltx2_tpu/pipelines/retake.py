@@ -34,6 +34,8 @@ class RetakeConfig:
     seed: int = 42
     num_inference_steps: int = 30
     cfg_scale: float = 3.0
+    # Guidance reuse (denoise.py): uncond forward every k-th step.
+    cfg_interval: int = 1
     dtype: str = "float32"
     latent_channels: int = 128
     tiling_config: Optional[TilingConfig] = None
@@ -171,7 +173,10 @@ class RetakePipeline(OneStagePipeline):
 
         loop = make_video_denoise_loop(
             self.transformer_cfg,
-            DenoiseLoopConfig(guider=CFGGuider(scale=config.cfg_scale)),
+            DenoiseLoopConfig(
+                guider=CFGGuider(scale=config.cfg_scale),
+                cfg_interval=config.cfg_interval,
+            ),
             **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh),
         )
         state = loop(

@@ -66,6 +66,10 @@ class TwoStageCFGConfig:
     audio_cfg_scale: float = 7.0
     guidance_rescale: float = 0.0
     modality_scale: float = 3.0
+    # Guidance reuse (denoise.py): stage-1 uncond (and, for the AV
+    # multi-modal guider, modality-isolation) rows every k-th step,
+    # carried deltas in between; 1 = exact CFG.
+    cfg_interval: int = 1
 
     distilled_lora_config: Optional[LoRAConfig] = None
     stage_2_sigmas: Optional[list] = None
@@ -170,6 +174,7 @@ class TwoStagePipeline(DistilledPipeline):
                 audio_cfg_scale=config.audio_cfg_scale,
                 rescale_scale=config.guidance_rescale,
                 modality_scale=config.modality_scale,
+                cfg_interval=config.cfg_interval,
             )
             loop = make_multimodal_av_denoise_loop(
                 self.transformer_cfg, mm, **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh)
@@ -187,7 +192,8 @@ class TwoStagePipeline(DistilledPipeline):
             loop = make_video_denoise_loop(
                 self.transformer_cfg,
                 DenoiseLoopConfig(
-                    guider=guider, uniform_timesteps=not conditionings
+                    guider=guider, uniform_timesteps=not conditionings,
+                    cfg_interval=config.cfg_interval,
                 ),
                 **mesh_loop_kwargs(self.sequence_mesh, self.pipeline_mesh),
             )

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=768)
     ap.add_argument("--cfg-steps", type=int, default=30)
+    ap.add_argument("--cfg-interval", type=int, default=1,
+                    help="guidance reuse: uncond forward every k-th step")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -92,6 +94,7 @@ def main():
     ts_cfg = TwoStageCFGConfig(
         height=args.height, width=args.width, num_frames=args.frames,
         num_inference_steps=args.cfg_steps,
+        cfg_interval=args.cfg_interval,
         dtype="bfloat16",
     )
     ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 1024, 4096), jnp.bfloat16)
@@ -107,10 +110,11 @@ def main():
 
     stage1_tokens = ((args.frames - 1) // 8 + 1) * (args.height // 64) * (args.width // 64)
     stage2_tokens = stage1_tokens * 4
+    interval = f", cfg-interval {args.cfg_interval}" if args.cfg_interval > 1 else ""
     print(
         f"two-stage {args.width}x{args.height}x{args.frames}f "
         f"({args.cfg_steps} CFG steps @ {stage1_tokens} tok + upscale + "
-        f"3 distilled steps @ {stage2_tokens} tok): {total:.2f} s latents "
+        f"3 distilled steps @ {stage2_tokens} tok{interval}): {total:.2f} s latents "
         f"(reference recipe ~180 s on M3 Max incl. ~10-15 s decode)"
     )
 

@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reuses ONE compiled denoise loop — unseen shapes "
                         "inside a warm bucket cost zero new compiles. 0 = "
                         "exact shapes (default)")
+    p.add_argument("--cfg-interval", type=int, default=1,
+                   help="guidance reuse: run the unconditional CFG forward "
+                        "only every k-th denoise step and carry the "
+                        "guidance delta between (k=2 removes ~half the "
+                        "uncond forwards from 30-step CFG recipes; "
+                        "video-only). 1 = exact CFG (default)")
     p.add_argument("--cross-attn-scale", type=float, default=1.0)
     p.add_argument("--cross-attn-start-block", type=int, default=40)
     # Checkpoints
@@ -782,6 +788,7 @@ def _execute_request(args, models, ledger):
                 audio_cfg_scale=args.audio_cfg_scale,
                 rescale_scale=0.0 if args.pipeline == "text-to-video" else args.rescale_scale,
                 token_bucket=args.token_bucket,
+                cfg_interval=args.cfg_interval,
                 **common,
             )
             temporal_upscaler = None
@@ -827,6 +834,7 @@ def _execute_request(args, models, ledger):
                 audio_cfg_scale=args.audio_cfg_scale,
                 guidance_rescale=0.0,
                 modality_scale=args.modality_scale,
+                cfg_interval=args.cfg_interval,
                 distilled_lora_config=(
                     LoRAConfig(path=args.distilled_lora) if args.distilled_lora else None
                 ),
@@ -886,6 +894,7 @@ def _execute_request(args, models, ledger):
                 seed=args.seed,
                 num_inference_steps=args.num_inference_steps,
                 cfg_scale=args.cfg_scale,
+                cfg_interval=args.cfg_interval,
                 latent_channels=latent_channels,
                 tiling_config=tiling,
             )

@@ -49,6 +49,14 @@ class TestCLISmoke:
     def test_text_to_video(self, tmp_path):
         _run(tmp_path, "--pipeline", "text-to-video", "--seed", "7")
 
+    def test_cfg_interval(self, tmp_path):
+        """--cfg-interval 2 wires through to the denoise loop (guidance
+        reuse: uncond forward every 2nd step, carried delta between)."""
+        _run(
+            tmp_path, "--pipeline", "one-stage", "--seed", "7",
+            "--cfg-interval", "2", "--num-inference-steps", "4",
+        )
+
     def test_token_bucket_matches_exact_shape(self, tmp_path):
         """--token-bucket pads the token count and masks the padding: the
         decoded frames must match the exact-shape run at the same seed
