@@ -65,21 +65,34 @@ def load_audio_file(
                 raw.astype(np.float32) / 32768.0
             ).reshape(-1, wf.getnchannels()), sr
 
-    try:
-        import soundfile as sf
+    if audio_path.lower().endswith(".avi"):
+        # Pull the PCM track straight out of an AVI (e.g. this framework's
+        # own no-ffmpeg output) — drive a2vid from a previous clip's audio.
+        from ltx2_tpu.utils.video_io import read_avi_audio
 
-        data, sr = sf.read(audio_path)
-    except ImportError:
+        out = read_avi_audio(audio_path)
+        if out is None:
+            raise ValueError(f"{audio_path}: no PCM audio stream")
+        pcm, sr = out
+        data = pcm.T  # (N, C) like the other readers below
+    else:
         try:
-            data, sr = _read_wave(audio_path)
-        except (wave.Error, EOFError):
-            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
-                cmd = [
-                    "ffmpeg", "-v", "quiet", "-i", audio_path,
-                    "-ar", str(target_sr), "-ac", "2", "-y", tmp.name,
-                ]
-                subprocess.run(cmd, check=True)
-                data, sr = _read_wave(tmp.name)
+            import soundfile as sf
+
+            data, sr = sf.read(audio_path)
+        except ImportError:
+            try:
+                data, sr = _read_wave(audio_path)
+            except (wave.Error, EOFError):
+                with tempfile.NamedTemporaryFile(
+                    suffix=".wav", delete=False
+                ) as tmp:
+                    cmd = [
+                        "ffmpeg", "-v", "quiet", "-i", audio_path,
+                        "-ar", str(target_sr), "-ac", "2", "-y", tmp.name,
+                    ]
+                    subprocess.run(cmd, check=True)
+                    data, sr = _read_wave(tmp.name)
 
     if data.ndim == 1:
         data = data[:, np.newaxis]

@@ -46,7 +46,14 @@ class RetakeConfig:
 
 
 def get_video_metadata(video_path: str) -> Tuple[float, int, int, int]:
-    """(fps, num_frames, height, width) via ffprobe (retake.py:67-95)."""
+    """(fps, num_frames, height, width) — pure-Python probe for the
+    formats we decode without ffmpeg, ffprobe otherwise (retake.py:67-95)."""
+    from pathlib import Path as _Path
+
+    from ltx2_tpu.utils.video_io import PURE_PYTHON_SUFFIXES, probe_video
+
+    if _Path(video_path).suffix.lower() in PURE_PYTHON_SUFFIXES:
+        return probe_video(video_path)
     cmd = [
         "ffprobe", "-v", "quiet", "-select_streams", "v:0",
         "-show_entries", "stream=r_frame_rate,nb_frames,height,width",
@@ -65,8 +72,8 @@ def load_video_frames(
     video_path: str, height: int, width: int, num_frames: int
 ) -> np.ndarray:
     """Decode frames via ffmpeg rawvideo pipe -> (1, 3, F, H, W) in [-1, 1]
-    (retake.py:97-139). GIF/WebP/y4m decode in pure Python even without
-    ffmpeg (utils/video_io.py)."""
+    (retake.py:97-139). GIF/WebP/y4m/AVI-MJPEG decode in pure Python even
+    without ffmpeg (utils/video_io.py)."""
     from pathlib import Path as _Path
 
     from ltx2_tpu.utils.video_io import PURE_PYTHON_SUFFIXES, read_video_any

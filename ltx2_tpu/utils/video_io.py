@@ -7,6 +7,10 @@ no ffmpeg, which left training-corpus ingestion pixel-npz/image-dir only
 - animated GIF / WebP / APNG via PIL (`read_pil_animation`)
 - YUV4MPEG2 (.y4m — the uncompressed interchange format every ffmpeg/
   x264 toolchain can emit) via a stdlib parser (`read_y4m`)
+- MJPEG AVI via a stdlib RIFF parser + PIL JPEG decode
+  (`read_avi_mjpeg` / `read_avi_audio`) — the inverse of this module's
+  own writers, so the framework's no-ffmpeg outputs feed straight back
+  into retake / a2vid / training-corpus ingestion
 
 `read_video_any` dispatches by suffix and falls back to the ffmpeg pipe
 reader for everything else (mp4/webm/...), so callers get ONE entry point
@@ -127,20 +131,172 @@ def read_y4m(path: str, height: int, width: int, num_frames: int) -> np.ndarray:
     return _pack(frames, height, width, num_frames)
 
 
+def _avi_chunks(data: bytes):
+    """Yield (fourcc, payload_offset, size) for every chunk in the AVI's
+    'movi' LIST, in file order. Handles nested 'rec ' LISTs."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST":
+                list_type = data[body : body + 4]
+                if list_type in (b"movi", b"rec "):
+                    yield from walk(body + 4, body + size)
+            else:
+                yield fourcc, body, size
+            pos = body + size + (size % 2)
+
+    (outer_size,) = struct.unpack_from("<I", data, 4)
+    yield from walk(12, min(len(data), 8 + outer_size))
+
+
+def read_avi_mjpeg(
+    path: str, height: int, width: int, num_frames: int
+) -> np.ndarray:
+    """MJPEG AVI (the no-ffmpeg output format of this framework, and a
+    common capture format) -> (1, 3, F, H, W) in [-1, 1].
+
+    Parses the RIFF container with the stdlib and decodes each '00dc'
+    JPEG frame via PIL — the exact inverse of write_avi_mjpeg.
+    """
+    import io
+
+    from PIL import Image
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    frames = []
+    for fourcc, off, size in _avi_chunks(data):
+        if fourcc[2:] == b"dc" and size > 0:
+            payload = data[off : off + size]
+            if not payload.startswith(b"\xff\xd8"):
+                raise ValueError(
+                    f"{path}: stream {fourcc[:2].decode()} is not MJPEG "
+                    "(only MJPEG AVIs decode without ffmpeg)"
+                )
+            with Image.open(io.BytesIO(payload)) as img:
+                frames.append(np.asarray(img.convert("RGB"), np.uint8))
+            if len(frames) >= num_frames:
+                break
+    if not frames:
+        raise ValueError(f"no MJPEG frames decoded from {path}")
+    return _pack(frames, height, width, num_frames)
+
+
+def read_avi_audio(path: str):
+    """Extract the interleaved 16-bit PCM track from an AVI.
+
+    Returns (audio, sample_rate) with audio float32 (channels, N) in
+    [-1, 1], or None if the file has no audio stream. Inverse of
+    write_avi_mjpeg's '01wb' muxing.
+    """
+    import struct
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    pos = data.find(b"auds")
+    if pos < 0:
+        return None
+    # The 'strf' WAVEFORMATEX follows the stream's strh chunk.
+    strf = data.find(b"strf", pos)
+    if strf < 0:
+        return None
+    fmt_tag, channels, sample_rate = struct.unpack_from("<2HI", data, strf + 8)
+    if fmt_tag != 1:  # PCM only
+        return None
+    bits = struct.unpack_from("<H", data, strf + 8 + 14)[0]
+    if bits != 16:
+        return None
+    pcm_parts = [
+        data[off : off + size]
+        for fourcc, off, size in _avi_chunks(data)
+        if fourcc[2:] == b"wb" and size > 0
+    ]
+    if not pcm_parts:
+        return None
+    pcm = np.frombuffer(b"".join(pcm_parts), "<i2")
+    n = len(pcm) // channels
+    audio = pcm[: n * channels].reshape(n, channels).T.astype(np.float32) / 32767.0
+    return audio, int(sample_rate)
+
+
+def probe_video(path: str):
+    """Pure-Python metadata probe: (fps, num_frames, height, width).
+
+    Covers every format the pure-Python readers decode (AVI / y4m /
+    GIF / WebP / APNG) so retake's ffprobe shell-out is only needed for
+    ffmpeg-only formats (mp4/webm/...).
+    """
+    import struct
+
+    suffix = Path(path).suffix.lower()
+    if suffix == ".avi":
+        with open(path, "rb") as fh:
+            data = fh.read(4096)
+        pos = data.find(b"avih")
+        if pos < 0:
+            raise ValueError(f"{path}: no avih header")
+        usec_per_frame, _, _, _, total_frames = struct.unpack_from(
+            "<5I", data, pos + 8
+        )
+        w, h = struct.unpack_from("<2I", data, pos + 8 + 32)
+        fps = 1_000_000.0 / usec_per_frame if usec_per_frame else 24.0
+        return fps, int(total_frames), int(h), int(w)
+    if suffix == ".y4m":
+        with open(path, "rb") as fh:
+            header = fh.readline().decode("ascii", "replace").strip()
+            w = h = None
+            fps = 24.0
+            for token in header.split()[1:]:
+                if token.startswith("W"):
+                    w = int(token[1:])
+                elif token.startswith("H"):
+                    h = int(token[1:])
+                elif token.startswith("F"):
+                    num, den = token[1:].split(":")
+                    fps = float(num) / float(den)
+            if not w or not h:
+                raise ValueError(f"{path}: missing W/H in y4m header")
+            # Count FRAME markers without decoding: frame payload size is
+            # fixed per the header's colorspace.
+            rest = fh.read()
+        n = rest.count(b"FRAME")
+        return fps, n, int(h), int(w)
+    if suffix in PIL_SUFFIXES:
+        from PIL import Image
+
+        with Image.open(path) as img:
+            w, h = img.size
+            n = getattr(img, "n_frames", 1)
+            duration_ms = img.info.get("duration", 0) or 0
+        fps = 1000.0 / duration_ms if duration_ms else 24.0
+        return fps, int(n), int(h), int(w)
+    raise ValueError(f"{path}: no pure-Python probe for {suffix}")
+
+
 # Single source of truth for what decodes without ffmpeg — shared by
 # read_video_any and retake.load_video_frames (duplicated lists drift).
 PIL_SUFFIXES = (".gif", ".webp", ".apng", ".png")
-PURE_PYTHON_SUFFIXES = PIL_SUFFIXES + (".y4m",)
+PURE_PYTHON_SUFFIXES = PIL_SUFFIXES + (".y4m", ".avi")
 
 
 def read_video_any(
     path: str, height: int, width: int, num_frames: int
 ) -> np.ndarray:
-    """Dispatch: pure-Python readers for GIF/WebP/APNG/y4m, ffmpeg pipe for
-    everything else (mp4/webm/mov/...)."""
+    """Dispatch: pure-Python readers for GIF/WebP/APNG/y4m/AVI-MJPEG,
+    ffmpeg pipe for everything else (mp4/webm/mov/...)."""
     suffix = Path(path).suffix.lower()
     if suffix == ".y4m":
         return read_y4m(path, height, width, num_frames)
+    if suffix == ".avi":
+        return read_avi_mjpeg(path, height, width, num_frames)
     if suffix in PIL_SUFFIXES:
         return read_pil_animation(path, height, width, num_frames)
     from ltx2_tpu.pipelines.retake import load_video_frames

@@ -487,6 +487,7 @@ def build_models(args, meshes=None):
             VideoDecoderConfig,
             VideoEncoderConfig,
             init_video_decoder,
+            init_video_encoder,
         )
 
         # V2-style (no caption projection): cross_attention_dim must equal
@@ -503,8 +504,26 @@ def build_models(args, meshes=None):
         dit_params = jax.jit(lambda k: init_ltx_model(k, dit_cfg))(jax.random.PRNGKey(0))
         dec_cfg = VideoDecoderConfig(base_channels=16)
         dec_params = jax.jit(lambda k: init_video_decoder(k, dec_cfg))(jax.random.PRNGKey(1))
-        enc_cfg = VideoEncoderConfig()
-        enc_params = None  # encoder only needed for image conditioning
+        # Small-channel encoder with the REAL stride geometry (patch 4 x
+        # 2*2*2 downs = 32x32 spatial, 8x temporal) so latent-dim math and
+        # the encode paths (retake / i2v / ic-lora / a2vid) work under
+        # --placeholder too.
+        enc_cfg = VideoEncoderConfig(
+            plan=(
+                ("res", 16, 1, None),
+                ("down", 16, 16, (1, 2, 2)),
+                ("res", 16, 1, None),
+                ("down", 16, 16, (2, 1, 1)),
+                ("res", 16, 1, None),
+                ("down", 16, 32, (2, 2, 2)),
+                ("res", 32, 1, None),
+                ("down", 32, 32, (2, 2, 2)),
+                ("res", 32, 1, None),
+            )
+        )
+        enc_params = jax.jit(lambda k: init_video_encoder(k, enc_cfg))(
+            jax.random.PRNGKey(4)
+        )
         dit_params = _place_transformer(dit_params, dit_cfg, args, meshes or {})
         models = dict(
             transformer_params=dit_params, transformer_cfg=dit_cfg,

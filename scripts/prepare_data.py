@@ -123,7 +123,7 @@ def main(argv=None):
         from ltx2_tpu.utils.video_io import read_video_any
 
         n_frames = args.num_frames - (args.num_frames - 1) % 8  # snap 8k+1
-        exts = (".gif", ".webp", ".apng", ".y4m", ".mp4", ".webm", ".mov")
+        exts = (".gif", ".webp", ".apng", ".y4m", ".avi", ".mp4", ".webm", ".mov")
         paths = sorted(
             q for q in Path(args.videos).iterdir()
             if q.suffix.lower() in exts

@@ -71,6 +71,24 @@ class TestCLISmoke:
             ref.astype(np.int32) - bucketed.astype(np.int32)
         ).max() <= 1
 
+    def test_retake_from_avi_source(self, tmp_path):
+        """Retake end to end from an MJPEG-AVI source: pure-Python probe +
+        decode (utils/video_io), placeholder VAE *encoder* (real 32x32x8
+        stride geometry), masked denoise, decode."""
+        from ltx2_tpu.utils.video_io import write_avi_mjpeg
+
+        rng = np.random.default_rng(0)
+        src = tmp_path / "src.avi"
+        write_avi_mjpeg(
+            str(src),
+            rng.integers(0, 255, (9, 64, 96, 3), dtype=np.uint8).astype(np.uint8),
+            fps=24.0,
+        )
+        _run(
+            tmp_path, "--pipeline", "retake", "--video", str(src),
+            "--retake-start", "0.05", "--retake-end", "0.2",
+        )
+
     def test_one_stage_audio(self, tmp_path):
         """--audio in placeholder mode: the full audio chain (AV DiT branch
         -> audio VAE decode -> vocoder) must produce a waveform file."""

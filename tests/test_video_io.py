@@ -187,6 +187,107 @@ class TestWriters:
             at += 16
         assert pcm_bytes == 4000 * 2  # mono int16
 
+    def test_avi_reader_roundtrip(self, tmp_path):
+        """write_avi_mjpeg -> read_avi_mjpeg recovers the frames within
+        JPEG tolerance, and read_avi_audio recovers the PCM track."""
+        from ltx2_tpu.utils.video_io import (
+            read_avi_audio,
+            read_avi_mjpeg,
+            write_avi_mjpeg,
+        )
+
+        frames = _gradient_frames(4, 16, 24)
+        audio = np.stack(
+            [
+                np.sin(np.linspace(0, 40, 4000, dtype=np.float32)) * 0.5,
+                np.cos(np.linspace(0, 20, 4000, dtype=np.float32)) * 0.25,
+            ]
+        )
+        path = str(tmp_path / "rt.avi")
+        write_avi_mjpeg(path, frames, fps=12.0, audio=audio, sample_rate=24000)
+
+        video = read_avi_mjpeg(path, 16, 24, 4)
+        assert video.shape == (1, 3, 4, 16, 24)
+        decoded = ((video[0].transpose(1, 2, 3, 0) + 1) * 127.5).astype(np.int32)
+        assert np.abs(decoded - frames.astype(np.int32)).mean() < 8
+
+        out = read_avi_audio(path)
+        assert out is not None
+        pcm, rate = out
+        assert rate == 24000
+        assert pcm.shape == (2, 4000)
+        assert np.abs(pcm - audio).max() < 2e-4  # int16 quantization
+
+        # Padding/trim semantics match the other readers.
+        assert read_avi_mjpeg(path, 16, 24, 6).shape == (1, 3, 6, 16, 24)
+        assert read_avi_mjpeg(path, 16, 24, 2).shape == (1, 3, 2, 16, 24)
+
+    def test_avi_reader_no_audio(self, tmp_path):
+        from ltx2_tpu.utils.video_io import read_avi_audio, write_avi_mjpeg
+
+        path = str(tmp_path / "na.avi")
+        write_avi_mjpeg(path, _gradient_frames(2, 8, 8), fps=24.0)
+        assert read_avi_audio(path) is None
+
+    def test_avi_dispatch_and_probe(self, tmp_path):
+        from ltx2_tpu.pipelines.retake import get_video_metadata
+        from ltx2_tpu.utils.video_io import probe_video, write_avi_mjpeg, write_y4m
+
+        frames = _gradient_frames(3, 16, 24)
+        avi = tmp_path / "p.avi"
+        write_avi_mjpeg(str(avi), frames, fps=12.0)
+        assert read_video_any(str(avi), 16, 24, 3).shape == (1, 3, 3, 16, 24)
+        fps, n, h, w = probe_video(str(avi))
+        assert (n, h, w) == (3, 16, 24) and abs(fps - 12.0) < 0.01
+
+        y4m = tmp_path / "p.y4m"
+        write_y4m(str(y4m), frames, fps=24.0)
+        fps, n, h, w = probe_video(str(y4m))
+        assert (n, h, w) == (3, 16, 24) and abs(fps - 24.0) < 0.01
+
+        gif = tmp_path / "p.gif"
+        _write_gif(gif, frames)
+        fps, n, h, w = probe_video(str(gif))
+        assert (n, h, w) == (3, 16, 24) and fps > 0
+
+        # retake's metadata entry point takes the pure-Python path (no
+        # ffprobe in this image).
+        fps, n, h, w = get_video_metadata(str(avi))
+        assert (n, h, w) == (3, 16, 24)
+
+    def test_a2vid_loads_avi_audio(self, tmp_path):
+        """a2vid's load_audio_file accepts an AVI (drive generation from a
+        previous clip's own soundtrack) — resampled like any other source."""
+        from ltx2_tpu.pipelines.a2vid_two_stage import load_audio_file
+        from ltx2_tpu.utils.video_io import write_avi_mjpeg
+
+        audio = np.sin(np.linspace(0, 50, 48000, dtype=np.float32))[None] * 0.4
+        path = str(tmp_path / "src.avi")
+        write_avi_mjpeg(
+            path, _gradient_frames(3, 8, 8), fps=12.0,
+            audio=audio, sample_rate=24000,
+        )
+        data, sr = load_audio_file(path, target_sr=16000)
+        assert sr == 16000 and data.shape == (1, 32000)
+
+    def test_avi_non_mjpeg_rejected(self, tmp_path):
+        """A non-JPEG video payload raises instead of mis-decoding."""
+        import struct
+
+        from ltx2_tpu.utils.video_io import read_avi_mjpeg, write_avi_mjpeg
+
+        path = str(tmp_path / "x.avi")
+        write_avi_mjpeg(path, _gradient_frames(1, 8, 8), fps=24.0)
+        data = bytearray(open(path, "rb").read())
+        movi_at = data.index(b"movi")
+        dc_at = data.index(b"00dc", movi_at)
+        data[dc_at + 8 : dc_at + 10] = b"\x00\x00"  # corrupt JPEG SOI
+        open(path, "wb").write(bytes(data))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not MJPEG"):
+            read_avi_mjpeg(path, 8, 8, 1)
+
     def test_avi_writer_video_only(self, tmp_path):
         import struct
 
