@@ -111,11 +111,27 @@ def export_transformer_checkpoint(
     """
     specs = list(iter_checkpoint_specs(params))
     dit_keys = {name for name, _d, _s, _p in specs}
-    if carry_from is not None:
-        src = SafetensorsFile(carry_from)
-        for key in src.keys():
-            if key not in dit_keys:
+    src = None
+    try:
+        if carry_from is not None:
+            src = SafetensorsFile(carry_from)
+            for key in src.keys():
+                if key in dit_keys:
+                    continue
+                if (
+                    key.endswith(".weight_scale")
+                    and key.replace(".weight_scale", ".weight") in dit_keys
+                ):
+                    # The export re-emits this weight de-quantized (fp32/
+                    # bf16); carrying the stale fp8 scale would make the
+                    # loader "dequantize" the fine-tuned weight on reload,
+                    # destroying it. Scales whose base weight is NOT
+                    # re-emitted (connectors, VAE, ...) still carry.
+                    continue
                 dt, shape = src.info(key)
                 specs.append((key, _SRC_DTYPES[dt], shape,
                               (lambda src=src, key=key: src.get(key))))
-    write_safetensors_streaming(path, specs, metadata=metadata)
+        write_safetensors_streaming(path, specs, metadata=metadata)
+    finally:
+        if src is not None:
+            src.close()

@@ -123,6 +123,18 @@ def _flash_inner_ok(
                 return False
         except Exception:
             return False
+    else:
+        # Without a named model axis the kernel runs directly on the
+        # operands; if any non-ring mesh axis still shards them (e.g. a
+        # caller composing ring_sdpa with head-sharded q/k/v and auto
+        # GSPMD axes), a Pallas call has no partition rule — fall back to
+        # the dense inner, which GSPMD partitions fine.
+        try:
+            spec = jax.typeof(q).sharding.spec
+            if any(s is not None for s in spec):
+                return False
+        except Exception:
+            pass
     _b, _h, tq, d = q.shape
     tk = k.shape[2]
     return (

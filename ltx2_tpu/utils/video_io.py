@@ -250,10 +250,14 @@ def probe_video(path: str):
         fps = 1_000_000.0 / usec_per_frame if usec_per_frame else 24.0
         return fps, int(total_frames), int(h), int(w)
     if suffix == ".y4m":
+        import os
+
         with open(path, "rb") as fh:
-            header = fh.readline().decode("ascii", "replace").strip()
+            raw_header = fh.readline()
+            header = raw_header.decode("ascii", "replace").strip()
             w = h = None
             fps = 24.0
+            cs = "420"
             for token in header.split()[1:]:
                 if token.startswith("W"):
                     w = int(token[1:])
@@ -262,13 +266,21 @@ def probe_video(path: str):
                 elif token.startswith("F"):
                     num, den = token[1:].split(":")
                     fps = float(num) / float(den)
+                elif token.startswith("C"):
+                    cs = token[1:]
             if not w or not h:
                 raise ValueError(f"{path}: missing W/H in y4m header")
-            # Count FRAME markers without decoding: frame payload size is
-            # fixed per the header's colorspace.
-            rest = fh.read()
-        n = rest.count(b"FRAME")
-        return fps, n, int(h), int(w)
+        # Frame count from the file size: each frame is a fixed-size
+        # payload ('FRAME\n' + planes per the header's colorspace). No
+        # full read (a raw stream can be multi-GB) and no false matches
+        # from pixel bytes that happen to spell 'FRAME'.
+        if cs.startswith("444"):
+            csize = w * h
+        else:  # 420 family (the read_y4m-supported set)
+            csize = ((w + 1) // 2) * ((h + 1) // 2)
+        frame_bytes = len(b"FRAME\n") + w * h + 2 * csize
+        n = (os.path.getsize(path) - len(raw_header)) // frame_bytes
+        return fps, int(n), int(h), int(w)
     if suffix in PIL_SUFFIXES:
         from PIL import Image
 

@@ -52,7 +52,11 @@ def _local_path(out_dir: str, key: str, filename) -> Path:
 def _is_downloaded(out_dir: str, key: str, filename) -> bool:
     p = _local_path(out_dir, key, filename)
     if filename is None:
-        return p.is_dir() and any(p.iterdir())
+        # A snapshot dir is only "downloaded" once the marker written after
+        # a successful snapshot_download exists — an interrupted 25 GB
+        # gemma download leaves files behind, and treating that as complete
+        # would skip the (resumable) re-download forever.
+        return (p / ".download_complete").exists()
     return p.exists()
 
 
@@ -137,6 +141,10 @@ def download(key: str, out_dir: str, token=None) -> bool:
             path = snapshot_download(
                 repo_id=repo, local_dir=str(Path(out_dir) / key), token=token
             )
+            # Completion marker: snapshot_download returned, so every file
+            # verified; partial dirs (killed mid-download) lack it and get
+            # resumed on the next run.
+            (Path(out_dir) / key / ".download_complete").touch()
         else:
             path = hf_hub_download(
                 repo_id=repo, filename=filename, local_dir=out_dir, token=token

@@ -119,10 +119,10 @@ def _actual_outputs(requested: str) -> list:
 
     base = requested.rsplit(".", 1)[0]
     candidates = [
-        requested, base + ".gif", base + "_frames.npz",
+        requested, base + ".avi", base + ".gif", base + "_frames.npz",
         base + "_latent.npz", base + ".wav",
     ]
-    return [c for c in candidates if os.path.exists(c)]
+    return [c for c in dict.fromkeys(candidates) if os.path.exists(c)]
 
 
 def main(argv=None):

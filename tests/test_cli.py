@@ -245,6 +245,18 @@ class TestDownloadWeights:
         assert not dw.check_disk_space({"distilled"}, str(tmp_path))
         assert dw.check_disk_space({"temporal-upscaler"}, str(tmp_path))
 
+    def test_partial_snapshot_not_marked_downloaded(self, tmp_path):
+        """An interrupted gemma snapshot (files present, no completion
+        marker) must NOT count as downloaded — resumable re-download."""
+        import download_weights as dw
+
+        gemma_dir = tmp_path / "gemma"
+        gemma_dir.mkdir()
+        (gemma_dir / "model-00001-of-00005.safetensors").write_bytes(b"partial")
+        assert not dw._is_downloaded(str(tmp_path), "gemma", None)
+        (gemma_dir / ".download_complete").touch()
+        assert dw._is_downloaded(str(tmp_path), "gemma", None)
+
 
 class TestServe:
     """Persistent serving loop: models load once, requests stream as JSON

@@ -164,6 +164,47 @@ class TestRingAttention:
         np.testing.assert_allclose(got, expected, atol=2e-5)
 
 
+    def test_flash_gate_refuses_explicitly_sharded_operands(self, monkeypatch):
+        """Explicit-sharding (sharding-in-types) mode: operands whose type
+        carries a non-ring sharded axis (heads over 'model', no model_axis
+        named) must NOT select the Pallas inner — a Pallas call has no
+        partition rule for the sharded axis (regression for the r3 removal
+        of the sharded-operand guard)."""
+        import ltx2_tpu.ops.attention as oa
+        import ltx2_tpu.parallel.ring_attention as ra
+
+        monkeypatch.setattr(oa, "_flash_backend_ok", lambda: True)
+
+        mesh = jax.make_mesh(
+            (2, 4), ("model", "seq"),
+            axis_types=(jax.sharding.AxisType.Explicit,) * 2,
+        )
+        # Shapes MEET the flash tiling constraints (t 4096 % 512, d 128)
+        # so only the sharded-operand guard can keep flash off.
+        q = jnp.zeros((1, 2, 4096, 128))
+        k = jnp.zeros((1, 2, 4096, 128))
+        gates = {}
+
+        def probe(x, y):
+            gates["sharded"] = ra._flash_inner_ok(x, y, model_axis=None)
+            return x
+
+        with jax.sharding.set_mesh(mesh):
+            qs = jax.device_put(
+                q, jax.sharding.PartitionSpec(None, "model", None, None)
+            )
+            ks = jax.device_put(
+                k, jax.sharding.PartitionSpec(None, "model", None, None)
+            )
+            jax.jit(probe)(qs, ks)
+            assert gates["sharded"] is False
+
+            # Fully replicated operands at the same shapes pass the gate —
+            # the refusal above is the sharding, not the shapes.
+            jax.jit(probe)(q, k)
+            assert gates["sharded"] is True
+
+
 def _dense_sdpa_ref(q, k, v, scale=None):
     if scale is None:
         scale = q.shape[-1] ** -0.5

@@ -465,6 +465,41 @@ class TestTrainCLI:
         # Tuned DiT keys win over the stale (4,4) source tensor.
         assert f.get("model.diffusion_model.patchify_proj.weight").shape != (4, 4)
 
+    def test_export_carry_from_drops_stale_fp8_scales(self, tmp_path):
+        """Fine-tuning from an fp8 checkpoint (loader dequantizes) then
+        exporting must NOT carry the source's .weight_scale siblings of
+        re-emitted DiT weights: on reload the loader would 'dequantize'
+        the fine-tuned fp32 weight, destroying it. Scales for tensors the
+        export does NOT re-emit (connectors etc.) still carry."""
+        from ltx2_tpu.loader.export import export_transformer_checkpoint
+        from ltx2_tpu.loader.safetensors_io import SafetensorsFile, write_safetensors
+        from ltx2_tpu.models.transformer.model import LTXModelConfig, init_ltx_model
+
+        cfg = LTXModelConfig(
+            num_attention_heads=2, attention_head_dim=8, num_layers=2,
+            cross_attention_dim=32, caption_channels=None,
+        )
+        params = init_ltx_model(jax.random.PRNGKey(0), cfg)
+        src = tmp_path / "src.safetensors"
+        write_safetensors(str(src), {
+            # Stale fp8 scale for a weight the export re-emits (any DiT key).
+            "model.diffusion_model.patchify_proj.weight_scale":
+                np.asarray(0.5, np.float32),
+            # Scale for a NON-re-emitted tensor (connector): must carry.
+            "model.diffusion_model.video_embeddings_connector.blk.weight":
+                np.ones((2, 2), np.float32),
+            "model.diffusion_model.video_embeddings_connector.blk.weight_scale":
+                np.asarray(0.25, np.float32),
+        })
+        out = tmp_path / "tuned.safetensors"
+        export_transformer_checkpoint(str(out), params, carry_from=str(src))
+        keys = set(SafetensorsFile(str(out)).keys())
+        assert "model.diffusion_model.patchify_proj.weight_scale" not in keys
+        assert (
+            "model.diffusion_model.video_embeddings_connector.blk.weight_scale"
+            in keys
+        )
+
     def test_fp8_serving_rejects_trainable_quantized_leaves(self, tmp_path):
         """--fp8-serving + a --trainable regex that selects quantized matmul
         weights must refuse (grads in fp8 storage precision are useless);
