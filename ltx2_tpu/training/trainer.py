@@ -78,6 +78,12 @@ class TrainConfig:
     # uniform when None.
     logit_normal_loc: Optional[float] = 0.0
     logit_normal_scale: float = 1.0
+    # LR schedule: linear warmup over `warmup_steps`, then "constant",
+    # "cosine" (decay to 0 over total_steps - warmup_steps) or "linear"
+    # (same horizon). Decaying schedules require total_steps.
+    warmup_steps: int = 0
+    lr_schedule: str = "constant"
+    total_steps: Optional[int] = None
 
 
 def _sample_sigmas(key: jax.Array, batch: int, tc: TrainConfig) -> jnp.ndarray:
@@ -162,13 +168,44 @@ def trainable_mask(params, predicate: Callable[[str], bool]):
     )
 
 
+def learning_rate_schedule(tc: TrainConfig):
+    """Scalar LR or an optax schedule per tc's warmup/decay settings.
+
+    step -> lr: linear 0 -> lr over warmup_steps, then constant, or cosine/
+    linear decay to 0 across the remaining total_steps - warmup_steps.
+    """
+    if tc.lr_schedule not in ("constant", "cosine", "linear"):
+        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
+    lr = tc.learning_rate
+    if tc.lr_schedule == "constant" and not tc.warmup_steps:
+        return lr
+    if tc.lr_schedule == "constant":
+        decay = optax.constant_schedule(lr)
+    else:
+        if not tc.total_steps:
+            raise ValueError(
+                f"lr_schedule={tc.lr_schedule!r} needs total_steps "
+                "(the decay horizon)"
+            )
+        decay_steps = max(1, tc.total_steps - tc.warmup_steps)
+        if tc.lr_schedule == "cosine":
+            decay = optax.cosine_decay_schedule(lr, decay_steps)
+        else:
+            decay = optax.linear_schedule(lr, 0.0, decay_steps)
+    if not tc.warmup_steps:
+        return decay
+    warmup = optax.linear_schedule(0.0, lr, tc.warmup_steps)
+    return optax.join_schedules([warmup, decay], [tc.warmup_steps])
+
+
 def make_optimizer(tc: TrainConfig, mask=None) -> optax.GradientTransformation:
     chain = []
     if tc.grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(tc.grad_clip_norm))
     chain.append(
         optax.adamw(
-            tc.learning_rate, b1=tc.b1, b2=tc.b2, weight_decay=tc.weight_decay
+            learning_rate_schedule(tc),
+            b1=tc.b1, b2=tc.b2, weight_decay=tc.weight_decay,
         )
     )
     opt = optax.chain(*chain)
@@ -411,3 +448,64 @@ def make_train_step(
         return loss, trainable, constrain(opt_state)
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# EMA (exponential moving average of the trained weights)
+# ---------------------------------------------------------------------------
+# Standard practice for diffusion fine-tuning (the sampled-from weights are
+# the EMA, not the last step's). The EMA tree shadows only the OPTIMIZER
+# TARGET (full params, or the trainable half of a partition_params split),
+# held in fp32 so small per-step updates don't vanish in bf16.
+
+
+def init_ema(opt_target):
+    """fp32 COPY of the optimizer target (None/frozen slots pass through).
+
+    Must not alias the live buffers: the train step donates its target, so
+    an aliased fp32 leaf would be deleted out from under the EMA."""
+    return jax.tree_util.tree_map(
+        lambda p: jnp.array(p, jnp.float32, copy=True), opt_target
+    )
+
+
+def make_ema_update(decay: float):
+    """Jitted `(ema, new_target) -> ema` with `ema` donated in place:
+    ema = decay * ema + (1 - decay) * target."""
+    d = jnp.float32(decay)
+
+    def update(ema, target):
+        return jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(jnp.float32) * (1.0 - d), ema, target
+        )
+
+    return jax.jit(update, donate_argnums=(0,))
+
+
+def ema_params(ema, like):
+    """Cast the fp32 EMA tree back to the dtypes of `like` (the live
+    target) for export / evaluation."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e.astype(jnp.asarray(p).dtype), ema, like
+    )
+
+
+def make_eval_step(cfg: LTXModelConfig, tc: TrainConfig = TrainConfig(),
+                   partitioned: bool = False):
+    """Jitted validation loss (no grads, nothing donated).
+
+    partitioned=False: (params, batch, key) -> loss
+    partitioned=True:  (trainable, frozen, batch, key) -> loss
+    Pass a FIXED key per validation batch index so successive evaluations
+    draw identical sigmas/noise and the metric is comparable across steps.
+    """
+    if partitioned:
+        def eval_step(trainable, frozen, batch: TrainBatch, key: jax.Array):
+            return rectified_flow_loss(
+                merge_params(trainable, frozen), cfg, batch, key, tc
+            )
+    else:
+        def eval_step(params, batch: TrainBatch, key: jax.Array):
+            return rectified_flow_loss(params, cfg, batch, key, tc)
+
+    return jax.jit(eval_step)

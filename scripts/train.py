@@ -96,6 +96,26 @@ def build_parser():
                    help="resume from a --save-state file: continues at the "
                         "saved step with bit-identical losses/weights vs "
                         "the uninterrupted run (config must match)")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear LR warmup from 0 over this many steps")
+    p.add_argument("--lr-schedule", choices=("constant", "cosine", "linear"),
+                   default="constant",
+                   help="post-warmup decay to 0 across the remaining "
+                        "--steps (cosine/linear), or flat (constant)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="keep an fp32 exponential moving average of the "
+                        "trained weights (e.g. 0.999) and EXPORT the EMA; "
+                        "0 disables. Standard diffusion fine-tuning "
+                        "practice: the sampled-from weights are the EMA")
+    p.add_argument("--val-fraction", type=float, default=0.0,
+                   help="hold out this fraction of the dataset (the tail) "
+                        "for validation loss")
+    p.add_argument("--val-data", type=str, default=None,
+                   help="separate .npz (x0/positions/context) used only "
+                        "for validation loss")
+    p.add_argument("--eval-every", type=int, default=50,
+                   help="compute validation loss every N steps (fixed "
+                        "per-batch keys -> comparable across steps)")
     p.add_argument("--zero2", action="store_true",
                    help="additionally pin GRADIENTS data-sharded (ZeRO-2): "
                         "backprop's cross-data sync lowers to reduce-scatter "
@@ -245,13 +265,31 @@ def main(argv=None):
         ctxs = rng.randn(n, 32, ctx_dim).astype(np.float32) * 0.1
     else:
         raise SystemExit("pass --data latents.npz or --synthetic F H W")
+    # ---- Validation split (held-out tail, or a separate file).
+    val = None
+    if args.val_data:
+        vdata = np.load(args.val_data)
+        val = (vdata["x0"], vdata["positions"], vdata["context"])
+    elif args.val_fraction > 0:
+        n_val = max(1, int(round(x0s.shape[0] * args.val_fraction)))
+        if n_val >= x0s.shape[0]:
+            raise SystemExit(
+                f"--val-fraction {args.val_fraction} leaves no training data"
+            )
+        val = (x0s[-n_val:], poss[-n_val:], ctxs[-n_val:])
+        x0s, poss, ctxs = x0s[:-n_val], poss[:-n_val], ctxs[:-n_val]
     n_samples = x0s.shape[0]
-    log.info("dataset: %d samples, %d tokens", n_samples, x0s.shape[1])
+    log.info(
+        "dataset: %d samples, %d tokens%s", n_samples, x0s.shape[1],
+        f" (+{val[0].shape[0]} validation)" if val is not None else "",
+    )
 
     # ---- Optimizer + step.
     tc = TrainConfig(
         learning_rate=args.lr, weight_decay=args.weight_decay,
         grad_clip_norm=args.grad_clip,
+        warmup_steps=args.warmup_steps, lr_schedule=args.lr_schedule,
+        total_steps=args.steps,
     )
     mask = None
     if lora_mode:
@@ -318,6 +356,47 @@ def main(argv=None):
         opt_state_shardings=opt_shardings, grad_shardings=grad_shardings,
     )
 
+    # ---- EMA of the optimizer target (fp32 shadow; exported at save).
+    ema = None
+    if args.ema_decay > 0:
+        from ltx2_tpu.training import init_ema, make_ema_update
+
+        if not (0.0 < args.ema_decay < 1.0):
+            raise SystemExit("--ema-decay must be in (0, 1)")
+        ema = init_ema(opt_target)
+        ema_update = make_ema_update(args.ema_decay)
+        log.info("EMA: decay %.5f (exported weights are the EMA)", args.ema_decay)
+
+    # ---- Validation loss (fixed per-batch keys -> comparable).
+    eval_loss = None
+    if val is not None:
+        from ltx2_tpu.training import make_eval_step
+
+        eval_step = make_eval_step(cfg, tc, partitioned=mask is not None)
+        vx, vp, vc = val
+        vbs = args.batch_size
+        if vx.shape[0] < vbs:  # repeat-pad a tiny val set to one batch
+            reps = -(-vbs // vx.shape[0])
+            vx, vp, vc = (np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:vbs]
+                          for a in (vx, vp, vc))
+        n_val_batches = vx.shape[0] // vbs
+
+        def eval_loss(tr_or_params):
+            total = 0.0
+            for j in range(n_val_batches):
+                sl = slice(j * vbs, (j + 1) * vbs)
+                vbatch = TrainBatch(
+                    x0=dp_put(jnp.asarray(vx[sl])),
+                    positions=dp_put(jnp.asarray(vp[sl])),
+                    context=dp_put(jnp.asarray(vc[sl])),
+                )
+                k = jax.random.PRNGKey(args.seed + 7000 + j)
+                if mask is not None:
+                    total += float(eval_step(tr_or_params, frozen, vbatch, k))
+                else:
+                    total += float(eval_step(tr_or_params, vbatch, k))
+            return total / n_val_batches
+
     # ---- Loop. Runs under the ambient mesh (SCOPED, not process-global —
     # a leaked ambient mesh bleeds into unrelated later computations): lets
     # the differentiable Pallas flash kernel shard-map over 'model' so fwd
@@ -332,28 +411,37 @@ def main(argv=None):
     if args.resume:
         from ltx2_tpu.training.checkpoint import load_train_state
 
+        # With EMA the persisted target is the (target, ema) pair — the
+        # treedef fingerprint then also catches an --ema-decay on/off
+        # mismatch between the runs.
+        tmpl = trainable if mask is not None else params
+        tmpl = (tmpl, ema) if ema is not None else tmpl
+        start, restored, opt_state = load_train_state(
+            args.resume, tmpl, opt_state
+        )
+        if ema is not None:
+            restored, ema = restored
         if mask is not None:
-            start, trainable, opt_state = load_train_state(
-                args.resume, trainable, opt_state
-            )
+            trainable = restored
         else:
-            start, params, opt_state = load_train_state(
-                args.resume, params, opt_state
-            )
+            params = restored
         log.info("resumed training state from %s at step %d", args.resume, start)
 
     state_meta = {
         "seed": str(args.seed), "batch_size": str(args.batch_size),
         "accum_steps": str(args.accum_steps),
         "trainable": str(args.trainable), "lora_rank": str(args.lora_rank),
+        "ema_decay": str(args.ema_decay), "lr_schedule": args.lr_schedule,
+        "warmup_steps": str(args.warmup_steps),
     }
 
     def save_state(next_step):
         from ltx2_tpu.training.checkpoint import save_train_state
 
+        target = trainable if mask is not None else params
         save_train_state(
             args.save_state, next_step,
-            trainable if mask is not None else params,
+            (target, ema) if ema is not None else target,
             opt_state, metadata=state_meta,
         )
         log.info("saved training state -> %s (step %d)", args.save_state, next_step)
@@ -381,16 +469,34 @@ def main(argv=None):
             loss, params, opt_state = step(
                 params, opt_state, batch, jax.random.PRNGKey(args.seed + 2 + i)
             )
+        if ema is not None:
+            ema = ema_update(ema, trainable if mask is not None else params)
         if i % args.log_every == 0 or i == args.steps - 1:
             log.info(
                 "step %d/%d  loss %.5f  (%.2f s)",
                 i, args.steps, float(loss), time.perf_counter() - t0,
+            )
+        if eval_loss is not None and (
+            (i + 1) % args.eval_every == 0 or i == args.steps - 1
+        ):
+            log.info(
+                "step %d/%d  VAL loss %.5f", i, args.steps,
+                eval_loss(trainable if mask is not None else params),
             )
         if args.save_state and (
             (i + 1) % args.save_every == 0 or i == args.steps - 1
         ):
             save_state(i + 1)
 
+    if ema is not None:
+        # Export the EMA weights (cast back to the live dtypes) — the
+        # standard sampled-from weights for diffusion fine-tunes.
+        from ltx2_tpu.training import ema_params
+
+        if mask is not None:
+            trainable = ema_params(ema, trainable)
+        else:
+            params = ema_params(ema, params)
     if mask is not None:
         params = merge_params(trainable, frozen)
 

@@ -846,3 +846,114 @@ class TestPartitionedTrainStep:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+class TestScheduleEmaVal:
+    """Round-3 additions: LR schedules (warmup + cosine/linear decay), EMA
+    weight shadowing, and validation loss — production fine-tuning staples
+    the inference-only reference never needed."""
+
+    def test_learning_rate_schedule_shapes(self):
+        from ltx2_tpu.training import TrainConfig, learning_rate_schedule
+
+        # Plain constant: a float, no schedule machinery.
+        assert learning_rate_schedule(TrainConfig(learning_rate=3e-4)) == 3e-4
+
+        # Warmup + cosine: 0 at step 0, peak at warmup end, ~0 at horizon.
+        tc = TrainConfig(
+            learning_rate=1e-3, warmup_steps=10,
+            lr_schedule="cosine", total_steps=110,
+        )
+        sched = learning_rate_schedule(tc)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+        assert float(sched(110)) < 1e-3 * 1e-3
+
+        # Linear decay reaches exactly 0; midpoint is half.
+        tc = TrainConfig(learning_rate=1e-3, lr_schedule="linear", total_steps=100)
+        sched = learning_rate_schedule(tc)
+        np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(50)), 5e-4, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-12)
+
+        # Warmup + constant stays flat after warmup.
+        tc = TrainConfig(learning_rate=1e-3, warmup_steps=4)
+        sched = learning_rate_schedule(tc)
+        np.testing.assert_allclose(float(sched(1000)), 1e-3, rtol=1e-6)
+
+        # Decay without a horizon must refuse.
+        with pytest.raises(ValueError, match="total_steps"):
+            learning_rate_schedule(TrainConfig(lr_schedule="cosine"))
+        with pytest.raises(ValueError, match="lr_schedule"):
+            learning_rate_schedule(TrainConfig(lr_schedule="poly"))
+
+    def test_ema_math_and_no_aliasing(self):
+        from ltx2_tpu.training import ema_params, init_ema, make_ema_update
+
+        target = {
+            "a": jnp.full((3,), 2.0, jnp.float32),
+            "b": {"w": jnp.full((2,), 4.0, jnp.bfloat16), "frozen": None},
+        }
+        ema = init_ema(target)
+        update = make_ema_update(0.9)
+
+        new1 = jax.tree_util.tree_map(lambda p: p * 0 + 10.0, target)
+        ema = update(ema, new1)
+        # After one update: 0.9 * init + 0.1 * 10
+        np.testing.assert_allclose(np.asarray(ema["a"]), 0.9 * 2.0 + 1.0, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ema["b"]["w"]), 0.9 * 4.0 + 1.0, rtol=1e-2
+        )
+        ema = update(ema, new1)
+        np.testing.assert_allclose(
+            np.asarray(ema["a"]), 0.9 * (0.9 * 2.0 + 1.0) + 1.0, rtol=1e-6
+        )
+
+        # Cast-back preserves the live tree's dtypes.
+        out = ema_params(ema, target)
+        assert out["a"].dtype == jnp.float32
+        assert out["b"]["w"].dtype == jnp.bfloat16
+        assert out["b"]["frozen"] is None
+
+        # No aliasing with donated targets: deleting the source buffers
+        # (what a donating train step does) must leave the EMA usable.
+        t2 = {"a": jnp.ones((4,), jnp.float32)}
+        e2 = init_ema(t2)
+        t2["a"].delete()
+        assert float(jnp.sum(e2["a"])) == 4.0
+
+    def test_train_cli_ema_warmup_val(self, tmp_path):
+        """CLI wiring: --ema-decay exports the EMA (differs from the
+        last-step weights of an identical run without EMA), --val-fraction
+        holds out data, --warmup-steps/--lr-schedule run."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import train as train_cli
+
+        from ltx2_tpu.loader.safetensors_io import SafetensorsFile
+
+        common = [
+            "--placeholder", "--synthetic", "2", "2", "3",
+            "--synthetic-samples", "8", "--steps", "4", "--batch-size", "2",
+            "--lr", "1e-2", "--lora-rank", "4", "--seed", "0",
+            "--val-fraction", "0.25", "--eval-every", "2",
+            "--warmup-steps", "2", "--lr-schedule", "cosine",
+        ]
+        plain = tmp_path / "plain.safetensors"
+        ema = tmp_path / "ema.safetensors"
+        train_cli.main(common + ["--save", str(plain)])
+        train_cli.main(common + ["--ema-decay", "0.5", "--save", str(ema)])
+
+        fa, fb = SafetensorsFile(str(plain)), SafetensorsFile(str(ema))
+        assert set(fa.keys()) == set(fb.keys())
+        # Same seed/schedule -> identical trajectory; the EMA export must
+        # differ from the raw last-step weights on at least the B adapters
+        # (A matrices move too; B starts at 0 so differences are largest).
+        diffs = [
+            float(np.abs(fa.get(k).astype(np.float32)
+                         - fb.get(k).astype(np.float32)).max())
+            for k in fa.keys()
+        ]
+        assert max(diffs) > 0.0
