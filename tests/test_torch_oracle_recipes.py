@@ -1045,3 +1045,221 @@ class TestA2VidFrozenAudioOracle:
         corr = _pearson(got, want)
         assert corr > 0.999, f"a2vid frozen-audio loop corr {corr}"
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+class TestDistilledRecipeOracle:
+    def test_av_distilled_two_stage(self):
+        """The HEADLINE recipe (reference distilled.py:101-506), end to end
+        vs an independent torch chain: stage 1 at half resolution on the
+        REAL 8-sigma distilled table with the internal AV audio branch
+        (channelwise audio-noise normalization fix, distilled.py:166-186),
+        un-normalize -> learned 2x spatial upscale -> re-normalize, stage 2
+        on the 3-sigma tail with BOTH latents re-noised to sigma0 (audio
+        seeded from stage 1's output), no CFG anywhere. Asserts the final
+        video AND audio latents."""
+        from ltx2_tpu.components import (
+            AudioPatchifier,
+            DISTILLED_SIGMA_VALUES,
+            STAGE_2_DISTILLED_SIGMA_VALUES,
+            VideoLatentPatchifier,
+        )
+        from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
+        from ltx2_tpu.models.transformer.model import LTXModelType
+        from ltx2_tpu.models.upscaler.spatial import (
+            SpatialUpscalerConfig,
+            init_spatial_upscaler,
+        )
+        from ltx2_tpu.pipelines.distilled import (
+            DistilledConfig,
+            DistilledPipeline,
+            channelwise_normalize_audio,
+        )
+        from ltx2_tpu.types import AudioLatentShape, VideoLatentShape, VideoPixelShape
+
+        cfg, params = build_jax_model(
+            num_layers=2, model_type=LTXModelType.AudioVideo
+        )
+
+        up_cfg = SpatialUpscalerConfig(
+            in_channels=cfg.in_channels, mid_channels=16,
+            num_blocks_per_stage=1, num_groups=4, scale=2,
+        )
+        up_params = init_spatial_upscaler(jax.random.PRNGKey(40), up_cfg)
+        leaves, treedef = jax.tree_util.tree_flatten(up_params)
+        uks = jax.random.split(jax.random.PRNGKey(41), len(leaves))
+        up_params = jax.tree_util.tree_unflatten(
+            treedef,
+            [leaf + 0.1 * jax.random.normal(k, leaf.shape, leaf.dtype)
+             for leaf, k in zip(leaves, uks)],
+        )
+
+        g = torch.Generator().manual_seed(70)
+        mean = torch.randn(cfg.in_channels, generator=g) * 0.3
+        std = torch.rand(cfg.in_channels, generator=g) + 0.5
+        stats = {
+            "per_channel_statistics": {
+                "mean_of_means": t2j(mean),
+                "std_of_means": t2j(std),
+            }
+        }
+
+        config = DistilledConfig(
+            height=64, width=64, num_frames=9, seed=13, dtype="float32",
+            latent_channels=cfg.in_channels,
+            audio_enabled=True, use_internal_audio_branch=True,
+            audio_vae_channels=cfg.audio_in_channels, audio_mel_bins=1,
+        )
+
+        pipe = DistilledPipeline(
+            transformer_params=params,
+            transformer_cfg=cfg,
+            video_decoder_params=stats,
+            spatial_upscaler_params=up_params,
+            spatial_upscaler_cfg=up_cfg,
+        )
+        gg = torch.Generator().manual_seed(71)
+        ctx = torch.randn(1, 7, cfg.caption_channels, generator=gg)
+        got_video, got_audio = pipe(
+            t2j(ctx), None, config, skip_decode=True
+        )
+
+        # ---------------- independent torch chain ----------------
+        tp = tree_to_torch(params)
+        ocfg = oracle_cfg(cfg)
+        f1, h1, w1 = 2, 1, 1  # stage-1 latent grid for 32x32x9f
+        f2, h2, w2 = 2, 2, 2  # stage-2 latent grid for 64x64x9f
+
+        key = jax.random.PRNGKey(config.seed)
+        k1, k2, _dk = jax.random.split(key, 3)
+        vkey1, akey1 = jax.random.split(k1)
+        vkey2, akey2 = jax.random.split(k2)
+
+        def stage_inputs(fx, hx, wx, px_h, px_w):
+            v_shape = VideoLatentShape(
+                batch=1, channels=cfg.in_channels, frames=fx, height=hx, width=wx
+            )
+            v_tools = VideoLatentTools(
+                patchifier=VideoLatentPatchifier(1), target_shape=v_shape,
+                fps=config.fps,
+            )
+            pixel = VideoPixelShape(
+                batch=1, frames=config.num_frames, height=px_h, width=px_w,
+                fps=config.fps,
+            )
+            a_shape = AudioLatentShape.from_video_pixel_shape(
+                pixel,
+                channels=config.audio_vae_channels,
+                mel_bins=config.audio_mel_bins,
+                sample_rate=config.audio_sample_rate,
+                hop_length=config.audio_hop_length,
+                audio_latent_downsample_factor=config.audio_downsample_factor,
+            )
+            a_tools = AudioLatentTools(
+                patchifier=AudioPatchifier(1), target_shape=a_shape
+            )
+            v_pos = torch.from_numpy(
+                np.asarray(v_tools.create_initial_state().positions, np.float32)
+            )
+            a_state = a_tools.create_initial_state()
+            a_pos = torch.from_numpy(np.asarray(a_state.positions, np.float32))
+            return v_pos, a_pos, tuple(a_state.latent.shape), a_tools, a_shape
+
+        v_pos1, a_pos1, a_tok_shape, a_tools1, _ = stage_inputs(
+            f1, h1, w1, config.height // 2, config.width // 2
+        )
+
+        v_lat = torch.from_numpy(np.asarray(
+            jax.random.normal(vkey1, (1, f1 * h1 * w1, cfg.in_channels)),
+            np.float32,
+        ))
+        a_noise1 = torch.from_numpy(np.asarray(
+            jax.random.normal(akey1, a_tok_shape), np.float32
+        ))
+        # The channelwise normalization fix — independent reimplementation.
+        a_np = a_noise1.numpy().astype(np.float64)
+        a_np = (a_np - a_np.mean()) / (a_np.std() + 1e-8)
+        a_np = (a_np - a_np.mean(axis=1, keepdims=True)) / (
+            a_np.std(axis=1, keepdims=True) + 1e-8
+        )
+        a_lat = torch.from_numpy(a_np.astype(np.float32))
+        # Pin the reimplementation against the shipped helper too.
+        np.testing.assert_allclose(
+            a_lat.numpy(),
+            np.asarray(channelwise_normalize_audio(t2j(a_noise1))),
+            atol=1e-5,
+        )
+
+        def av_euler_loop(v_lat, a_lat, sigmas, v_pos, a_pos):
+            n_v, n_a = v_lat.shape[1], a_lat.shape[1]
+            for i in range(len(sigmas) - 1):
+                sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+                v_mod = {
+                    "latent": v_lat, "context": ctx,
+                    "timesteps": torch.full((1,), sigma),
+                    "positions": v_pos, "sigma": torch.full((1,), sigma),
+                }
+                a_mod = {
+                    "latent": a_lat, "context": ctx,
+                    "timesteps": torch.full((1,), sigma),
+                    "positions": a_pos, "sigma": torch.full((1,), sigma),
+                }
+                v_vel, a_vel = torch_ltx_forward(tp, ocfg, video=v_mod, audio=a_mod)
+                v_den = torch_x0(v_mod, v_vel)
+                a_den = torch_x0(a_mod, a_vel)
+                v_lat = v_lat + (v_lat - v_den) / sigma * (sigma_next - sigma)
+                a_lat = a_lat + (a_lat - a_den) / sigma * (sigma_next - sigma)
+            return v_lat, a_lat
+
+        sig1 = np.asarray(DISTILLED_SIGMA_VALUES, np.float32)
+        v_lat, a_lat = av_euler_loop(v_lat, a_lat, sig1, v_pos1, a_pos1)
+
+        # Boundary: unpatchify -> un-normalize -> 2x upscale -> normalize.
+        lat5 = torch.from_numpy(_unpatchify_np(v_lat.numpy(), f1, h1, w1))
+        mean5 = mean.reshape(1, -1, 1, 1, 1)
+        std5 = std.reshape(1, -1, 1, 1, 1)
+        lat5 = lat5 * std5 + mean5
+        lat5 = torch_spatial_upscaler(tree_to_torch(up_params), up_cfg, lat5)
+        lat5 = (lat5 - mean5) / std5
+
+        # Stage-1 audio output (unpatchified) becomes stage 2's initial
+        # audio latent; both streams re-noise to sigma0.
+        stage1_audio_tokens = a_lat
+        v_pos2, a_pos2, _ash, a_tools2, _ = stage_inputs(
+            f2, h2, w2, config.height, config.width
+        )
+        sigma0 = float(STAGE_2_DISTILLED_SIGMA_VALUES[0])
+
+        tokens2 = torch.from_numpy(
+            _patchify_np(lat5.detach().numpy().astype(np.float32))
+        )
+        vnoise2 = torch.from_numpy(np.asarray(
+            jax.random.normal(vkey2, tuple(tokens2.shape)), np.float32
+        ))
+        v_lat2 = vnoise2 * sigma0 + tokens2 * (1 - sigma0)
+        anoise2 = torch.from_numpy(np.asarray(
+            jax.random.normal(akey2, tuple(stage1_audio_tokens.shape)), np.float32
+        ))
+        a_lat2 = anoise2 * sigma0 + stage1_audio_tokens * (1 - sigma0)
+
+        sig2 = np.asarray(STAGE_2_DISTILLED_SIGMA_VALUES, np.float32)
+        v_fin, a_fin = av_euler_loop(v_lat2, a_lat2, sig2, v_pos2, a_pos2)
+        want_video = _unpatchify_np(v_fin.numpy(), f2, h2, w2)
+
+        got_video = np.asarray(got_video, np.float32)
+        assert got_video.shape == want_video.shape
+        corr_v = _pearson(got_video, want_video)
+        assert corr_v > 0.999, f"distilled recipe video corr {corr_v}"
+        np.testing.assert_allclose(got_video, want_video, rtol=5e-3, atol=5e-3)
+
+        # Audio: unpatchify via the repo tools' inverse (AudioPatchifier is
+        # patch-size-1: (B, T, C*F) -> (B, C, T, F)).
+        got_audio = np.asarray(got_audio, np.float32)
+        want_audio = (
+            a_fin.numpy()
+            .reshape(1, -1, config.audio_vae_channels, config.audio_mel_bins)
+            .transpose(0, 2, 1, 3)
+        )
+        assert got_audio.shape == want_audio.shape
+        corr_a = _pearson(got_audio, want_audio)
+        assert corr_a > 0.999, f"distilled recipe audio corr {corr_a}"
+        np.testing.assert_allclose(got_audio, want_audio, rtol=5e-3, atol=5e-3)
