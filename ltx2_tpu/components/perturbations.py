@@ -90,12 +90,20 @@ class BatchedPerturbationConfig:
 def create_stg_perturbation(
     skip_video_self_attn: bool = True,
     blocks: Optional[List[int]] = None,
+    skip_audio_self_attn: bool = False,
 ) -> PerturbationConfig:
     perturbations = []
     if skip_video_self_attn:
         perturbations.append(
             Perturbation(
                 type=PerturbationType.SKIP_VIDEO_SELF_ATTN,
+                blocks=tuple(blocks) if blocks is not None else None,
+            )
+        )
+    if skip_audio_self_attn:
+        perturbations.append(
+            Perturbation(
+                type=PerturbationType.SKIP_AUDIO_SELF_ATTN,
                 blocks=tuple(blocks) if blocks is not None else None,
             )
         )

@@ -52,6 +52,9 @@ class DenoiseLoopConfig:
     stg_scale: float = 0.0
     stg_blocks: Optional[Tuple[int, ...]] = None
     stg_cutoff: float = 1.0
+    # Which stream(s) the STG pass perturbs (reference --stg-mode):
+    # "video" | "audio" | "both". Audio modes only matter in the AV loop.
+    stg_mode: str = "video"
     ge_gamma: float = 0.0
     sampler: str = "euler"  # "euler" | "heun"
     cross_attn_scale: float = 1.0
@@ -98,8 +101,9 @@ def _build_perturbations(
     if not loop_cfg.need_stg:
         return None
     stg = create_stg_perturbation(
-        skip_video_self_attn=True,
+        skip_video_self_attn=loop_cfg.stg_mode in ("video", "both"),
         blocks=list(loop_cfg.stg_blocks) if loop_cfg.stg_blocks else None,
+        skip_audio_self_attn=loop_cfg.stg_mode in ("audio", "both"),
     )
     plain = [PerturbationConfig.empty()] * ((rows - 1) * batch)
     return BatchedPerturbationConfig(perturbations=tuple(plain + [stg] * batch))
@@ -386,6 +390,17 @@ def make_video_denoise_loop(
             "the GPipe microbatch schedule is built from the guidance rows, "
             "which differ between recompute and reuse steps"
         )
+    # Stateful (momentum) APG: an fp32 guidance-EMA carry threads through
+    # the scan (reference LegacyStatefulAPGGuider semantics).
+    # Attribute presence, not value: a StatefulAPGGuider's guide() returns
+    # (denoised, carry) even at momentum=0, so it must always take the
+    # carry-threading path.
+    stateful_guider = hasattr(loop_cfg.guider, "momentum")
+    if stateful_guider and reuse_cfg:
+        raise ValueError(
+            "APG momentum (stateful guidance EMA) does not compose with "
+            "cfg_interval > 1 — the EMA needs a fresh uncond every step"
+        )
 
     def loop(params, state: LatentState, sigmas, pos_ctx, neg_ctx,
              token_mask=None):
@@ -531,6 +546,16 @@ def make_video_denoise_loop(
                     cfg_flag, eval_full, eval_reused,
                     latent, sigma, cfg_delta, stg_flag,
                 )
+            elif stateful_guider:
+                latent, prev_velocity, apg_carry = carry
+                step_idx, sigma, sigma_next, stg_flag = xs
+                cfg_delta = None
+                pos, neg, perturbed = split(forward_full(latent, sigma), True)
+                denoised, apg_carry = loop_cfg.guider.guide(pos, neg, apg_carry)
+                denoised = denoised.astype(pos.dtype)
+                if loop_cfg.need_stg:
+                    delta = loop_cfg.stg_scale * (denoised - perturbed)
+                    denoised = denoised + stg_flag * delta
             else:
                 latent, prev_velocity = carry
                 step_idx, sigma, sigma_next, stg_flag = xs
@@ -552,6 +577,15 @@ def make_video_denoise_loop(
                     denoised2, _ = eval_reused(
                         predicted, sigma_next, cfg_delta, stg_flag
                     )
+                elif stateful_guider:
+                    p2, n2, pert2 = split(forward_full(predicted, sigma_next), True)
+                    # Corrector reads the step's EMA without advancing it.
+                    denoised2, _ = loop_cfg.guider.guide(p2, n2, apg_carry)
+                    denoised2 = denoised2.astype(p2.dtype)
+                    if loop_cfg.need_stg:
+                        denoised2 = denoised2 + stg_flag * (
+                            loop_cfg.stg_scale * (denoised2 - pert2)
+                        )
                 else:
                     outs2 = forward_full(predicted, sigma_next)
                     denoised2 = _combine_guidance(
@@ -574,6 +608,8 @@ def make_video_denoise_loop(
 
             if reuse_cfg:
                 return (new_latent, prev_velocity, cfg_delta), None
+            if stateful_guider:
+                return (new_latent, prev_velocity, apg_carry), None
             return (new_latent, prev_velocity), None
 
         init = (state.latent, jnp.zeros_like(state.latent, jnp.float32))
@@ -586,6 +622,8 @@ def make_video_denoise_loop(
         if reuse_cfg:
             init = init + (jnp.zeros_like(state.latent, jnp.float32),)
             xs = xs + ((step_ids % loop_cfg.cfg_interval) == 0,)
+        elif stateful_guider:
+            init = init + (jnp.zeros_like(state.latent, jnp.float32),)
         (final_latent, *_), _ = jax.lax.scan(step_fn, init, xs)
         return state.replace(latent=final_latent)
 
@@ -723,6 +761,11 @@ def make_av_denoise_loop(
         forward_full = build_forward(with_cfg=loop_cfg.need_cfg)
         forward_reduced = build_forward(with_cfg=False) if reuse_cfg else None
 
+        # --stg-mode: which stream the STG delta applies to (the skipped
+        # attention is selected consistently in _build_perturbations).
+        v_stg_on = 1.0 if loop_cfg.stg_mode in ("video", "both") else 0.0
+        a_stg_on = 1.0 if loop_cfg.stg_mode in ("audio", "both") else 0.0
+
         def combine(pos, neg, perturbed, guider, stg_flag):
             denoised = guider.guide(pos, neg) if loop_cfg.need_cfg else pos
             if loop_cfg.need_stg:
@@ -743,8 +786,12 @@ def make_av_denoise_loop(
             ap, an, aperturbed = split(a_outs, True)
             new_v_delta = vp.astype(jnp.float32) - vn.astype(jnp.float32)
             new_a_delta = ap.astype(jnp.float32) - an.astype(jnp.float32)
-            v_denoised = combine(vp, vn, vperturbed, loop_cfg.guider, stg_flag)
-            a_denoised = combine(ap, an, aperturbed, loop_cfg.audio_guider, 0.0)
+            v_denoised = combine(
+                vp, vn, vperturbed, loop_cfg.guider, stg_flag * v_stg_on
+            )
+            a_denoised = combine(
+                ap, an, aperturbed, loop_cfg.audio_guider, stg_flag * a_stg_on
+            )
             return v_denoised, a_denoised, new_v_delta, new_a_delta
 
         def eval_reused(v_latent, a_latent, sigma, v_delta, a_delta, stg_flag):
@@ -753,8 +800,12 @@ def make_av_denoise_loop(
             ap, _, aperturbed = split(a_outs, False)
             vn = (vp.astype(jnp.float32) - v_delta).astype(vp.dtype)
             an = (ap.astype(jnp.float32) - a_delta).astype(ap.dtype)
-            v_denoised = combine(vp, vn, vperturbed, loop_cfg.guider, stg_flag)
-            a_denoised = combine(ap, an, aperturbed, loop_cfg.audio_guider, 0.0)
+            v_denoised = combine(
+                vp, vn, vperturbed, loop_cfg.guider, stg_flag * v_stg_on
+            )
+            a_denoised = combine(
+                ap, an, aperturbed, loop_cfg.audio_guider, stg_flag * a_stg_on
+            )
             return v_denoised, a_denoised, v_delta, a_delta
 
         step_ids = jnp.arange(num_steps)
@@ -776,10 +827,11 @@ def make_av_denoise_loop(
                 v_delta = a_delta = None
                 v_outs, a_outs = forward_full(v_latent, a_latent, sigma)
                 v_denoised = _combine_guidance(
-                    loop_cfg, v_outs, loop_cfg.guider, stg_flag, batch
+                    loop_cfg, v_outs, loop_cfg.guider, stg_flag * v_stg_on, batch
                 )
                 a_denoised = _combine_guidance(
-                    loop_cfg, a_outs, loop_cfg.audio_guider, 0.0, batch
+                    loop_cfg, a_outs, loop_cfg.audio_guider, stg_flag * a_stg_on,
+                    batch,
                 )
             v_denoised, prev_velocity = _ge_correct(
                 loop_cfg, v_latent, v_denoised, sigma, prev_velocity, step_idx
@@ -797,10 +849,12 @@ def make_av_denoise_loop(
                 else:
                     v_outs2, a_outs2 = forward_full(v_pred, a_pred, sigma_next)
                     v_d2 = _combine_guidance(
-                        loop_cfg, v_outs2, loop_cfg.guider, stg_flag, batch
+                        loop_cfg, v_outs2, loop_cfg.guider,
+                        stg_flag * v_stg_on, batch,
                     )
                     a_d2 = _combine_guidance(
-                        loop_cfg, a_outs2, loop_cfg.audio_guider, 0.0, batch
+                        loop_cfg, a_outs2, loop_cfg.audio_guider,
+                        stg_flag * a_stg_on, batch,
                     )
                 v_d2 = post_process_latent(v_d2, v_mask, v_clean)
                 a_d2 = post_process_latent(a_d2, a_mask, a_clean)

@@ -158,7 +158,21 @@ def create_video_conditionings(
             )
             tensor = load_control_signal_tensor(signal)
         else:
-            tensor = load_video_tensor_ffmpeg(vc.video_path, height, width, num_frames)
+            # Dispatches to the pure-Python readers (GIF/y4m/AVI-MJPEG)
+            # when possible; ffmpeg pipe otherwise.
+            from ltx2_tpu.pipelines.retake import load_video_frames
+
+            tensor = load_video_frames(vc.video_path, height, width, num_frames)
+        if vc.save_control:
+            # Debug artifact (reference --save-control): the exact signal
+            # fed to the VAE, written next to the source (no ffmpeg).
+            from ltx2_tpu.utils.video_io import write_avi_mjpeg
+
+            frames_u8 = (
+                (tensor[0].transpose(1, 2, 3, 0) + 1.0) * 127.5
+            ).clip(0, 255).astype(np.uint8)
+            out = str(vc.video_path) + ".control.avi"
+            write_avi_mjpeg(out, frames_u8, fps=24.0)
         encoded = encode_fn(jnp.asarray(tensor, dtype))
         conditionings.append(
             VideoConditionByKeyframeIndex(

@@ -252,6 +252,7 @@ class OneStagePipeline:
         stg_scale: float = 0.0,
         stg_blocks: Optional[List[int]] = None,
         stg_cutoff: float = 1.0,
+        stg_mode: str = "video",
         guider_override=None,
         ge_gamma: float = 0.0,
         sampler: str = "euler",
@@ -319,6 +320,7 @@ class OneStagePipeline:
             stg_scale=stg_scale,
             stg_blocks=tuple(stg_blocks) if stg_blocks else None,
             stg_cutoff=stg_cutoff,
+            stg_mode=stg_mode,
             ge_gamma=ge_gamma,
             sampler=sampler,
             cross_attn_scale=cross_attn_scale,

@@ -56,16 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
     # Dimensions
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=768)
-    p.add_argument("--num-frames", type=int, default=65)
+    p.add_argument("--num-frames", "--frames", type=int, default=65)
     p.add_argument("--fps", type=float, default=24.0)
     p.add_argument("--output-fps", type=float, default=None,
                    help="mux at this fps via minterpolate if > --fps")
     # Sampling
-    p.add_argument("--num-inference-steps", type=int, default=30)
+    p.add_argument("--num-inference-steps", "--steps", type=int, default=30)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--cfg-scale", type=float, default=3.0)
+    p.add_argument("--cfg-scale", "--cfg", type=float, default=3.0)
     p.add_argument("--audio-cfg-scale", type=float, default=7.0)
-    p.add_argument("--rescale-scale", type=float, default=0.7)
+    p.add_argument("--rescale-scale", "--guidance-rescale", type=float, default=0.7)
     p.add_argument("--modality-scale", type=float, default=3.0)
     p.add_argument("--stg-scale", type=float, default=0.0)
     p.add_argument("--stg-blocks", type=str, default=None,
@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", choices=["euler", "heun"], default="euler")
     p.add_argument("--apg-scale", type=float, default=0.0)
     p.add_argument("--apg-eta", type=float, default=1.0)
+    p.add_argument("--apg-norm-threshold", type=float, default=0.0,
+                   help="APG guidance-norm clamp (0 = disabled)")
+    p.add_argument("--apg-momentum", type=float, default=0.0,
+                   help="APG momentum EMA of the guidance delta "
+                        "(0 = disabled, try 0.5-0.9)")
+    p.add_argument("--stg-mode", choices=["video", "audio", "both"],
+                   default="video",
+                   help="which stream(s) the STG perturbation pass skips "
+                        "self-attention in (AV checkpoints)")
     p.add_argument("--vae-w-shard", type=int, default=0,
                    help="decode the video W-sharded over this many chips "
                         "with explicit per-conv halo exchange (untiled "
@@ -96,16 +105,77 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cross-attn-scale", type=float, default=1.0)
     p.add_argument("--cross-attn-start-block", type=int, default=40)
     # Checkpoints
-    p.add_argument("--checkpoint", type=str, default=None,
+    p.add_argument("--checkpoint", "--weights", type=str, default=None,
                    help="unified LTX-2 safetensors checkpoint")
-    p.add_argument("--gemma-dir", type=str, default=None)
-    p.add_argument("--spatial-upscaler", type=str, default=None)
-    p.add_argument("--temporal-upscaler", type=str, default=None,
+    p.add_argument("--gemma-dir", "--gemma-path", type=str, default=None)
+    p.add_argument("--spatial-upscaler", "--spatial-upscaler-weights", type=str, default=None)
+    p.add_argument("--temporal-upscaler", "--temporal-upscaler-weights", type=str, default=None,
                    help="enables 2x frame-rate latent upscaling")
     p.add_argument("--lora", action="append", default=[],
                    help="path[:strength], repeatable")
     p.add_argument("--distilled-lora", type=str, default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    # Reference-CLI compatibility (scripts/generate.py:2366-2638 flag names;
+    # normalized in _apply_reference_compat)
+    p.add_argument("--fp16", action="store_true",
+                   help="reference compat: 16-bit compute (maps to bfloat16 "
+                        "— the TPU-native 16-bit format)")
+    p.add_argument("--fp32", "--no-fp16", action="store_true", dest="fp32",
+                   help="reference compat: fp32 compute (same as "
+                        "--dtype float32)")
+    p.add_argument("--fp8", action="store_true",
+                   help="reference compat: same as --fp8-serving")
+    p.add_argument("--model-variant", choices=["distilled", "dev"],
+                   default="distilled",
+                   help="default checkpoint selection when --checkpoint is "
+                        "omitted: weights/ltx-2/ltx-2-19b-<variant>"
+                        "[-fp8].safetensors (reference layout)")
+    p.add_argument("--low-memory", action="store_true",
+                   help="reference compat: accepted, no-op (XLA manages "
+                        "memory; use --fp8-serving / tiling / --pp-stages "
+                        "for real memory levers)")
+    p.add_argument("--fast-mode", action="store_true",
+                   help="reference compat: accepted, no-op (no mx.eval "
+                        "scheduling under jit)")
+    p.add_argument("--image-strength", type=float, default=0.95,
+                   help="default conditioning strength for --image specs "
+                        "without an explicit :strength")
+    p.add_argument("--lora-strength", type=float, default=1.0,
+                   help="default strength for --lora specs without an "
+                        "explicit :strength")
+    p.add_argument("--distilled-lora-scale", type=float, default=1.0,
+                   help="strength of --distilled-lora in stage 2")
+    p.add_argument("--cfg-stage1", type=float, default=None,
+                   help="two-stage: stage-1 CFG scale (defaults to "
+                        "--cfg-scale)")
+    p.add_argument("--steps-stage1", type=int, default=None,
+                   help="two-stage: stage-1 steps (alias for "
+                        "--num-inference-steps on that pipeline)")
+    p.add_argument("--steps-stage2", type=int, default=None,
+                   help="two-stage stage 2 uses the fixed 3-sigma distilled "
+                        "tail (reference behavior); other values warn")
+    p.add_argument("--canny-low", type=int, default=100,
+                   help="canny low threshold for --control-type canny")
+    p.add_argument("--canny-high", type=int, default=200,
+                   help="canny high threshold for --control-type canny")
+    p.add_argument("--control-strength", type=float, default=0.95,
+                   help="ic-lora control conditioning strength")
+    p.add_argument("--save-control", action="store_true",
+                   help="write the preprocessed control signal next to the "
+                        "source video (debug)")
+    p.add_argument("--ic-lora-weights", type=str, default=None,
+                   help="IC-LoRA safetensors (equivalent to the first "
+                        "--lora for the ic-lora pipeline)")
+    p.add_argument("--tiled-vae", action="store_true",
+                   help="force tiled VAE decoding at the default tile "
+                        "geometry (auto-enabled for large outputs anyway)")
+    p.add_argument("--early-layers-only", action="store_true",
+                   help="EXPERIMENTAL (reference parity): bypass the text-"
+                        "encoder pipeline and condition on Gemma layer-0 "
+                        "input embeddings only")
+    p.add_argument("--speed", type=float, default=1.0,
+                   help="playback speed multiplier at mux (0.5=slow-mo, "
+                        "2.0=fast)")
     # Serving optimizations
     p.add_argument("--fp8-serving", action="store_true",
                    help="keep fp8 checkpoint weights quantized in HBM "
@@ -143,7 +213,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retake-end", type=float, default=1.0)
     p.add_argument("--audio-file", type=str, default=None, help="a2vid source audio")
     # Audio
-    p.add_argument("--audio", action="store_true", help="generate audio")
+    p.add_argument("--audio", "--generate-audio", action="store_true", help="generate audio")
     p.add_argument("--no-internal-audio", action="store_true")
     # Tiling
     p.add_argument("--tile-size", type=int, default=None)
@@ -174,13 +244,14 @@ def build_parser() -> argparse.ArgumentParser:
 def parse_loras(args):
     from ltx2_tpu.loader.lora import LoRAConfig
 
+    default = getattr(args, "lora_strength", 1.0)
     configs = []
     for spec in args.lora:
         if ":" in spec:
             path, strength = spec.rsplit(":", 1)
             configs.append(LoRAConfig(path=path, strength=float(strength)))
         else:
-            configs.append(LoRAConfig(path=spec))
+            configs.append(LoRAConfig(path=spec, strength=default))
     return configs
 
 
@@ -194,10 +265,50 @@ def parse_images(args):
             ImageCondition(
                 image_path=parts[0],
                 frame_index=int(parts[1]) if len(parts) > 1 else 0,
-                strength=float(parts[2]) if len(parts) > 2 else 0.95,
+                strength=(
+                    float(parts[2]) if len(parts) > 2
+                    else getattr(args, "image_strength", 0.95)
+                ),
             )
         )
     return conditions
+
+
+def _apply_reference_compat(args):
+    """Normalize reference-CLI compatibility flags onto the native ones
+    (reference generate.py:2366-2638 surface)."""
+    from ltx2_tpu.utils.profiling import log
+
+    if args.fp32:
+        args.dtype = "float32"
+    elif args.fp16:
+        log.info("--fp16: using bfloat16 (the TPU-native 16-bit format)")
+    if args.fp8:
+        args.fp8_serving = True
+    if args.low_memory:
+        log.info("--low-memory: no-op on TPU (XLA manages memory; see "
+                 "--fp8-serving / --tiled-vae / --pp-stages)")
+    if args.fast_mode:
+        log.info("--fast-mode: no-op on TPU (no mx.eval scheduling under jit)")
+    if args.steps_stage1 is not None and args.pipeline in ("two-stage", "ti2vid-hq"):
+        args.num_inference_steps = args.steps_stage1
+    if args.steps_stage2 is not None and args.steps_stage2 != 3:
+        log.info("--steps-stage2 %d: stage 2 uses the fixed 3-sigma "
+                 "distilled tail (reference behavior); ignoring",
+                 args.steps_stage2)
+    if args.ic_lora_weights and not args.lora:
+        args.lora = [args.ic_lora_weights]
+    if (
+        args.checkpoint is None
+        and not args.placeholder
+        and args.model_variant
+    ):
+        suffix = "-fp8" if args.fp8_serving else ""
+        candidate = f"weights/ltx-2/ltx-2-19b-{args.model_variant}{suffix}.safetensors"
+        if os.path.exists(candidate):
+            args.checkpoint = candidate
+            log.info("--model-variant %s: using %s", args.model_variant, candidate)
+    return args
 
 
 def tiling_config(args):
@@ -214,6 +325,8 @@ def tiling_config(args):
         temporal = TemporalTilingConfig(args.temporal_tile_size, args.temporal_tile_overlap)
     if spatial or temporal:
         return TilingConfig(spatial_config=spatial, temporal_config=temporal)
+    if getattr(args, "tiled_vae", False):
+        return TilingConfig.default()
     return None
 
 
@@ -327,6 +440,27 @@ def encode_prompts(args, ledger, dit_cfg):
 
         gemma_params, gemma_cfg = ledger.gemma()
         _, hidden = _jitted_gemma(gemma_cfg)(gemma_params, ids, mask)
+
+        if args.early_layers_only:
+            # EXPERIMENTAL reference parity (generate.py:420-440): bypass
+            # the extractor/connector and condition on Gemma's layer-0
+            # input embeddings, padding zeroed. Only V1 consumes raw
+            # 3840-d context (caption projection); V2 projects via the
+            # extractor and cannot take this shortcut.
+            if dit_cfg.caption_channels != hidden.shape[-1]:
+                raise SystemExit(
+                    "--early-layers-only needs a V1 checkpoint whose "
+                    f"caption projection takes {hidden.shape[-1]}-d input "
+                    f"(this model consumes {v_dim}-d context)"
+                )
+            emb = hidden[0] * mask[:, :, None].astype(hidden.dtype)
+            result = {"positive": emb[0:1], "negative": emb[1:2]}
+            if args.save_embedding:
+                np.savez(
+                    args.save_embedding,
+                    **{k: np.asarray(v) for k, v in result.items()},
+                )
+            return result
 
         te_params, te_cfg = ledger.text_encoder()
         if te_cfg.v2 or ledger.include_audio:
@@ -608,13 +742,22 @@ def build_models(args, meshes=None):
 
 
 def save_video(frames: np.ndarray, output: str, fps: float, output_fps=None, audio=None,
-               audio_sample_rate: int = 24000):
+               audio_sample_rate: int = 24000, speed: float = 1.0):
     """ffmpeg H.264 mux with optional minterpolate + audio
     (generate.py:2153-2362). `.avi` / `.y4m` outputs are written by the
     pure-Python muxers (no ffmpeg needed); other containers fall back to
-    playable AVI + GIF + npz when ffmpeg is absent."""
+    playable AVI + GIF + npz when ffmpeg is absent.
+
+    speed (reference --speed): playback-rate multiplier applied to the
+    VIDEO track's timebase (0.5 = slow motion, 2.0 = fast). With ffmpeg
+    this is a setpts filter; the pure-Python muxers scale the container
+    frame rate. Audio keeps its own clock (as in the reference's mux)."""
     import shutil
 
+    if speed != 1.0:
+        fps = fps * speed
+        if output_fps:
+            output_fps = output_fps * speed
     suffix = output.rsplit(".", 1)[-1].lower() if "." in output else ""
     if suffix in ("avi", "y4m"):
         from ltx2_tpu.utils.video_io import write_avi_mjpeg, write_y4m
@@ -749,7 +892,7 @@ def _mesh_scope():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    args = _apply_reference_compat(build_parser().parse_args(argv))
 
     from ltx2_tpu.utils.profiling import log, phase_report, trace
 
@@ -797,9 +940,19 @@ def _execute_request(args, models, ledger):
 
             guider_override = None
             if args.apg_scale:
-                from ltx2_tpu.components import LtxAPGGuider
+                from ltx2_tpu.components import LtxAPGGuider, StatefulAPGGuider
 
-                guider_override = LtxAPGGuider(scale=args.apg_scale, eta=args.apg_eta)
+                if args.apg_momentum:
+                    guider_override = StatefulAPGGuider(
+                        scale=args.apg_scale, eta=args.apg_eta,
+                        norm_threshold=args.apg_norm_threshold,
+                        momentum=args.apg_momentum,
+                    )
+                else:
+                    guider_override = LtxAPGGuider(
+                        scale=args.apg_scale, eta=args.apg_eta,
+                        norm_threshold=args.apg_norm_threshold,
+                    )
             pipeline = OneStagePipeline(**models)
             cfg = OneStageCFGConfig(
                 num_inference_steps=args.num_inference_steps,
@@ -823,6 +976,7 @@ def _execute_request(args, models, ledger):
                 stg_scale=args.stg_scale,
                 stg_blocks=[int(b) for b in args.stg_blocks.split(",")] if args.stg_blocks else None,
                 stg_cutoff=args.stg_cutoff,
+                stg_mode=args.stg_mode,
                 guider_override=guider_override,
                 ge_gamma=args.ge_gamma,
                 sampler=args.sampler,
@@ -849,13 +1003,19 @@ def _execute_request(args, models, ledger):
             pipeline = TwoStagePipeline(**models, **up)
             cfg = TwoStageCFGConfig(
                 num_inference_steps=args.num_inference_steps,
-                cfg_scale=args.cfg_scale,
+                cfg_scale=(
+                    args.cfg_stage1 if args.cfg_stage1 is not None
+                    else args.cfg_scale
+                ),
                 audio_cfg_scale=args.audio_cfg_scale,
-                guidance_rescale=0.0,
+                guidance_rescale=args.rescale_scale,
                 modality_scale=args.modality_scale,
                 cfg_interval=args.cfg_interval,
                 distilled_lora_config=(
-                    LoRAConfig(path=args.distilled_lora) if args.distilled_lora else None
+                    LoRAConfig(
+                        path=args.distilled_lora,
+                        strength=args.distilled_lora_scale,
+                    ) if args.distilled_lora else None
                 ),
                 **common,
             )
@@ -941,6 +1101,10 @@ def _execute_request(args, models, ledger):
                     VideoCondition(
                         video_path=args.control_video,
                         control_type=ControlType(args.control_type),
+                        strength=args.control_strength,
+                        canny_low=args.canny_low,
+                        canny_high=args.canny_high,
+                        save_control=args.save_control,
                     )
                 )
             result = pipeline(pos, None, cfg, videos=videos,
@@ -969,6 +1133,7 @@ def _execute_request(args, models, ledger):
             save_video(
                 np.asarray(video), args.output, args.fps,
                 output_fps=args.output_fps, audio=audio_out,
+                speed=args.speed,
             )
         log.info("video saved to %s", args.output)
 
