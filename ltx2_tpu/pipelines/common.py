@@ -168,12 +168,14 @@ def pad_state_tokens(state: LatentState, n_bucket: int):
     pad = n_bucket - n
     if pad < 0:
         raise ValueError(f"token count {n} exceeds bucket {n_bucket}")
+    if pad == 0:
+        # Exactly on the bucket grid: no mask at all, so the loop keeps the
+        # unmasked flash-attention path instead of paying the masked one.
+        return state, None
     b = state.latent.shape[0]
     token_mask = jnp.concatenate(
         [jnp.ones((b, n), bool), jnp.zeros((b, pad), bool)], axis=1
     )
-    if pad == 0:
-        return state, token_mask
 
     def pad1(x):
         return jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))

@@ -395,7 +395,7 @@ def make_video_denoise_loop(
     # Attribute presence, not value: a StatefulAPGGuider's guide() returns
     # (denoised, carry) even at momentum=0, so it must always take the
     # carry-threading path.
-    stateful_guider = hasattr(loop_cfg.guider, "momentum")
+    stateful_guider = loop_cfg.need_cfg and hasattr(loop_cfg.guider, "momentum")
     if stateful_guider and reuse_cfg:
         raise ValueError(
             "APG momentum (stateful guidance EMA) does not compose with "
@@ -494,11 +494,21 @@ def make_video_denoise_loop(
                     )
                 from ltx2_tpu.models.transformer.model import x0_model_apply
 
-                return x0_model_apply(
+                out = x0_model_apply(
                     params, model_cfg, video=modality,
                     perturbations=perturb, ca_scales=ca_scales,
                     video_pe=video_pe, text_kv=text_kv,
                 )
+                if tiled_token_mask is not None:
+                    # Shape-bucketed serving: the model emits garbage at pad
+                    # positions (they are masked out of attention KEYS only).
+                    # Guiders that reduce over the whole token axis (CFG*
+                    # projection, APG projection/norm-clamp) would fold that
+                    # garbage into the guidance applied to REAL tokens. All
+                    # those statistics are plain sums, so zeroing pad outputs
+                    # makes them bit-identical to the unpadded run.
+                    out = jnp.where(tiled_token_mask[:, :, None], out, 0)
+                return out
 
             return forward
 
@@ -663,6 +673,18 @@ def make_av_denoise_loop(
             "the GPipe microbatch schedule is built from the guidance rows, "
             "which differ between recompute and reuse steps"
         )
+    # Stateful (momentum) APG on either stream: fp32 guidance-EMA carries
+    # thread through the scan, one per modality (attribute presence, not
+    # value — see make_video_denoise_loop).
+    stateful_guider = loop_cfg.need_cfg and (
+        hasattr(loop_cfg.guider, "momentum")
+        or hasattr(loop_cfg.audio_guider, "momentum")
+    )
+    if stateful_guider and reuse_cfg:
+        raise ValueError(
+            "APG momentum (stateful guidance EMA) does not compose with "
+            "cfg_interval > 1 — the EMA needs a fresh uncond every step"
+        )
 
     def loop(params, video_state, audio_state, sigmas, pos_v, neg_v, pos_a, neg_a):
         num_steps = sigmas.shape[0] - 1
@@ -773,6 +795,19 @@ def make_av_denoise_loop(
                 denoised = denoised + stg_flag * delta
             return denoised
 
+        def combine_stateful(pos, neg, perturbed, guider, stg_flag, ema):
+            """combine() for a possibly-stateful guider: threads the guidance
+            EMA carry when the guider has one, passes it through otherwise."""
+            if hasattr(guider, "momentum"):
+                denoised, ema = guider.guide(pos, neg, ema)
+                denoised = denoised.astype(pos.dtype)
+                if loop_cfg.need_stg:
+                    denoised = denoised + stg_flag * (
+                        loop_cfg.stg_scale * (denoised - perturbed)
+                    )
+                return denoised, ema
+            return combine(pos, neg, perturbed, guider, stg_flag), ema
+
         def split(outs, with_cfg):
             pos = outs[0:batch]
             neg = outs[batch : 2 * batch] if with_cfg else None
@@ -821,6 +856,21 @@ def make_av_denoise_loop(
                     cfg_flag, eval_full, eval_reused,
                     v_latent, a_latent, sigma, v_delta, a_delta, stg_flag,
                 )
+            elif stateful_guider:
+                v_latent, a_latent, prev_velocity, v_ema, a_ema = carry
+                step_idx, sigma, sigma_next, stg_flag = xs
+                v_delta = a_delta = None
+                v_outs, a_outs = forward_full(v_latent, a_latent, sigma)
+                vp, vn, vperturbed = split(v_outs, True)
+                ap, an, aperturbed = split(a_outs, True)
+                v_denoised, v_ema = combine_stateful(
+                    vp, vn, vperturbed, loop_cfg.guider, stg_flag * v_stg_on,
+                    v_ema,
+                )
+                a_denoised, a_ema = combine_stateful(
+                    ap, an, aperturbed, loop_cfg.audio_guider,
+                    stg_flag * a_stg_on, a_ema,
+                )
             else:
                 v_latent, a_latent, prev_velocity = carry
                 step_idx, sigma, sigma_next, stg_flag = xs
@@ -845,6 +895,19 @@ def make_av_denoise_loop(
                 if reuse_cfg:
                     v_d2, a_d2, _, _ = eval_reused(
                         v_pred, a_pred, sigma_next, v_delta, a_delta, stg_flag
+                    )
+                elif stateful_guider:
+                    # Corrector reads the step's EMA without advancing it.
+                    v_outs2, a_outs2 = forward_full(v_pred, a_pred, sigma_next)
+                    vp2, vn2, vpert2 = split(v_outs2, True)
+                    ap2, an2, apert2 = split(a_outs2, True)
+                    v_d2, _ = combine_stateful(
+                        vp2, vn2, vpert2, loop_cfg.guider,
+                        stg_flag * v_stg_on, v_ema,
+                    )
+                    a_d2, _ = combine_stateful(
+                        ap2, an2, apert2, loop_cfg.audio_guider,
+                        stg_flag * a_stg_on, a_ema,
                     )
                 else:
                     v_outs2, a_outs2 = forward_full(v_pred, a_pred, sigma_next)
@@ -876,6 +939,8 @@ def make_av_denoise_loop(
 
             if reuse_cfg:
                 return (new_v, new_a, prev_velocity, v_delta, a_delta), None
+            if stateful_guider:
+                return (new_v, new_a, prev_velocity, v_ema, a_ema), None
             return (new_v, new_a, prev_velocity), None
 
         init = (
@@ -895,6 +960,13 @@ def make_av_denoise_loop(
                 jnp.zeros_like(audio_state.latent, jnp.float32),
             )
             xs = xs + ((step_ids % loop_cfg.cfg_interval) == 0,)
+        elif stateful_guider:
+            # Zero EMA == "no carry yet": momentum*0 + guidance at step 0
+            # matches StatefulAPGGuider's carry=None initialization.
+            init = init + (
+                jnp.zeros_like(video_state.latent, jnp.float32),
+                jnp.zeros_like(audio_state.latent, jnp.float32),
+            )
         (final_v, final_a, *_), _ = jax.lax.scan(step_fn, init, xs)
         return video_state.replace(latent=final_v), audio_state.replace(latent=final_a)
 

@@ -273,6 +273,19 @@ class OneStagePipeline:
                 "Audio encoding required for AudioVideo generation. "
                 "Provide positive_audio_encoding and negative_audio_encoding."
             )
+        if (
+            stg_scale > 0
+            and stg_mode in ("audio", "both")
+            and not internal_audio_active
+        ):
+            # Without the audio branch there is no audio self-attention to
+            # perturb: the STG delta would be exactly 0 while every step
+            # still pays the extra guidance row. Fail loudly instead.
+            raise ValueError(
+                f"stg_mode={stg_mode!r} requires the audio branch "
+                "(--audio / use_internal_audio_branch); on a video-only run "
+                "the audio perturbation is a no-op. Use stg_mode='video'."
+            )
 
         key = jax.random.PRNGKey(config.seed)
         key, noise_key, audio_noise_key, decode_key = jax.random.split(key, 4)

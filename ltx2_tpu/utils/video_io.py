@@ -482,17 +482,25 @@ def write_avi_mjpeg(
     hdrl = _list_chunk(b"hdrl", _chunk(b"avih", avih) + strl)
 
     # --- movi payload + idx1 (offsets relative to the 'movi' fourcc) ---
-    movi_payload = b""
-    idx = b""
+    # Accumulate chunks in lists and join once: per-frame `bytes +=` copies
+    # the whole payload every iteration (quadratic on long clips).
+    movi_parts: list = []
+    idx_parts: list = []
+    offset = 4
     for i, jpeg in enumerate(jpegs):
-        offset = 4 + len(movi_payload)
-        movi_payload += _chunk(b"00dc", jpeg)
-        idx += struct.pack("<4s3I", b"00dc", 0x10, offset, len(jpeg))
+        part = _chunk(b"00dc", jpeg)
+        movi_parts.append(part)
+        idx_parts.append(struct.pack("<4s3I", b"00dc", 0x10, offset, len(jpeg)))
+        offset += len(part)
         if audio_chunks and audio_chunks[i]:
-            offset = 4 + len(movi_payload)
-            movi_payload += _chunk(b"01wb", audio_chunks[i])
-            idx += struct.pack("<4s3I", b"01wb", 0x10, offset, len(audio_chunks[i]))
-    movi = _list_chunk(b"movi", movi_payload)
+            part = _chunk(b"01wb", audio_chunks[i])
+            movi_parts.append(part)
+            idx_parts.append(
+                struct.pack("<4s3I", b"01wb", 0x10, offset, len(audio_chunks[i]))
+            )
+            offset += len(part)
+    idx = b"".join(idx_parts)
+    movi = _list_chunk(b"movi", b"".join(movi_parts))
 
     riff_payload = b"AVI " + hdrl + movi + _chunk(b"idx1", idx)
     with open(path, "wb") as fh:

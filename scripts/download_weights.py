@@ -180,6 +180,12 @@ def main():
         selected = set(RECOMMENDED)
     elif args.keys:
         selected = set(args.keys)
+        known = {e[0] for e in WEIGHT_TABLE}
+        unknown = sorted(selected - known)
+        if unknown:
+            print(f"Unknown weight key(s): {', '.join(unknown)}")
+            print(f"Available: {', '.join(sorted(known))}")
+            sys.exit(1)
     elif sys.stdin.isatty():
         selected = interactive_selection(args.out_dir)
     else:

@@ -19,6 +19,8 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_cpu_parallel_codegen_split_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 
+import shutil
+
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
@@ -26,7 +28,35 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: amortizes XLA compiles across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+#
+# A run killed mid-cache-write (ctrl-C, OOM-kill, timeout) can leave a
+# truncated serialized executable behind, and deserializing one segfaults
+# XLA on a LATER run. Guard with a clean-exit sentinel: if the previous
+# run did not finish, assume the cache is suspect and start cold. Child
+# pytest processes (test_training runs its suite in a fresh subprocess)
+# inherit LTX2_TESTS_CACHE_OWNER and leave the guard to the parent.
+_CACHE_DIR = "/tmp/jax_cache"
+_SENTINEL = os.path.join(_CACHE_DIR, ".clean-exit")
+_CACHE_OWNER = os.environ.get("LTX2_TESTS_CACHE_OWNER") != "1"
+if _CACHE_OWNER:
+    os.environ["LTX2_TESTS_CACHE_OWNER"] = "1"
+    if os.path.isdir(_CACHE_DIR) and not os.path.exists(_SENTINEL):
+        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    try:
+        os.unlink(_SENTINEL)  # this run is now in-flight
+    except FileNotFoundError:
+        pass
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _CACHE_OWNER:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with open(_SENTINEL, "w") as fh:
+            fh.write("ok\n")
+
+
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

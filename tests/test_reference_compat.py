@@ -123,6 +123,143 @@ class TestStatefulAPGLoop:
                 ),
             )
 
+    def _av_setup(self):
+        from ltx2_tpu.components import AudioPatchifier
+        from ltx2_tpu.conditioning.tools import AudioLatentTools
+        from ltx2_tpu.models.transformer.model import LTXModelType
+        from ltx2_tpu.types import AudioLatentShape
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = cached_params(cfg)
+        v_state = make_state(cfg)
+        a_shape = AudioLatentShape(
+            batch=1, channels=cfg.audio_in_channels, frames=5, mel_bins=1
+        )
+        a_tools = AudioLatentTools(
+            patchifier=AudioPatchifier(1), target_shape=a_shape
+        )
+        a_state = GaussianNoiser()(
+            jax.random.PRNGKey(5), a_tools.create_initial_state(), 1.0
+        )
+        k = jax.random.split(jax.random.PRNGKey(6), 4)
+        ctxs = tuple(
+            jax.random.normal(kk, (1, 5, cfg.caption_channels)) for kk in k
+        )
+        return cfg, params, v_state, a_state, ctxs
+
+    def test_av_loop_matches_manual_momentum_loop(self):
+        """The AV loop with momentum APG on the video stream (plus plain CFG
+        on audio, the generate.py --apg-momentum wiring) is bit-close to a
+        hand-rolled Python AV loop carrying the video guidance EMA."""
+        from ltx2_tpu.components import CFGGuider
+        from ltx2_tpu.models.transformer.model import x0_model_apply
+        from ltx2_tpu.pipelines.denoise import make_av_denoise_loop
+
+        cfg, params, v_state, a_state, (pos_v, neg_v, pos_a, neg_a) = (
+            self._av_setup()
+        )
+        sigmas_np = [1.0, 0.7, 0.4, 0.0]
+        sigmas = jnp.asarray(sigmas_np)
+        v_guider = StatefulAPGGuider(
+            scale=2.0, eta=1.0, norm_threshold=3.0, momentum=0.7
+        )
+        a_guider = CFGGuider(2.0)
+
+        got_v, got_a = make_av_denoise_loop(
+            cfg, DenoiseLoopConfig(guider=v_guider, audio_guider=a_guider)
+        )(params, v_state, a_state, sigmas, pos_v, neg_v, pos_a, neg_a)
+
+        v_latent, a_latent = v_state.latent, a_state.latent
+        carry = jnp.zeros_like(v_latent, jnp.float32)
+        v_ctx = jnp.concatenate([pos_v, neg_v], axis=0)
+        a_ctx = jnp.concatenate([pos_a, neg_a], axis=0)
+        for i in range(len(sigmas_np) - 1):
+            sigma, sigma_next = sigmas_np[i], sigmas_np[i + 1]
+
+            def tiled(st, latent):
+                return LatentState(
+                    latent=jnp.concatenate([latent] * 2, axis=0),
+                    denoise_mask=jnp.concatenate([st.denoise_mask] * 2, axis=0),
+                    positions=jnp.concatenate([st.positions] * 2, axis=0),
+                    clean_latent=jnp.concatenate([st.clean_latent] * 2, axis=0),
+                )
+
+            v_mod = modality_from_state(tiled(v_state, v_latent), v_ctx, sigma)
+            a_mod = modality_from_state(tiled(a_state, a_latent), a_ctx, sigma)
+            v_outs, a_outs = x0_model_apply(
+                params, cfg, video=v_mod, audio=a_mod
+            )
+            v_denoised, carry = v_guider.guide(v_outs[0:1], v_outs[1:2], carry)
+            a_denoised = a_guider.guide(a_outs[0:1], a_outs[1:2])
+
+            def euler(latent, denoised, st):
+                denoised = post_process_latent(
+                    denoised.astype(latent.dtype), st.denoise_mask,
+                    st.clean_latent,
+                )
+                velocity = (
+                    latent.astype(jnp.float32) - denoised.astype(jnp.float32)
+                ) / sigma
+                return (
+                    latent.astype(jnp.float32) + velocity * (sigma_next - sigma)
+                ).astype(latent.dtype)
+
+            v_latent = euler(v_latent, v_denoised, v_state)
+            a_latent = euler(a_latent, a_denoised, a_state)
+
+        np.testing.assert_allclose(
+            np.asarray(got_v.latent), np.asarray(v_latent), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_a.latent), np.asarray(a_latent), atol=1e-4
+        )
+
+    def test_av_loop_momentum_changes_output(self):
+        from ltx2_tpu.pipelines.denoise import make_av_denoise_loop
+
+        cfg, params, v_state, a_state, (pos_v, neg_v, pos_a, neg_a) = (
+            self._av_setup()
+        )
+        sigmas = jnp.asarray([1.0, 0.5, 0.0])
+
+        def run(momentum):
+            loop = make_av_denoise_loop(
+                cfg,
+                DenoiseLoopConfig(
+                    guider=StatefulAPGGuider(
+                        scale=2.0, eta=1.0, momentum=momentum
+                    ),
+                    audio_guider=StatefulAPGGuider(
+                        scale=2.0, eta=1.0, momentum=momentum
+                    ),
+                ),
+            )
+            return loop(
+                params, v_state, a_state, sigmas, pos_v, neg_v, pos_a, neg_a
+            )
+
+        v_m, a_m = run(0.8)
+        v_0, a_0 = run(0.0)
+        assert not np.allclose(
+            np.asarray(v_m.latent), np.asarray(v_0.latent), atol=1e-5
+        )
+        assert not np.allclose(
+            np.asarray(a_m.latent), np.asarray(a_0.latent), atol=1e-5
+        )
+
+    def test_av_loop_momentum_refuses_cfg_interval(self):
+        from ltx2_tpu.pipelines.denoise import make_av_denoise_loop
+
+        cfg = tiny_config()
+        with pytest.raises(ValueError, match="momentum"):
+            make_av_denoise_loop(
+                cfg,
+                DenoiseLoopConfig(
+                    guider=StatefulAPGGuider(scale=2.0, eta=1.0, momentum=0.5),
+                    cfg_interval=2,
+                ),
+            )
+
 
 class TestStgMode:
     def test_perturbation_routing(self):
