@@ -154,6 +154,60 @@ def _combine_guidance(loop_cfg: DenoiseLoopConfig, outs, guider, stg_flag, batch
     return denoised
 
 
+def _split_rows(outs, batch: int, with_cfg: bool, need_stg: bool):
+    """Pass-major batched rows -> (pos, neg, perturbed); absent rows None.
+
+    Shared by the video and AV loops — the row layout ([cond x batch,
+    uncond x batch, stg x batch]) must stay in lockstep between them.
+    """
+    pos = outs[0:batch]
+    neg = outs[batch : 2 * batch] if with_cfg else None
+    off = (1 + int(with_cfg)) * batch
+    perturbed = outs[off : off + batch] if need_stg else None
+    return pos, neg, perturbed
+
+
+def _stack_guidance_ctx(pos, neg, with_cfg: bool, need_stg: bool):
+    """Stack per-pass text contexts in the _split_rows pass-major order."""
+    ctxs = [pos]
+    if with_cfg:
+        ctxs.append(neg)
+    if need_stg:
+        ctxs.append(pos)
+    return jnp.concatenate(ctxs, axis=0)
+
+
+def _combine_rows(loop_cfg, guider, pos, neg, perturbed, stg_flag):
+    """_combine_guidance on pre-split rows (bit-identical math)."""
+    denoised = guider.guide(pos, neg) if loop_cfg.need_cfg else pos
+    if loop_cfg.need_stg:
+        denoised = denoised + stg_flag * (
+            loop_cfg.stg_scale * (denoised - perturbed)
+        )
+    return denoised
+
+
+def _combine_rows_stateful(loop_cfg, guider, pos, neg, perturbed, stg_flag, ema):
+    """_combine_rows for a possibly-stateful guider: threads the guidance
+    EMA carry when the guider has one, passes it through untouched otherwise."""
+    if hasattr(guider, "momentum"):
+        denoised, ema = guider.guide(pos, neg, ema)
+        denoised = denoised.astype(pos.dtype)
+        if loop_cfg.need_stg:
+            denoised = denoised + stg_flag * (
+                loop_cfg.stg_scale * (denoised - perturbed)
+            )
+        return denoised, ema
+    return _combine_rows(loop_cfg, guider, pos, neg, perturbed, stg_flag), ema
+
+
+def _stg_step_flags(num_steps: int, cutoff: float):
+    """Per-step STG active flags (cutoff): static schedule length."""
+    step_ids = jnp.arange(num_steps)
+    flags = ((step_ids + 1) / num_steps <= cutoff).astype(jnp.float32)
+    return step_ids, flags
+
+
 def _ge_correct(loop_cfg, latent, denoised, sigma, prev_velocity, step_idx):
     """GE velocity momentum (one_stage.py:300-307); carried across steps."""
     if loop_cfg.ge_gamma <= 0:
@@ -433,12 +487,9 @@ def make_video_denoise_loop(
             layout and the SP/PP wrappers are all built per row plan.
             """
             r = 1 + int(with_cfg) + int(loop_cfg.need_stg)
-            contexts = [pos_ctx]
-            if with_cfg:
-                contexts.append(neg_ctx)
-            if loop_cfg.need_stg:
-                contexts.append(pos_ctx)
-            context = jnp.concatenate(contexts, axis=0)
+            context = _stack_guidance_ctx(
+                pos_ctx, neg_ctx, with_cfg, loop_cfg.need_stg
+            )
 
             positions = _tile_rows(state.positions, r)
             video_pe = _precompute_video_pe(model_cfg, state.positions, r)
@@ -516,21 +567,12 @@ def make_video_denoise_loop(
         forward_reduced = build_forward(with_cfg=False) if reuse_cfg else None
 
         def combine(pos, neg, perturbed, stg_flag):
-            """_combine_guidance on pre-split rows (bit-identical math)."""
-            denoised = (
-                loop_cfg.guider.guide(pos, neg) if loop_cfg.need_cfg else pos
+            return _combine_rows(
+                loop_cfg, loop_cfg.guider, pos, neg, perturbed, stg_flag
             )
-            if loop_cfg.need_stg:
-                delta = loop_cfg.stg_scale * (denoised - perturbed)
-                denoised = denoised + stg_flag * delta
-            return denoised
 
         def split(outs, with_cfg):
-            pos = outs[0:batch]
-            neg = outs[batch : 2 * batch] if with_cfg else None
-            off = (1 + int(with_cfg)) * batch
-            perturbed = outs[off : off + batch] if loop_cfg.need_stg else None
-            return pos, neg, perturbed
+            return _split_rows(outs, batch, with_cfg, loop_cfg.need_stg)
 
         def eval_full(latent, sigma, cfg_delta, stg_flag):
             pos, neg, perturbed = split(forward_full(latent, sigma), True)
@@ -542,11 +584,7 @@ def make_video_denoise_loop(
             neg = (pos.astype(jnp.float32) - cfg_delta).astype(pos.dtype)
             return combine(pos, neg, perturbed, stg_flag), cfg_delta
 
-        # Per-step STG active flags (cutoff): static schedule length.
-        step_ids = jnp.arange(num_steps)
-        stg_flags = ((step_ids + 1) / num_steps <= loop_cfg.stg_cutoff).astype(
-            jnp.float32
-        )
+        step_ids, stg_flags = _stg_step_flags(num_steps, loop_cfg.stg_cutoff)
 
         def step_fn(carry, xs):
             if reuse_cfg:
@@ -561,11 +599,10 @@ def make_video_denoise_loop(
                 step_idx, sigma, sigma_next, stg_flag = xs
                 cfg_delta = None
                 pos, neg, perturbed = split(forward_full(latent, sigma), True)
-                denoised, apg_carry = loop_cfg.guider.guide(pos, neg, apg_carry)
-                denoised = denoised.astype(pos.dtype)
-                if loop_cfg.need_stg:
-                    delta = loop_cfg.stg_scale * (denoised - perturbed)
-                    denoised = denoised + stg_flag * delta
+                denoised, apg_carry = _combine_rows_stateful(
+                    loop_cfg, loop_cfg.guider, pos, neg, perturbed, stg_flag,
+                    apg_carry,
+                )
             else:
                 latent, prev_velocity = carry
                 step_idx, sigma, sigma_next, stg_flag = xs
@@ -590,12 +627,10 @@ def make_video_denoise_loop(
                 elif stateful_guider:
                     p2, n2, pert2 = split(forward_full(predicted, sigma_next), True)
                     # Corrector reads the step's EMA without advancing it.
-                    denoised2, _ = loop_cfg.guider.guide(p2, n2, apg_carry)
-                    denoised2 = denoised2.astype(p2.dtype)
-                    if loop_cfg.need_stg:
-                        denoised2 = denoised2 + stg_flag * (
-                            loop_cfg.stg_scale * (denoised2 - pert2)
-                        )
+                    denoised2, _ = _combine_rows_stateful(
+                        loop_cfg, loop_cfg.guider, p2, n2, pert2, stg_flag,
+                        apg_carry,
+                    )
                 else:
                     outs2 = forward_full(predicted, sigma_next)
                     denoised2 = _combine_guidance(
@@ -705,17 +740,8 @@ def make_av_denoise_loop(
 
         def build_forward(with_cfg: bool):
             r = 1 + int(with_cfg) + int(loop_cfg.need_stg)
-
-            def stack_ctx(pos, neg):
-                ctxs = [pos]
-                if with_cfg:
-                    ctxs.append(neg)
-                if loop_cfg.need_stg:
-                    ctxs.append(pos)
-                return jnp.concatenate(ctxs, axis=0)
-
-            v_ctx = stack_ctx(pos_v, neg_v)
-            a_ctx = stack_ctx(pos_a, neg_a)
+            v_ctx = _stack_guidance_ctx(pos_v, neg_v, with_cfg, loop_cfg.need_stg)
+            a_ctx = _stack_guidance_ctx(pos_a, neg_a, with_cfg, loop_cfg.need_stg)
             v_positions = _tile_rows(video_state.positions, r)
             a_positions = _tile_rows(audio_state.positions, r)
             video_pe = _precompute_video_pe(model_cfg, video_state.positions, r)
@@ -789,31 +815,15 @@ def make_av_denoise_loop(
         a_stg_on = 1.0 if loop_cfg.stg_mode in ("audio", "both") else 0.0
 
         def combine(pos, neg, perturbed, guider, stg_flag):
-            denoised = guider.guide(pos, neg) if loop_cfg.need_cfg else pos
-            if loop_cfg.need_stg:
-                delta = loop_cfg.stg_scale * (denoised - perturbed)
-                denoised = denoised + stg_flag * delta
-            return denoised
+            return _combine_rows(loop_cfg, guider, pos, neg, perturbed, stg_flag)
 
         def combine_stateful(pos, neg, perturbed, guider, stg_flag, ema):
-            """combine() for a possibly-stateful guider: threads the guidance
-            EMA carry when the guider has one, passes it through otherwise."""
-            if hasattr(guider, "momentum"):
-                denoised, ema = guider.guide(pos, neg, ema)
-                denoised = denoised.astype(pos.dtype)
-                if loop_cfg.need_stg:
-                    denoised = denoised + stg_flag * (
-                        loop_cfg.stg_scale * (denoised - perturbed)
-                    )
-                return denoised, ema
-            return combine(pos, neg, perturbed, guider, stg_flag), ema
+            return _combine_rows_stateful(
+                loop_cfg, guider, pos, neg, perturbed, stg_flag, ema
+            )
 
         def split(outs, with_cfg):
-            pos = outs[0:batch]
-            neg = outs[batch : 2 * batch] if with_cfg else None
-            off = (1 + int(with_cfg)) * batch
-            perturbed = outs[off : off + batch] if loop_cfg.need_stg else None
-            return pos, neg, perturbed
+            return _split_rows(outs, batch, with_cfg, loop_cfg.need_stg)
 
         def eval_full(v_latent, a_latent, sigma, v_delta, a_delta, stg_flag):
             v_outs, a_outs = forward_full(v_latent, a_latent, sigma)
@@ -843,10 +853,7 @@ def make_av_denoise_loop(
             )
             return v_denoised, a_denoised, v_delta, a_delta
 
-        step_ids = jnp.arange(num_steps)
-        stg_flags = ((step_ids + 1) / num_steps <= loop_cfg.stg_cutoff).astype(
-            jnp.float32
-        )
+        step_ids, stg_flags = _stg_step_flags(num_steps, loop_cfg.stg_cutoff)
 
         def step_fn(carry, xs):
             if reuse_cfg:

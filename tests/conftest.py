@@ -56,9 +56,12 @@ def pytest_sessionfinish(session, exitstatus):
             fh.write("ok\n")
 
 
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# LTX2_TESTS_NO_CACHE=1 opts out entirely (e.g. a debug run alongside a
+# full-suite run, so the two don't interleave writes to one cache dir).
+if os.environ.get("LTX2_TESTS_NO_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.devices()[0].platform == "cpu", (
     f"tests must run on CPU, got {jax.devices()}"
