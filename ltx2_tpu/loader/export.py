@@ -22,6 +22,7 @@ from ltx2_tpu.loader.safetensors_io import (
     SafetensorsFile,
     write_safetensors_streaming,
 )
+from ltx2_tpu.loader.weight_loader import flatten_params
 
 # Inverse of weight_loader's KEY_REWRITE_RULES: tree key -> checkpoint key.
 INVERSE_KEY_RULES = [
@@ -31,17 +32,6 @@ INVERSE_KEY_RULES = [
     (r"\.ff\.project_out\.", ".ff.net.2."),
     (r"\.to_out\.", ".to_out.0."),
 ]
-
-
-def _flatten(tree, prefix=""):
-    out = {}
-    for k, v in tree.items():
-        path = f"{prefix}.{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(_flatten(v, path))
-        else:
-            out[path] = v
-    return out
 
 
 def _rewrite(key: str) -> str:
@@ -65,7 +55,7 @@ def iter_checkpoint_specs(params, dtype=np.float32):
     """Yield streaming-writer specs (name, np_dtype, shape, producer) for a
     stacked DiT param tree, without materializing any tensor data."""
     dtype = np.dtype(dtype)
-    flat = _flatten(params)
+    flat = flatten_params(params)
     for key, leaf in flat.items():
         shape = tuple(int(s) for s in jnp.shape(leaf))
         if key.startswith("transformer_blocks."):
@@ -92,9 +82,12 @@ def params_to_checkpoint(params, dtype=np.float32) -> Dict[str, np.ndarray]:
 
 def export_transformer_checkpoint(
     path: str, params, metadata: Optional[Dict[str, str]] = None,
-    carry_from: Optional[str] = None,
+    carry_from: Optional[str] = None, dtype=np.float32,
 ) -> None:
     """Write the param tree as a reference-format safetensors checkpoint.
+
+    `dtype`: storage dtype for the DiT tensors (np.float32 default;
+    pass ml_dtypes.bfloat16 to halve the file for a bf16-trained tree).
 
     `carry_from`: path of the source checkpoint whose NON-DiT tensors
     (VAE encoder/decoder, text_embedding_projection, vocoder, per-channel
@@ -109,7 +102,7 @@ def export_transformer_checkpoint(
     memory-mapped views copied file-to-file — peak host memory is one
     tensor, so a real ~40 GB export needs no checkpoint-sized RAM.
     """
-    specs = list(iter_checkpoint_specs(params))
+    specs = list(iter_checkpoint_specs(params, dtype=dtype))
     dit_keys = {name for name, _d, _s, _p in specs}
     src = None
     try:

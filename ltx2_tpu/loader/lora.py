@@ -163,7 +163,15 @@ def fuse_lora_into_params(
         else:
             new = (leaf.astype(jnp.float32) + d).astype(leaf.dtype)
         node[leaf_name] = new
-        applied[path if block_idx is None else f"{path}@{block_idx}"] = (block_idx, delta)
+        # ACCUMULATE: two checkpoint-key aliases (with/without the
+        # diffusion_model. prefix) can canonicalize to the same leaf; the
+        # restore path must subtract the SUM of what was added.
+        applied_key = path if block_idx is None else f"{path}@{block_idx}"
+        if applied_key in applied:
+            prev = applied[applied_key][1]
+            applied[applied_key] = (block_idx, prev + np.asarray(delta))
+        else:
+            applied[applied_key] = (block_idx, delta)
 
     if return_deltas:
         return params, applied

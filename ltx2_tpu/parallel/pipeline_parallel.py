@@ -30,7 +30,6 @@ option, mirroring how sequence parallelism is wired.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -106,13 +105,13 @@ def pipeline_block_stack(
 
     if cfg.num_layers % n_stages != 0:
         raise ValueError(
-            f"num_layers {cfg.num_layers} must divide pipeline stages {n_stages}"
+            f"pipeline stages {n_stages} must divide num_layers {cfg.num_layers}"
         )
     layers_local = cfg.num_layers // n_stages
 
     batch = (video_args or audio_args).x.shape[0]
     if batch % m != 0:
-        raise ValueError(f"batch {batch} must divide microbatches {m}")
+        raise ValueError(f"num_microbatches {m} must divide batch {batch}")
     mb = batch // m
 
     # Per-layer scan inputs: block params arrive pre-sharded (L/P, ...);
@@ -403,7 +402,7 @@ def make_pipeline_parallel_forward(
     With `cfg.sequence_axis`, tokens additionally shard over that axis
     (PP x SP: ring attention inside each stage).
     """
-    pp_cfg = dataclasses.replace(cfg, remat=cfg.remat)
+    pp_cfg = cfg
     seq_axis = cfg.sequence_axis
 
     def forward(params, video, audio, video_pe):
@@ -422,37 +421,51 @@ def make_pipeline_parallel_forward(
     batch_spec = P() if data_axis is None else P(data_axis)
     b = None if data_axis is None else data_axis
 
+    # Memoize the wrapped jit per structural signature (see
+    # make_sequence_parallel_forward): a fresh shard_map + jax.jit per call
+    # would retrace the full pipeline schedule on every eager invocation.
+    jitted = {}
+
     def run(params, video: Optional[Modality] = None,
             audio: Optional[Modality] = None, video_pe=None):
-        param_specs = block_param_specs(params, axis)
-        if seq_axis is None:
-            mod_specs = lambda mod: (
-                None if mod is None
-                else jax.tree_util.tree_map(lambda _: batch_spec, mod)
-            )
-            pe_specs = None if video_pe is None else (batch_spec, batch_spec)
-            out_specs = batch_spec
-        else:
-            mod_specs = lambda mod: (
-                None if mod is None
-                else pp_sp_modality_specs(mod, b, seq_axis)
-            )
-            pe_spec = P(b, None, seq_axis, None)
-            pe_specs = None if video_pe is None else (pe_spec, pe_spec)
-            out_specs = P(b, seq_axis, None)
-        if video is not None and audio is not None:
-            out_specs = (out_specs, out_specs)
-        # Under PP x TP the model axis stays OUT of the manual axis set:
-        # GSPMD owns it (auto_axes inside the stage body inserts the TP
-        # collectives), while pipe/data are manual (ppermute schedule).
-        manual = frozenset(n for n in mesh.axis_names if n != model_axis)
-        fn = jax.shard_map(
-            forward,
-            mesh=mesh,
-            in_specs=(param_specs, mod_specs(video), mod_specs(audio), pe_specs),
-            out_specs=out_specs,
-            axis_names=manual,
+        key = (
+            jax.tree_util.tree_structure((params, video, audio)),
+            None if video is None else video.timesteps.ndim,
+            None if audio is None else audio.timesteps.ndim,
+            video_pe is None,
         )
-        return jax.jit(fn)(params, video, audio, video_pe)
+        fn = jitted.get(key)
+        if fn is None:
+            param_specs = block_param_specs(params, axis)
+            if seq_axis is None:
+                mod_specs = lambda mod: (
+                    None if mod is None
+                    else jax.tree_util.tree_map(lambda _: batch_spec, mod)
+                )
+                pe_specs = None if video_pe is None else (batch_spec, batch_spec)
+                out_specs = batch_spec
+            else:
+                mod_specs = lambda mod: (
+                    None if mod is None
+                    else pp_sp_modality_specs(mod, b, seq_axis)
+                )
+                pe_spec = P(b, None, seq_axis, None)
+                pe_specs = None if video_pe is None else (pe_spec, pe_spec)
+                out_specs = P(b, seq_axis, None)
+            if video is not None and audio is not None:
+                out_specs = (out_specs, out_specs)
+            # Under PP x TP the model axis stays OUT of the manual axis set:
+            # GSPMD owns it (auto_axes inside the stage body inserts the TP
+            # collectives), while pipe/data are manual (ppermute schedule).
+            manual = frozenset(n for n in mesh.axis_names if n != model_axis)
+            fn = jax.jit(jax.shard_map(
+                forward,
+                mesh=mesh,
+                in_specs=(param_specs, mod_specs(video), mod_specs(audio), pe_specs),
+                out_specs=out_specs,
+                axis_names=manual,
+            ))
+            jitted[key] = fn
+        return fn(params, video, audio, video_pe)
 
     return run

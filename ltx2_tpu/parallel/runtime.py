@@ -35,9 +35,21 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # Already initialized, or single-process run.
-        pass
+    except (RuntimeError, ValueError) as e:
+        # Tolerate ONLY the benign cases: re-initialization, or a bare
+        # single-host call (no explicit args) where autodetection finds no
+        # pod environment. A call with EXPLICIT arguments that fails is a
+        # genuine misconfiguration (wrong coordinator address, inconsistent
+        # num_processes/process_id) and must fail loudly — swallowing it
+        # degrades a pod job into a silent single-host run that hangs in
+        # the first cross-host collective.
+        msg = str(e).lower()
+        explicit = coordinator_address is not None or process_id is not None
+        if "already" in msg and "initial" in msg:
+            return
+        if not explicit:
+            return  # single-process run, nothing to wire
+        raise
 
 
 def axis_layout(

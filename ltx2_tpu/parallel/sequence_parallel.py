@@ -74,21 +74,36 @@ def make_sequence_parallel_forward(
     def forward(params, video: Optional[Modality], audio: Optional[Modality]):
         return apply_fn(params, sp_cfg, video=video, audio=audio)
 
+    # Memoize the wrapped jit per structural signature: rebuilding
+    # shard_map + jax.jit inside run() would give every call a fresh
+    # function identity, so repeated eager calls would retrace (and
+    # re-lower) the full model each time. The signature captures
+    # everything the specs depend on; jit handles shape changes itself.
+    jitted = {}
+
     def run(params, video: Optional[Modality] = None, audio: Optional[Modality] = None):
-        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
-        v_specs = None if video is None else modality_specs(video, axis)
-        a_specs = None if audio is None else modality_specs(audio, axis)
-        out_specs = P(None, axis, None)
-        if video is not None and audio is not None:
-            out_specs = (out_specs, out_specs)
-        manual = frozenset(n for n in mesh.axis_names if n != model_axis)
-        fn = jax.shard_map(
-            forward,
-            mesh=mesh,
-            in_specs=(param_specs, v_specs, a_specs),
-            out_specs=out_specs,
-            axis_names=manual,
+        key = (
+            jax.tree_util.tree_structure((params, video, audio)),
+            None if video is None else video.timesteps.ndim,
+            None if audio is None else audio.timesteps.ndim,
         )
-        return jax.jit(fn)(params, video, audio)
+        fn = jitted.get(key)
+        if fn is None:
+            param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+            v_specs = None if video is None else modality_specs(video, axis)
+            a_specs = None if audio is None else modality_specs(audio, axis)
+            out_specs = P(None, axis, None)
+            if video is not None and audio is not None:
+                out_specs = (out_specs, out_specs)
+            manual = frozenset(n for n in mesh.axis_names if n != model_axis)
+            fn = jax.jit(jax.shard_map(
+                forward,
+                mesh=mesh,
+                in_specs=(param_specs, v_specs, a_specs),
+                out_specs=out_specs,
+                axis_names=manual,
+            ))
+            jitted[key] = fn
+        return fn(params, video, audio)
 
     return run

@@ -126,7 +126,11 @@ def _actual_outputs(requested: str) -> list:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    # Same normalization generate.main applies: reference-flag aliases
+    # (--fp8/--fp32/--model-variant/...), default-checkpoint resolution.
+    # Without it a serve launch silently ignores those flags (e.g.
+    # --model-variant without --checkpoint would serve placeholder weights).
+    args = generate._apply_reference_compat(build_parser().parse_args(argv))
 
     from ltx2_tpu.utils.profiling import log
 
@@ -135,8 +139,17 @@ def main(argv=None):
     log.info("serve: models resident in %.1f s", time.perf_counter() - t0)
 
     if args.warmup:
+        import copy as copy_mod
+        import os
+        import tempfile
+
+        # Throwaway artifacts: never touch the launch --output path.
+        wa = copy_mod.copy(args)
+        wa.output = tempfile.mktemp(suffix=".mp4", prefix="warmup_")
         t0 = time.perf_counter()
-        generate.execute_request(args, models, ledger)
+        generate.execute_request(wa, models, ledger)
+        for artifact in _actual_outputs(wa.output):
+            os.unlink(artifact)
         log.info("serve: warmup generation in %.1f s", time.perf_counter() - t0)
 
     if args.warmup_shapes:

@@ -24,6 +24,33 @@ import shutil
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# XLA:CPU never releases JIT code mappings: every compiled executable leaks
+# one r-x/r--/rw- anonymous mapping triplet, so a full-suite run (thousands
+# of compiles) marches into the kernel's vm.max_map_count (default 65530),
+# where LLVM's unchecked mmap failure SEGFAULTS — observed three times at
+# 76-94% of the suite, at whichever test compiled next. Raise the cap when
+# we can (root); otherwise warn so a crash later is diagnosable.
+_MAP_COUNT_FLOOR = 262144
+try:
+    with open("/proc/sys/vm/max_map_count") as _fh:
+        _map_cap = int(_fh.read())
+    if _map_cap < _MAP_COUNT_FLOOR:
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as _fh:
+                _fh.write(str(_MAP_COUNT_FLOOR * 4))
+        except PermissionError:
+            import warnings
+
+            warnings.warn(
+                f"vm.max_map_count={_map_cap} is too low for a full-suite "
+                "run (XLA:CPU leaks ~3 mappings per compiled executable and "
+                "segfaults at the cap). Ask an admin for: "
+                "sysctl -w vm.max_map_count=1048576",
+                stacklevel=0,
+            )
+except OSError:
+    pass  # non-Linux: no map cap to manage
+
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
@@ -32,9 +59,9 @@ jax.config.update("jax_enable_x64", False)
 # A run killed mid-cache-write (ctrl-C, OOM-kill, timeout) can leave a
 # truncated serialized executable behind, and deserializing one segfaults
 # XLA on a LATER run. Guard with a clean-exit sentinel: if the previous
-# run did not finish, assume the cache is suspect and start cold. Child
-# pytest processes (test_training runs its suite in a fresh subprocess)
-# inherit LTX2_TESTS_CACHE_OWNER and leave the guard to the parent.
+# run did not finish, assume the cache is suspect and start cold. A child
+# pytest process (e.g. a debug run launched while a full run is active)
+# can inherit LTX2_TESTS_CACHE_OWNER=1 to leave the guard to the parent.
 _CACHE_DIR = "/tmp/jax_cache"
 _SENTINEL = os.path.join(_CACHE_DIR, ".clean-exit")
 _CACHE_OWNER = os.environ.get("LTX2_TESTS_CACHE_OWNER") != "1"

@@ -308,6 +308,49 @@ class TestServe:
         args = serve.apply_request(base, {"skip_vae": True, "seed": 3})
         assert args.skip_vae is True and args.seed == 3
 
+    def test_reference_compat_flags_apply(self):
+        """serve.main must run generate's reference-flag normalization:
+        --fp8 -> fp8_serving, --fp32 -> dtype (previously silently ignored,
+        so a --fp8 serve launch OOMed where generate.py worked)."""
+        import generate
+        import serve
+
+        args = generate._apply_reference_compat(
+            serve.build_parser().parse_args([
+                "--placeholder", "--fp8", "--requests", "-",
+            ])
+        )
+        assert args.fp8_serving is True
+        args = generate._apply_reference_compat(
+            serve.build_parser().parse_args([
+                "--placeholder", "--fp32", "--requests", "-",
+            ])
+        )
+        assert args.dtype == "float32"
+        # And main() actually routes through it (source-level guard against
+        # the wiring regressing back to raw parse_args).
+        import inspect
+
+        assert "_apply_reference_compat" in inspect.getsource(serve.main)
+
+    def test_warmup_leaves_no_artifacts(self, tmp_path):
+        """--warmup must generate into throwaway temp files, never the
+        launch --output path, and must clean up after itself."""
+        import serve
+
+        out = tmp_path / "real_output.mp4"
+        req = tmp_path / "req.jsonl"
+        req.write_text("")  # no requests: warmup only
+        serve.main([
+            "--placeholder", "--no-gemma", "--pipeline", "one-stage",
+            "--height", "64", "--width", "96", "--num-frames", "9",
+            "--num-inference-steps", "2", "--skip-vae",
+            "--warmup", "--output", str(out),
+            "--requests", str(req),
+        ])
+        leftovers = [p.name for p in tmp_path.iterdir() if p != req]
+        assert leftovers == [], f"warmup left artifacts: {leftovers}"
+
     def test_token_bucket_unseen_shape_zero_loop_compiles(
         self, tmp_path, capsys
     ):

@@ -273,6 +273,43 @@ class TestLoRA:
         with pytest.raises(ValueError):
             LoRAConfig(path="x", strength=3.0)
 
+    def test_aliased_keys_restore_exactly(self, tmp_path):
+        """Two LoRA files with DIFFERENT prefix styles targeting the same
+        leaf: collect keeps them as separate checkpoint keys, but both
+        canonicalize to one tree leaf. The applied-delta map must
+        ACCUMULATE (not overwrite), or unfuse subtracts only one delta and
+        the restore silently corrupts the weights."""
+        rng = np.random.default_rng(2)
+        cfg = tiny_config()
+        dim = cfg.video_inner_dim
+
+        def lora_file(name, prefix):
+            a = rng.normal(size=(2, dim)).astype(np.float32)
+            b = rng.normal(size=(dim, 2)).astype(np.float32)
+            path = str(tmp_path / name)
+            write_safetensors(path, {
+                f"{prefix}transformer_blocks.0.attn1.to_q.lora_A.weight": a,
+                f"{prefix}transformer_blocks.0.attn1.to_q.lora_B.weight": b,
+            })
+            return path, b @ a
+
+        p1, d1 = lora_file("l1.safetensors", "diffusion_model.")
+        p2, d2 = lora_file("l2.safetensors", "")
+
+        params = jax.tree_util.tree_map(lambda x: x, cached_params(cfg))
+        base = np.asarray(params["transformer_blocks"]["attn1"]["to_q"]["weight"]).copy()
+        params, applied = fuse_lora_into_params(
+            params,
+            [LoRAConfig(path=p1, strength=1.0), LoRAConfig(path=p2, strength=1.0)],
+            return_deltas=True,
+        )
+        fused = np.asarray(params["transformer_blocks"]["attn1"]["to_q"]["weight"])
+        np.testing.assert_allclose(fused[0], base[0] + d1 + d2, atol=1e-4)
+
+        params = unfuse_lora_deltas(params, applied)
+        restored = np.asarray(params["transformer_blocks"]["attn1"]["to_q"]["weight"])
+        np.testing.assert_allclose(restored, base, atol=1e-4)
+
     def test_lora_down_up_naming(self, tmp_path):
         rng = np.random.default_rng(1)
         a = rng.normal(size=(2, 32)).astype(np.float32)
