@@ -19,7 +19,10 @@ composes for free:
 Objective (rectified flow / flow matching, the training objective of the
 LTX-2 family): x_sigma = (1 - sigma) * x0 + sigma * noise, and the DiT
 predicts VELOCITY v = noise - x0 (matching core.to_velocity's convention
-x_sigma = x0 + sigma * v). Loss is fp32 MSE, optionally timestep-weighted.
+x_sigma = x0 + sigma * v). Loss is a uniform-weight fp32 MSE; the
+mid-schedule emphasis comes from logit-normal SIGMA SAMPLING
+(TrainConfig.logit_normal_loc/scale) rather than an explicit per-timestep
+loss weight.
 """
 
 from __future__ import annotations
@@ -156,6 +159,33 @@ def rectified_flow_loss(
     v_loss = jnp.mean((v_pred.astype(jnp.float32) - (noise - x0)) ** 2)
     a_loss = jnp.mean((a_pred.astype(jnp.float32) - (a_noise - a0)) ** 2)
     return v_loss + a_loss
+
+
+# Every audio-branch param key in the DiT tree (top-level audio_* /
+# av_ca_* leaves and the blocks' audio_attn*/audio_ff/audio_*_table/
+# audio_to_video_attn/video_to_audio_attn sublayers, plus any LoRA
+# adapters attached inside them).
+AUDIO_BRANCH_PATTERN = r"(^|/)(audio_|av_ca_|video_to_audio_attn)"
+
+
+def freeze_audio_branch_mask(params, mask=None):
+    """Trainable mask with every audio-branch leaf frozen.
+
+    For an AudioVideo model trained on video-only batches: the audio
+    branch gets exactly-zero gradients (the loss never touches it), but
+    AdamW weight decay would still shrink the untrained audio weights
+    every step — silently destroying the checkpoint's audio capability at
+    export. Intersects with an existing `mask` when given.
+    """
+    import re
+
+    audio_re = re.compile(AUDIO_BRANCH_PATTERN)
+    not_audio = trainable_mask(params, lambda p: not audio_re.search(p))
+    if mask is None:
+        return not_audio
+    return jax.tree_util.tree_map(
+        lambda a, b: bool(a and b), mask, not_audio
+    )
 
 
 def trainable_mask(params, predicate: Callable[[str], bool]):

@@ -55,7 +55,7 @@ def dit_step_flops(
     per_block += 2 * 2 * n * d_v * (4 * d_v)
 
     if n_audio_tokens:
-        d_a = cfg.num_attention_heads * (cfg.attention_head_dim // 2)  # audio inner
+        d_a = cfg.audio_inner_dim  # audio_heads * audio_head_dim
         na = n_audio_tokens
         per_block += 4 * 2 * na * d_a * d_a + _attn_flops(na, na, d_a)
         per_block += 2 * 2 * na * d_a * d_a + _attn_flops(na, s, d_a)
@@ -70,8 +70,7 @@ def dit_step_flops(
     # patchify-in / proj-out + caption projection (once, not per block)
     total += 2 * 2 * n * cfg.in_channels * d_v
     if n_audio_tokens:
-        d_a = cfg.num_attention_heads * (cfg.attention_head_dim // 2)
-        total += 2 * 2 * n_audio_tokens * cfg.audio_in_channels * d_a
+        total += 2 * 2 * n_audio_tokens * cfg.audio_in_channels * cfg.audio_inner_dim
     return total * rows
 
 

@@ -65,37 +65,54 @@ def read_pil_animation(
     return _pack(frames, height, width, num_frames)
 
 
+def _parse_y4m_header(raw_header: bytes, path: str):
+    """Stream-header line -> (w, h, fps, colorspace-tag). Raises on a
+    non-y4m stream or missing geometry."""
+    header = raw_header.decode("ascii", "replace").strip()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError(f"{path}: not a YUV4MPEG2 stream")
+    w = h = None
+    fps = 24.0
+    cs = "420"
+    for token in header.split()[1:]:
+        if token.startswith("W"):
+            w = int(token[1:])
+        elif token.startswith("H"):
+            h = int(token[1:])
+        elif token.startswith("F"):
+            num, den = token[1:].split(":")
+            fps = float(num) / float(den)
+        elif token.startswith("C"):
+            cs = token[1:]
+    if not w or not h:
+        raise ValueError(f"{path}: missing W/H in y4m header")
+    return w, h, fps, cs
+
+
+def _y4m_chroma_geometry(cs: str, w: int, h: int, path: str):
+    """Colorspace tag -> (subsample, chroma_w, chroma_h). The single source
+    of truth for what read_y4m decodes — probe_video shares it so the two
+    can never disagree on plane sizes or supported colorspaces."""
+    import re as _re
+
+    if _re.search(r"p(9|10|12|14|16)$", cs):
+        # C420p10/p12/p16 etc: >8-bit samples double the plane bytes —
+        # parsing them as 8-bit would desync the frame stream. (Plain
+        # 'p' belongs to chroma-siting tags like 420jpeg/420paldv.)
+        raise ValueError(f"{path}: only 8-bit y4m supported, got C{cs}")
+    if cs.startswith("420"):
+        return 2, (w + 1) // 2, (h + 1) // 2
+    if cs.startswith("444"):
+        return 1, w, h
+    raise ValueError(f"{path}: unsupported y4m colorspace C{cs}")
+
+
 def read_y4m(path: str, height: int, width: int, num_frames: int) -> np.ndarray:
     """YUV4MPEG2 -> (1, 3, F, H, W) in [-1, 1]. Supports the common C420*
     (4:2:0) and C444 colorspaces, 8-bit."""
     with open(path, "rb") as fh:
-        header = fh.readline().decode("ascii", "replace").strip()
-        if not header.startswith("YUV4MPEG2"):
-            raise ValueError(f"{path}: not a YUV4MPEG2 stream")
-        w = h = None
-        cs = "420"
-        for token in header.split()[1:]:
-            if token.startswith("W"):
-                w = int(token[1:])
-            elif token.startswith("H"):
-                h = int(token[1:])
-            elif token.startswith("C"):
-                cs = token[1:]
-        if not w or not h:
-            raise ValueError(f"{path}: missing W/H in y4m header")
-        import re as _re
-
-        if _re.search(r"p(9|10|12|14|16)$", cs):
-            # C420p10/p12/p16 etc: >8-bit samples double the plane bytes —
-            # parsing them as 8-bit would desync the frame stream. (Plain
-            # 'p' belongs to chroma-siting tags like 420jpeg/420paldv.)
-            raise ValueError(f"{path}: only 8-bit y4m supported, got C{cs}")
-        if cs.startswith("420"):
-            sub, cw, ch = 2, (w + 1) // 2, (h + 1) // 2
-        elif cs.startswith("444"):
-            sub, cw, ch = 1, w, h
-        else:
-            raise ValueError(f"{path}: unsupported y4m colorspace C{cs}")
+        w, h, _fps, cs = _parse_y4m_header(fh.readline(), path)
+        sub, cw, ch = _y4m_chroma_geometry(cs, w, h, path)
         ysize, csize = w * h, cw * ch
 
         frames = []
@@ -190,6 +207,45 @@ def read_avi_mjpeg(
     return _pack(frames, height, width, num_frames)
 
 
+def _avi_stream_headers(data: bytes):
+    """Parse the hdrl LIST: yield (stream_index, fccType, strf_payload) per
+    'strl' stream list. Walking the real header structure (instead of
+    scanning raw bytes for 'auds') means compressed frame payloads can
+    never false-match as stream headers."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    pos, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    while pos + 12 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if fourcc == b"LIST" and data[body : body + 4] == b"hdrl":
+            idx = 0
+            p2, hend = body + 4, body + size
+            while p2 + 8 <= hend:
+                fc2 = data[p2 : p2 + 4]
+                (sz2,) = struct.unpack_from("<I", data, p2 + 4)
+                b2 = p2 + 8
+                if fc2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                    fcc_type = strf = None
+                    p3, send = b2 + 4, b2 + sz2
+                    while p3 + 8 <= send:
+                        fc3 = data[p3 : p3 + 4]
+                        (sz3,) = struct.unpack_from("<I", data, p3 + 4)
+                        if fc3 == b"strh":
+                            fcc_type = data[p3 + 8 : p3 + 12]
+                        elif fc3 == b"strf":
+                            strf = data[p3 + 8 : p3 + 8 + sz3]
+                        p3 += 8 + sz3 + (sz3 % 2)
+                    yield idx, fcc_type, strf
+                    idx += 1
+                p2 = b2 + sz2 + (sz2 % 2)
+            return
+        pos = body + size + (size % 2)
+
+
 def read_avi_audio(path: str):
     """Extract the interleaved 16-bit PCM track from an AVI.
 
@@ -201,23 +257,25 @@ def read_avi_audio(path: str):
 
     with open(path, "rb") as fh:
         data = fh.read()
-    pos = data.find(b"auds")
-    if pos < 0:
+    audio_stream = None
+    for idx, fcc_type, strf in _avi_stream_headers(data):
+        if fcc_type == b"auds" and strf is not None and len(strf) >= 16:
+            audio_stream = (idx, strf)
+            break
+    if audio_stream is None:
         return None
-    # The 'strf' WAVEFORMATEX follows the stream's strh chunk.
-    strf = data.find(b"strf", pos)
-    if strf < 0:
-        return None
-    fmt_tag, channels, sample_rate = struct.unpack_from("<2HI", data, strf + 8)
+    idx, strf = audio_stream
+    fmt_tag, channels, sample_rate = struct.unpack_from("<2HI", strf, 0)
     if fmt_tag != 1:  # PCM only
         return None
-    bits = struct.unpack_from("<H", data, strf + 8 + 14)[0]
-    if bits != 16:
+    bits = struct.unpack_from("<H", strf, 14)[0]
+    if bits != 16 or channels == 0:
         return None
+    stream_cc = b"%02d" % idx  # this stream's chunks only ('01wb', ...)
     pcm_parts = [
         data[off : off + size]
         for fourcc, off, size in _avi_chunks(data)
-        if fourcc[2:] == b"wb" and size > 0
+        if fourcc[2:] == b"wb" and fourcc[:2] == stream_cc and size > 0
     ]
     if not pcm_parts:
         return None
@@ -252,34 +310,30 @@ def probe_video(path: str):
     if suffix == ".y4m":
         import os
 
+        fsize = os.path.getsize(path)
         with open(path, "rb") as fh:
-            raw_header = fh.readline()
-            header = raw_header.decode("ascii", "replace").strip()
-            w = h = None
-            fps = 24.0
-            cs = "420"
-            for token in header.split()[1:]:
-                if token.startswith("W"):
-                    w = int(token[1:])
-                elif token.startswith("H"):
-                    h = int(token[1:])
-                elif token.startswith("F"):
-                    num, den = token[1:].split(":")
-                    fps = float(num) / float(den)
-                elif token.startswith("C"):
-                    cs = token[1:]
-            if not w or not h:
-                raise ValueError(f"{path}: missing W/H in y4m header")
-        # Frame count from the file size: each frame is a fixed-size
-        # payload ('FRAME\n' + planes per the header's colorspace). No
-        # full read (a raw stream can be multi-GB) and no false matches
-        # from pixel bytes that happen to spell 'FRAME'.
-        if cs.startswith("444"):
-            csize = w * h
-        else:  # 420 family (the read_y4m-supported set)
-            csize = ((w + 1) // 2) * ((h + 1) // 2)
-        frame_bytes = len(b"FRAME\n") + w * h + 2 * csize
-        n = (os.path.getsize(path) - len(raw_header)) // frame_bytes
+            w, h, fps, cs = _parse_y4m_header(fh.readline(), path)
+            _, cw, ch = _y4m_chroma_geometry(cs, w, h, path)
+            plane_bytes = w * h + 2 * cw * ch
+            # Walk the frame records: each is a 'FRAME[ params]\n' line
+            # (spec-legal per-frame parameters make the marker variable-
+            # length, so size//frame_bytes would over-count) followed by
+            # fixed-size planes. One readline + seek per frame — no full
+            # read (a raw stream can be multi-GB) and no false matches
+            # from pixel bytes that happen to spell 'FRAME'.
+            n = 0
+            while True:
+                marker = fh.readline()
+                if not marker:
+                    break
+                if not marker.startswith(b"FRAME"):
+                    raise ValueError(
+                        f"{path}: bad frame marker {marker[:16]!r}"
+                    )
+                if fh.tell() + plane_bytes > fsize:
+                    break  # truncated final frame — don't count it
+                fh.seek(plane_bytes, os.SEEK_CUR)
+                n += 1
         return fps, int(n), int(h), int(w)
     if suffix in PIL_SUFFIXES:
         from PIL import Image

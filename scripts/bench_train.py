@@ -70,7 +70,7 @@ def zero1_report():
           "::TestTrainStep::test_zero1_shards_moments_and_matches_replicated)")
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--frames", type=int, default=16)
@@ -88,11 +88,17 @@ def main():
                     help="print the per-device optimizer-memory table for "
                     "FULL 48-block fine-tuning with and without ZeRO-1 "
                     "(abstract shapes only — runs anywhere, no HBM)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.zero1_report:
         zero1_report()
         return
+    if args.fp8_base and not args.lora_rank:
+        # Mirror train.py's guard: AdamW on fp8-E4M3 storage is not a
+        # training configuration that exists — benchmarking it would print
+        # TF/s for a meaningless step.
+        raise SystemExit("--fp8-base requires --lora-rank (fp8 weights are "
+                         "a FROZEN base; only adapters take grads)")
 
     import jax.numpy as jnp
 

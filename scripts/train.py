@@ -25,6 +25,7 @@ Example:
 
 import argparse
 import os
+import re
 import sys
 import time
 
@@ -48,7 +49,9 @@ def build_parser():
                         "the saved checkpoint silently loses its audio "
                         "capability")
     p.add_argument("--data", type=str, default=None,
-                   help=".npz with x0/positions/context arrays")
+                   help=".npz with x0/positions/context arrays (plus "
+                        "audio_x0/audio_positions[/audio_context[_mask]] "
+                        "for joint AV fine-tuning of --audio checkpoints)")
     p.add_argument("--synthetic", type=int, nargs=3, metavar=("F", "H", "W"),
                    default=None, help="random dataset at latent shape FxHxW")
     p.add_argument("--synthetic-samples", type=int, default=8)
@@ -56,7 +59,8 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight-decay", type=float, default=0.0)
-    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--grad-clip", type=float, default=1.0,
+                   help="global-norm gradient clip; 0 disables clipping")
     p.add_argument("--fp8-serving", action="store_true",
                    help="keep the checkpoint's fp8 weights quantized as the "
                         "FROZEN base (QLoRA-style): with --lora-rank, the "
@@ -156,6 +160,14 @@ def _reject_fp8_trainable(params, mask):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.grad_clip < 0:
+        raise SystemExit("--grad-clip must be >= 0 (0 disables clipping)")
+    if args.fp8_serving and not (args.lora_rank or args.trainable):
+        # One guard for both the placeholder and checkpoint branches.
+        raise SystemExit(
+            "--fp8-serving requires --lora-rank or --trainable: fp8 "
+            "weights are a FROZEN base (adamw cannot update them)"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -174,6 +186,7 @@ def main(argv=None):
     if args.placeholder or args.checkpoint is None:
         from ltx2_tpu.models.transformer.model import (
             LTXModelConfig,
+            LTXModelType,
             init_ltx_model,
         )
 
@@ -181,6 +194,13 @@ def main(argv=None):
             num_attention_heads=4, attention_head_dim=32, num_layers=4,
             cross_attention_dim=128, caption_channels=None,
             compute_dtype="bfloat16", remat=True,
+            # --audio: a tiny AudioVideo placeholder so the joint-AV
+            # training paths (and the video-only-data freeze) are drivable
+            # without a checkpoint.
+            **({"model_type": LTXModelType.AudioVideo,
+                "audio_heads": 4, "audio_head_dim": 16,
+                "audio_in_channels": 32, "audio_out_channels": 32}
+               if args.audio else {}),
         )
         params = jax.jit(lambda k: init_ltx_model(k, cfg))(
             jax.random.PRNGKey(args.seed)
@@ -189,11 +209,6 @@ def main(argv=None):
             # Honor the flag under --placeholder too: quantize the random
             # base so the fp8 training semantics (frozen quantized base,
             # trainable-regex guard) are drivable without a checkpoint.
-            if not (args.lora_rank or args.trainable):
-                raise SystemExit(
-                    "--fp8-serving requires --lora-rank or --trainable: fp8 "
-                    "weights are a FROZEN base (adamw cannot update them)"
-                )
             from ltx2_tpu.loader.fp8 import quantize_params_fp8
 
             params = jax.jit(quantize_params_fp8)(params)
@@ -201,11 +216,6 @@ def main(argv=None):
     else:
         from ltx2_tpu.utils.model_ledger import ModelLedger
 
-        if args.fp8_serving and not (args.lora_rank or args.trainable):
-            raise SystemExit(
-                "--fp8-serving requires --lora-rank or --trainable: fp8 "
-                "weights are a FROZEN base (adamw cannot update them)"
-            )
         ledger = ModelLedger(
             checkpoint_path=args.checkpoint, include_audio=args.audio,
             keep_fp8=args.fp8_serving,
@@ -249,10 +259,17 @@ def main(argv=None):
     else:
         dp_put = lambda a: a  # noqa: E731
 
-    # ---- Data.
+    # ---- Data. Optional audio arrays turn each batch into a joint-AV
+    # TrainBatch (shared per-sample sigma, summed flow-matching MSEs).
+    _AUDIO_KEYS = ("audio_x0", "audio_positions", "audio_context",
+                   "audio_context_mask")
+    aud = {}
     if args.data:
         data = np.load(args.data)
         x0s, poss, ctxs = data["x0"], data["positions"], data["context"]
+        aud = {k: data[k] for k in _AUDIO_KEYS if k in data.files}
+        if aud and "audio_positions" not in aud:
+            raise SystemExit("dataset has audio_x0 but no audio_positions")
     elif args.synthetic:
         f, h, w = args.synthetic
         n, tokens = args.synthetic_samples, f * h * w
@@ -263,13 +280,34 @@ def main(argv=None):
         poss = np.repeat(pos, n, axis=0)
         ctx_dim = cfg.caption_channels or cfg.cross_attention_dim
         ctxs = rng.randn(n, 32, ctx_dim).astype(np.float32) * 0.1
+        if args.audio:
+            # Joint-AV synthetic batch: audio tokens at one-per-frame,
+            # seconds positions, own small context in the audio stream dim.
+            t = np.arange(f, dtype=np.float32)[None, None, :]
+            apos = np.stack([t, t + 0.1], axis=-1)
+            aud = {
+                "audio_x0": rng.randn(n, f, cfg.audio_in_channels).astype(np.float32),
+                "audio_positions": np.repeat(apos, n, axis=0),
+                "audio_context": (
+                    rng.randn(
+                        n, 8, cfg.caption_channels or cfg.audio_inner_dim
+                    ).astype(np.float32) * 0.1
+                ),
+            }
     else:
         raise SystemExit("pass --data latents.npz or --synthetic F H W")
     # ---- Validation split (held-out tail, or a separate file).
     val = None
+    val_aud = {}
     if args.val_data:
         vdata = np.load(args.val_data)
         val = (vdata["x0"], vdata["positions"], vdata["context"])
+        val_aud = {k: vdata[k] for k in aud if k in vdata.files}
+        if set(val_aud) != set(aud):
+            raise SystemExit(
+                "--val-data must carry the same audio arrays as --data "
+                f"(train has {sorted(aud)}, val has {sorted(val_aud)})"
+            )
     elif args.val_fraction > 0:
         n_val = max(1, int(round(x0s.shape[0] * args.val_fraction)))
         if n_val >= x0s.shape[0]:
@@ -278,6 +316,8 @@ def main(argv=None):
             )
         val = (x0s[-n_val:], poss[-n_val:], ctxs[-n_val:])
         x0s, poss, ctxs = x0s[:-n_val], poss[:-n_val], ctxs[:-n_val]
+        val_aud = {k: a[-n_val:] for k, a in aud.items()}
+        aud = {k: a[:-n_val] for k, a in aud.items()}
     n_samples = x0s.shape[0]
     log.info(
         "dataset: %d samples, %d tokens%s", n_samples, x0s.shape[1],
@@ -287,7 +327,7 @@ def main(argv=None):
     # ---- Optimizer + step.
     tc = TrainConfig(
         learning_rate=args.lr, weight_decay=args.weight_decay,
-        grad_clip_norm=args.grad_clip,
+        grad_clip_norm=args.grad_clip if args.grad_clip > 0 else None,
         warmup_steps=args.warmup_steps, lr_schedule=args.lr_schedule,
         total_steps=args.steps,
     )
@@ -297,9 +337,7 @@ def main(argv=None):
 
         mask = lora_trainable_mask(params)
     if args.trainable:
-        import re as re_mod
-
-        pat = re_mod.compile(args.trainable)
+        pat = re.compile(args.trainable)
         mask = trainable_mask(params, lambda p: bool(pat.search(p)))
         if args.fp8_serving:
             _reject_fp8_trainable(params, mask)
@@ -311,6 +349,25 @@ def main(argv=None):
             if m
         )
         log.info("trainable params: %.2f M (regex %r)", n_train / 1e6, args.trainable)
+    # An AV model on a video-only dataset: the audio branch gets exactly-
+    # zero grads (the loss never touches it), but AdamW weight decay would
+    # still shrink the untrained audio weights every step — silently
+    # destroying the checkpoint's audio capability at export. Freeze the
+    # whole branch instead (also: no Adam moments materialize for it).
+    from ltx2_tpu.models.transformer.model import LTXModelType
+
+    if aud and cfg.model_type != LTXModelType.AudioVideo:
+        raise SystemExit(
+            "dataset carries audio arrays but the model is video-only — "
+            "pass --audio with an AudioVideo checkpoint"
+        )
+    if cfg.model_type == LTXModelType.AudioVideo and not aud:
+        from ltx2_tpu.training import freeze_audio_branch_mask
+
+        mask = freeze_audio_branch_mask(params, mask)
+        log.info(
+            "video-only dataset on an AV model: audio-branch params frozen"
+        )
     opt = make_optimizer(tc)
     if mask is not None:
         # Partitioned step: frozen params are loss CONSTANTS — no grad or
@@ -377,8 +434,11 @@ def main(argv=None):
         vbs = args.batch_size
         if vx.shape[0] < vbs:  # repeat-pad a tiny val set to one batch
             reps = -(-vbs // vx.shape[0])
-            vx, vp, vc = (np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:vbs]
-                          for a in (vx, vp, vc))
+            tile = lambda a: np.tile(  # noqa: E731
+                a, (reps,) + (1,) * (a.ndim - 1)
+            )[:vbs]
+            vx, vp, vc = (tile(a) for a in (vx, vp, vc))
+            val_aud = {k: tile(a) for k, a in val_aud.items()}
         n_val_batches = vx.shape[0] // vbs
 
         def eval_loss(tr_or_params):
@@ -389,6 +449,8 @@ def main(argv=None):
                     x0=dp_put(jnp.asarray(vx[sl])),
                     positions=dp_put(jnp.asarray(vp[sl])),
                     context=dp_put(jnp.asarray(vc[sl])),
+                    **{k: dp_put(jnp.asarray(a[sl]))
+                       for k, a in val_aud.items()},
                 )
                 k = jax.random.PRNGKey(args.seed + 7000 + j)
                 if mask is not None:
@@ -459,6 +521,7 @@ def main(argv=None):
             x0=dp_put(jnp.asarray(x0s[idx])),
             positions=dp_put(jnp.asarray(poss[idx])),
             context=dp_put(jnp.asarray(ctxs[idx])),
+            **{k: dp_put(jnp.asarray(a[idx])) for k, a in aud.items()},
         )
         if mask is not None:
             loss, trainable, opt_state = step(

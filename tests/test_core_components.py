@@ -394,6 +394,24 @@ class TestFlopsAccounting:
         # text-KV caching removes the per-block context projections
         assert dit_step_flops(cfg1, 1024, 256, text_kv_cached=True) < f1
 
+    def test_audio_flops_use_audio_stream_dims(self):
+        """The audio terms must derive from audio_heads * audio_head_dim
+        (cfg.audio_inner_dim), not from the video head config — for
+        reduced-width video streams the two differ and AV MFU reports
+        would mis-state utilization."""
+        from ltx2_tpu.models.transformer.model import LTXModelConfig
+        from ltx2_tpu.utils.flops import dit_step_flops
+
+        base = dict(num_layers=1, caption_channels=None,
+                    audio_heads=4, audio_head_dim=8)
+        cfg_small = LTXModelConfig(**base)
+        cfg_big = LTXModelConfig(**{**base, "audio_head_dim": 16})
+        v = dit_step_flops(cfg_small, 1024, 256)  # no audio: dims irrelevant
+        assert v == dit_step_flops(cfg_big, 1024, 256)
+        a_small = dit_step_flops(cfg_small, 1024, 256, n_audio_tokens=64)
+        a_big = dit_step_flops(cfg_big, 1024, 256, n_audio_tokens=64)
+        assert a_big > a_small > v
+
     def test_full_dit_magnitude(self):
         """48-block @6144 tokens must land near the hand-derived ~176 TF
         (8ND^2 + 4N^2D + 16ND^2 + cross terms, x48)."""

@@ -398,6 +398,51 @@ class TestTrainCLI:
         np.testing.assert_allclose(ff_t, ff_0, atol=3e-3)  # frozen (bf16 export rounding)
 
 
+    def test_grad_clip_zero_disables_clipping(self, tmp_path):
+        """--grad-clip 0 must DISABLE clipping (the conventional spelling),
+        not install clip_by_global_norm(0.0) which silently zeroes every
+        gradient and turns the run into a no-op fine-tune."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import train as train_cli
+
+        from ltx2_tpu.loader.safetensors_io import SafetensorsFile
+
+        out = tmp_path / "adapter.safetensors"
+        train_cli.main([
+            "--placeholder", "--synthetic", "2", "2", "3",
+            "--steps", "3", "--batch-size", "2", "--lr", "1e-2",
+            "--lora-rank", "2", "--grad-clip", "0", "--save", str(out),
+        ])
+        f = SafetensorsFile(str(out))
+        b_keys = [k for k in f.keys() if k.endswith(".lora_B.weight")]
+        assert b_keys
+        # B starts at exactly 0; with weight decay 0 the ONLY way it moves
+        # is a non-zero gradient — zeroed grads would leave every B at 0.
+        assert any(np.abs(np.asarray(f.get(k))).max() > 0 for k in b_keys), (
+            "--grad-clip 0 zeroed every gradient instead of disabling clipping"
+        )
+        with pytest.raises(SystemExit, match="grad-clip"):
+            train_cli.main([
+                "--placeholder", "--synthetic", "2", "2", "3",
+                "--steps", "1", "--grad-clip", "-1",
+            ])
+
+    def test_bench_train_fp8_base_requires_lora(self):
+        """bench_train --fp8-base without --lora-rank would benchmark AdamW
+        updates in fp8 storage precision — a configuration train.py rejects;
+        the bench must fail fast the same way."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import bench_train
+
+        with pytest.raises(SystemExit, match="lora-rank"):
+            bench_train.main(["--fp8-base"])
+
     def test_resume_is_exact(self, tmp_path):
         """--save-state/--resume: an interrupted run resumed mid-stream
         produces a final checkpoint BYTE-IDENTICAL to the uninterrupted
@@ -774,6 +819,203 @@ class TestAVTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0] / 5, (losses[0], losses[-1])
         assert np.isfinite(losses).all()
+
+
+class TestAudioBranchFreeze:
+    """An AV model trained on video-only batches: the audio branch's grads
+    are exactly zero (the loss never touches it), but AdamW weight decay
+    still shrinks the untrained audio weights every step — silently
+    corrupting the checkpoint's audio capability at export.
+    freeze_audio_branch_mask must keep the branch bit-identical."""
+
+    @staticmethod
+    def _av_cfg():
+        from ltx2_tpu.models.transformer.model import LTXModelType
+
+        return tiny_config(
+            model_type=LTXModelType.AudioVideo, num_layers=2, audio_heads=4
+        )
+
+    @staticmethod
+    def _split_leaves(params):
+        import re
+
+        from ltx2_tpu.training.trainer import AUDIO_BRANCH_PATTERN
+
+        audio_re = re.compile(AUDIO_BRANCH_PATTERN)
+        audio, video = {}, {}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            key = jax.tree_util.keystr(path).replace("']['", "/").strip("'[]")
+            (audio if audio_re.search(key) else video)[key] = np.asarray(leaf)
+        return audio, video
+
+    def test_weight_decay_decays_untrained_audio_without_freeze(self):
+        """Documents the hazard the freeze exists for: without a mask,
+        wd > 0 changes audio weights that never received a gradient."""
+        cfg = self._av_cfg()
+        params = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        audio_before, _ = self._split_leaves(params)
+        assert audio_before, "AV config produced no audio-branch params"
+        tc = TrainConfig(learning_rate=1e-2, weight_decay=0.1,
+                         logit_normal_loc=None)
+        opt = make_optimizer(tc)
+        step = make_train_step(cfg, opt, tc)
+        opt_state = opt.init(params)
+        batch = make_batch(cfg)  # video-only
+        for i in range(3):
+            _, params, opt_state = step(
+                params, opt_state, batch, jax.random.PRNGKey(i)
+            )
+        audio_after, _ = self._split_leaves(params)
+        decayed = [k for k, b in audio_before.items()
+                   if b.any() and not np.array_equal(audio_after[k], b)]
+        assert decayed, "expected weight decay to move untrained audio params"
+
+    def test_freeze_mask_keeps_audio_bit_identical(self):
+        from ltx2_tpu.training import (
+            freeze_audio_branch_mask,
+            merge_params,
+            partition_params,
+        )
+
+        cfg = self._av_cfg()
+        params = jax.tree_util.tree_map(jnp.copy, cached_params(cfg))
+        audio_before, video_before = self._split_leaves(params)
+        mask = freeze_audio_branch_mask(params)
+        tc = TrainConfig(learning_rate=1e-2, weight_decay=0.1,
+                         logit_normal_loc=None)
+        opt = make_optimizer(tc)
+        step = make_train_step(cfg, opt, tc, trainable_mask=mask)
+        trainable, frozen = partition_params(params, mask)
+        opt_state = opt.init(trainable)
+        batch = make_batch(cfg)  # video-only
+        for i in range(3):
+            _, trainable, opt_state = step(
+                trainable, opt_state, frozen, batch, jax.random.PRNGKey(i)
+            )
+        merged = merge_params(trainable, frozen)
+        audio_after, video_after = self._split_leaves(merged)
+        for k, b in audio_before.items():
+            assert np.array_equal(audio_after[k], b), f"audio leaf moved: {k}"
+        changed = [k for k, b in video_before.items()
+                   if not np.array_equal(video_after[k], b)]
+        assert changed, "video branch should still train"
+
+    def test_freeze_mask_intersects_existing_mask(self):
+        """freeze_audio_branch_mask(params, mask) must freeze audio leaves
+        a user regex selected (e.g. 'attn1' matches audio_attn1 too) while
+        leaving the regex's video selections trainable."""
+        from ltx2_tpu.training import freeze_audio_branch_mask
+
+        cfg = self._av_cfg()
+        params = cached_params(cfg)
+        base = trainable_mask(params, lambda p: "attn1" in p)
+        mask = freeze_audio_branch_mask(params, base)
+        flags = {
+            jax.tree_util.keystr(p).replace("']['", "/").strip("'[]"): m
+            for p, m in jax.tree_util.tree_leaves_with_path(mask)
+        }
+        audio_attn = [k for k in flags if "audio_attn1" in k]
+        video_attn = [k for k in flags
+                      if "attn1" in k and "audio" not in k]
+        assert audio_attn and video_attn
+        assert not any(flags[k] for k in audio_attn)
+        assert all(flags[k] for k in video_attn)
+
+    def test_train_cli_av_freeze_on_video_only_data(self, tmp_path):
+        """--placeholder --audio + a video-only npz + weight decay: the
+        exported checkpoint's audio branch matches the init (freeze), the
+        video branch trained."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import train as train_cli
+
+        from ltx2_tpu.loader.weight_loader import load_transformer_params
+        from ltx2_tpu.models.transformer.model import (
+            LTXModelConfig,
+            LTXModelType,
+            init_ltx_model,
+        )
+
+        rng = np.random.RandomState(0)
+        f, h, w = 2, 2, 3
+        grid = np.asarray(create_position_grid(1, f, h, w), np.float32)
+        pos = np.stack([grid, grid + 1], axis=-1)
+        np.savez(
+            tmp_path / "vid.npz",
+            x0=rng.randn(4, f * h * w, 128).astype(np.float32),
+            positions=np.repeat(pos, 4, axis=0),
+            context=(rng.randn(4, 8, 128) * 0.1).astype(np.float32),
+        )
+        out = tmp_path / "tuned.safetensors"
+        train_cli.main([
+            "--placeholder", "--audio", "--data", str(tmp_path / "vid.npz"),
+            "--steps", "3", "--batch-size", "2", "--seed", "0",
+            # Aggressive lr*wd so an (incorrectly) decaying audio branch
+            # would shrink far beyond bf16 export rounding.
+            "--lr", "0.5", "--weight-decay", "0.5",
+            "--save", str(out),
+        ])
+        tuned = load_transformer_params(
+            str(out), include_audio=True, target_dtype="float32", num_layers=4
+        )
+        # The train.py placeholder AV config, same seed.
+        cfg = LTXModelConfig(
+            model_type=LTXModelType.AudioVideo,
+            num_attention_heads=4, attention_head_dim=32, num_layers=4,
+            cross_attention_dim=128, caption_channels=None,
+            compute_dtype="bfloat16", remat=True,
+            audio_heads=4, audio_head_dim=16,
+            audio_in_channels=32, audio_out_channels=32,
+        )
+        init = jax.jit(lambda k: init_ltx_model(k, cfg))(jax.random.PRNGKey(0))
+        a_t = np.asarray(tuned["audio_patchify_proj"]["weight"])
+        a_0 = np.asarray(init["audio_patchify_proj"]["weight"], np.float32)
+        np.testing.assert_allclose(a_t, a_0, atol=3e-3)  # frozen (export rounding)
+        v_t = np.asarray(tuned["transformer_blocks"]["attn1"]["to_q"]["weight"])
+        v_0 = np.asarray(init["transformer_blocks"]["attn1"]["to_q"]["weight"], np.float32)
+        assert not np.allclose(v_t, v_0), "video branch did not train"
+
+    def test_train_cli_av_synthetic_trains_both_branches(self, tmp_path):
+        """--placeholder --audio --synthetic generates joint-AV batches:
+        both modalities' weights move."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import train as train_cli
+
+        from ltx2_tpu.loader.weight_loader import load_transformer_params
+        from ltx2_tpu.models.transformer.model import (
+            LTXModelConfig,
+            LTXModelType,
+            init_ltx_model,
+        )
+
+        out = tmp_path / "tuned.safetensors"
+        train_cli.main([
+            "--placeholder", "--audio", "--synthetic", "2", "2", "3",
+            "--steps", "3", "--batch-size", "2", "--lr", "1e-2",
+            "--seed", "0", "--save", str(out),
+        ])
+        tuned = load_transformer_params(
+            str(out), include_audio=True, target_dtype="float32", num_layers=4
+        )
+        cfg = LTXModelConfig(
+            model_type=LTXModelType.AudioVideo,
+            num_attention_heads=4, attention_head_dim=32, num_layers=4,
+            cross_attention_dim=128, caption_channels=None,
+            compute_dtype="bfloat16", remat=True,
+            audio_heads=4, audio_head_dim=16,
+            audio_in_channels=32, audio_out_channels=32,
+        )
+        init = jax.jit(lambda k: init_ltx_model(k, cfg))(jax.random.PRNGKey(0))
+        for key in ("audio_patchify_proj", "patchify_proj"):
+            t = np.asarray(tuned[key]["weight"])
+            z = np.asarray(init[key]["weight"], np.float32)
+            assert not np.allclose(t, z), f"{key} did not train"
 
 
 class TestPartitionedTrainStep:

@@ -288,6 +288,86 @@ class TestWriters:
         with _pytest.raises(ValueError, match="not MJPEG"):
             read_avi_mjpeg(path, 8, 8, 1)
 
+    def test_avi_audio_probe_ignores_payload_bytes(self, tmp_path):
+        """Frame payload bytes spelling 'auds'/'strf' (plus an orphan
+        '01wb' chunk) must not fabricate an audio track: read_avi_audio
+        parses the hdrl stream headers, not raw byte scans."""
+        import struct
+
+        from ltx2_tpu.utils.video_io import _chunk, _list_chunk, read_avi_audio
+
+        avih = struct.pack(
+            "<14I", 41667, 0, 0, 0x10, 1, 0, 1, 0, 8, 8, 0, 0, 0, 0
+        )
+        strh_v = struct.pack(
+            "<4s4sI2H8I4H",
+            b"vids", b"MJPG", 0, 0, 0, 0, 1000, 24000, 0, 1,
+            64, 0xFFFFFFFF, 0, 0, 0, 8, 8,
+        )
+        strf_v = struct.pack(
+            "<I2i2H2I2i2I", 40, 8, 8, 1, 24,
+            struct.unpack("<I", b"MJPG")[0], 192, 0, 0, 0, 0,
+        )
+        hdrl = _list_chunk(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _list_chunk(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v)),
+        )
+        # Adversarial 'frame' bytes: a fake auds marker followed by a fake
+        # strf whose bytes decode as PCM/16-bit WAVEFORMATEX — exactly what
+        # a raw data.find(b"auds") scan would misparse as a stream header.
+        evil = (
+            b"auds" + b"\x00" * 8
+            + b"strf" + struct.pack("<I", 16)
+            + struct.pack("<2H2I2H", 1, 1, 24000, 48000, 2, 16)
+        )
+        movi = _list_chunk(
+            b"movi",
+            _chunk(b"00dc", evil) + _chunk(b"01wb", b"\x01\x02" * 16),
+        )
+        path = tmp_path / "evil.avi"
+        path.write_bytes(_chunk(b"RIFF", b"AVI " + hdrl + movi))
+        assert read_avi_audio(str(path)) is None
+
+    def test_probe_y4m_per_frame_params(self, tmp_path):
+        """Spec-legal per-frame parameters ('FRAME Ixyz\\n') make the frame
+        marker variable-length: size // fixed_frame_bytes over-counts, so
+        the probe must walk the real records. A truncated final frame is
+        not counted (read_y4m can't decode it)."""
+        from ltx2_tpu.utils.video_io import probe_video, read_y4m
+
+        plane = bytes(range(16))  # 4x4
+        frame = b"FRAME Ixyz\n" + plane * 3  # C444: 3 full planes
+        path = tmp_path / "pf.y4m"
+        path.write_bytes(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n" + frame * 20)
+        fps, n, h, w = probe_video(str(path))
+        assert (n, h, w) == (20, 4, 4) and abs(fps - 25.0) < 1e-6
+        # The reader agrees with the probe's count.
+        assert read_y4m(str(path), 4, 4, 20).shape == (1, 3, 20, 4, 4)
+
+        trunc = tmp_path / "trunc.y4m"
+        trunc.write_bytes(
+            b"YUV4MPEG2 W4 H4 F25:1 C444\n" + frame * 2 + frame[:20]
+        )
+        _, n, _, _ = probe_video(str(trunc))
+        assert n == 2
+
+    def test_probe_y4m_rejects_unsupported_colorspace(self, tmp_path):
+        """A C422 stream must raise loudly from BOTH the probe and the
+        reader (previously the probe silently counted it with 420-sized
+        planes, over-reporting frames ~33%)."""
+        from ltx2_tpu.utils.video_io import probe_video, read_y4m
+
+        path = tmp_path / "c422.y4m"
+        path.write_bytes(
+            b"YUV4MPEG2 W4 H4 F25:1 C422\n"
+            + b"FRAME\n" + bytes(16) + bytes(8) * 2
+        )
+        with pytest.raises(ValueError, match="C422"):
+            probe_video(str(path))
+        with pytest.raises(ValueError, match="C422"):
+            read_y4m(str(path), 4, 4, 1)
+
     def test_avi_writer_video_only(self, tmp_path):
         import struct
 
