@@ -65,6 +65,48 @@ class CFGStarRescalingGuider:
         return self.scale != 1.0
 
 
+def rescale_noise_cfg(
+    noise_cfg: jnp.ndarray,
+    noise_cond: jnp.ndarray,
+    guidance_rescale: float = 0.7,
+) -> jnp.ndarray:
+    """Rescale a CFG-guided prediction to the conditioned prediction's
+    statistics (arXiv 2305.08891; reference two_stage.py:55-85): prevents
+    CFG variance explosion / oversaturation. Per-sample mean/std — the
+    reference's global .mean()/.std() on its always-batch-1 latents is
+    identical at B=1."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    cfg32 = noise_cfg.astype(jnp.float32)
+    cond32 = noise_cond.astype(jnp.float32)
+    cfg_mean = jnp.mean(cfg32, axis=axes, keepdims=True)
+    cfg_std = jnp.std(cfg32, axis=axes, keepdims=True)
+    cond_mean = jnp.mean(cond32, axis=axes, keepdims=True)
+    cond_std = jnp.std(cond32, axis=axes, keepdims=True)
+    rescaled = (cfg32 - cfg_mean) / (cfg_std + 1e-8) * cond_std + cond_mean
+    out = guidance_rescale * rescaled + (1.0 - guidance_rescale) * cfg32
+    return out.astype(noise_cfg.dtype)
+
+
+@dataclass(frozen=True)
+class RescaledCFGGuider:
+    """CFG followed by the arXiv-2305.08891 variance rescale
+    (reference two_stage.py:288-290 applies it in the video-only stage-1
+    CFG loop when guidance_rescale > 0)."""
+
+    scale: float
+    rescale: float = 0.7
+
+    def delta(self, cond: jnp.ndarray, uncond: jnp.ndarray) -> jnp.ndarray:
+        return self.guide(cond, uncond) - cond
+
+    def guide(self, cond: jnp.ndarray, uncond: jnp.ndarray) -> jnp.ndarray:
+        guided = cond + (self.scale - 1) * (cond - uncond)
+        return rescale_noise_cfg(guided, cond, self.rescale)
+
+    def enabled(self) -> bool:
+        return self.scale != 1.0
+
+
 @dataclass(frozen=True)
 class STGGuider:
     """Spatio-temporal guidance vs a perturbed forward pass (guiders.py:79-102)."""
@@ -82,8 +124,15 @@ class STGGuider:
 
 
 def _clamp_norm(guidance: jnp.ndarray, norm_threshold: float) -> jnp.ndarray:
-    """Clamp the L2 norm (over the last 3 dims) of the guidance delta."""
-    norm = jnp.sqrt(jnp.sum(guidance * guidance, axis=(-1, -2, -3), keepdims=True))
+    """Clamp the PER-SAMPLE L2 norm of the guidance delta.
+
+    The reference reduces over axes (-1,-2,-3) of its always-(1, N, C)
+    latents (guiders.py:135-139) — bit-identical to this at B=1. Reducing
+    per sample (all axes but batch) keeps that parity while not coupling
+    independent clips under multi-clip batched serving (one clip's guidance
+    magnitude must not change another's clamp factor)."""
+    axes = tuple(range(1, guidance.ndim))
+    norm = jnp.sqrt(jnp.sum(guidance * guidance, axis=axes, keepdims=True))
     scale_factor = jnp.minimum(jnp.ones_like(guidance), norm_threshold / norm)
     return guidance * scale_factor
 

@@ -18,6 +18,7 @@ so no special-case loop is needed.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import tempfile
 import wave
@@ -84,15 +85,22 @@ def load_audio_file(
             try:
                 data, sr = _read_wave(audio_path)
             except (wave.Error, EOFError):
+                # delete=False so ffmpeg can reopen the path; unlink
+                # ourselves or a long-running serving process leaks one
+                # multi-MB WAV per non-wav request until /tmp fills.
                 with tempfile.NamedTemporaryFile(
                     suffix=".wav", delete=False
                 ) as tmp:
+                    pass
+                try:
                     cmd = [
                         "ffmpeg", "-v", "quiet", "-i", audio_path,
                         "-ar", str(target_sr), "-ac", "2", "-y", tmp.name,
                     ]
                     subprocess.run(cmd, check=True)
                     data, sr = _read_wave(tmp.name)
+                finally:
+                    os.unlink(tmp.name)
 
     if data.ndim == 1:
         data = data[:, np.newaxis]

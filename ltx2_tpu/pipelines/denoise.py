@@ -1025,21 +1025,22 @@ class MultiModalLoopConfig:
 
 
 def _build_mm_perturbations(
-    mm: MultiModalLoopConfig, with_guidance: bool = True
+    mm: MultiModalLoopConfig, with_guidance: bool = True, batch: int = 1
 ) -> Optional[BatchedPerturbationConfig]:
-    """Row-wise perturbations: the STG row skips video self-attn; the
-    modality-isolation row skips both A<->V cross attentions. With
+    """Row-wise perturbations: the STG pass's rows skip video self-attn;
+    the modality-isolation pass's rows skip both A<->V cross attentions.
+    Each pass spans `batch` samples (pass-major, matching _mm_split). With
     `with_guidance=False` (guidance-reuse skip steps) the uncond and
     modality rows are absent."""
     from ltx2_tpu.components.perturbations import Perturbation, PerturbationType
 
     if not (mm.need_stg or (mm.need_mod and with_guidance)):
         return None
-    rows = [PerturbationConfig.empty()]  # cond
+    rows = [PerturbationConfig.empty()] * batch  # cond
     if mm.need_cfg and with_guidance:
-        rows.append(PerturbationConfig.empty())
+        rows += [PerturbationConfig.empty()] * batch
     if mm.need_stg:
-        rows.append(
+        rows += [
             PerturbationConfig(
                 perturbations=(
                     Perturbation(
@@ -1048,37 +1049,41 @@ def _build_mm_perturbations(
                     ),
                 )
             )
-        )
+        ] * batch
     if mm.need_mod and with_guidance:
-        rows.append(
+        rows += [
             PerturbationConfig(
                 perturbations=(
                     Perturbation(type=PerturbationType.SKIP_A2V_CROSS_ATTN, blocks=None),
                     Perturbation(type=PerturbationType.SKIP_V2A_CROSS_ATTN, blocks=None),
                 )
             )
-        )
+        ] * batch
     return BatchedPerturbationConfig(perturbations=tuple(rows))
 
 
-def _mm_split(mm: MultiModalLoopConfig, outs, with_guidance: bool = True):
-    """Split batched rows -> (cond, uncond, ptb, mod); absent rows None.
+def _mm_split(
+    mm: MultiModalLoopConfig, outs, batch: int = 1, with_guidance: bool = True
+):
+    """Split pass-major batched rows -> (cond, uncond, ptb, mod); absent
+    rows None. Each pass spans `batch` samples ([cond x B, uncond x B, ...]
+    — same layout rule as _split_rows).
 
     `with_guidance=False` is the reduced reuse-step layout: the uncond and
     modality-isolation rows are dropped (their deltas come from the carry),
     the STG perturbation row (if any) stays live.
     """
     idx = 1
-    cond = outs[0:1]
+    cond = outs[0:batch]
     uncond = ptb = mod = None
     if mm.need_cfg and with_guidance:
-        uncond = outs[idx : idx + 1]
+        uncond = outs[idx * batch : (idx + 1) * batch]
         idx += 1
     if mm.need_stg:
-        ptb = outs[idx : idx + 1]
+        ptb = outs[idx * batch : (idx + 1) * batch]
         idx += 1
     if mm.need_mod and with_guidance:
-        mod = outs[idx : idx + 1]
+        mod = outs[idx * batch : (idx + 1) * batch]
         idx += 1
     return cond, uncond, ptb, mod
 
@@ -1097,17 +1102,23 @@ def _mm_combine_deltas(
     if mm.need_mod:
         pred = pred + (mm.modality_scale - 1.0) * d_mod.astype(cond.dtype)
     if mm.rescale_scale != 0:
-        cond_std = jnp.sqrt(jnp.var(cond) + 1e-8)
-        pred_std = jnp.sqrt(jnp.var(pred) + 1e-8)
+        # Per-sample std ratio: identical to the reference's global
+        # mx.var() on its always-batch-1 rows, correct under multi-clip
+        # batching (one clip's variance must not rescale another's).
+        axes = tuple(range(1, jnp.ndim(pred)))
+        cond_std = jnp.sqrt(jnp.var(cond, axis=axes, keepdims=True) + 1e-8)
+        pred_std = jnp.sqrt(jnp.var(pred, axis=axes, keepdims=True) + 1e-8)
         factor = mm.rescale_scale * (cond_std / pred_std) + (1 - mm.rescale_scale)
         pred = pred * factor
     # Guidance skipped on flagged steps -> plain cond (guiders.py:284-287).
     return jnp.where(skip_flag > 0, cond, pred)
 
 
-def _mm_combine(mm: MultiModalLoopConfig, outs, cfg_scale: float, skip_flag):
+def _mm_combine(
+    mm: MultiModalLoopConfig, outs, cfg_scale: float, skip_flag, batch: int = 1
+):
     """MultiModalGuider.calculate over full batched rows."""
-    cond, uncond, ptb, mod = _mm_split(mm, outs)
+    cond, uncond, ptb, mod = _mm_split(mm, outs, batch)
     d_uncond = (cond - uncond) if mm.need_cfg else None
     d_mod = (cond - mod) if mm.need_mod else None
     return _mm_combine_deltas(mm, cond, d_uncond, ptb, d_mod, cfg_scale, skip_flag)
@@ -1147,6 +1158,12 @@ def make_multimodal_av_denoise_loop(
 
     def loop(params, video_state, audio_state, sigmas, pos_v, neg_v, pos_a, neg_a):
         num_steps = sigmas.shape[0] - 1
+        batch = video_state.latent.shape[0]
+        if audio_state.latent.shape[0] != batch:
+            raise ValueError(
+                f"video batch {batch} != audio batch "
+                f"{audio_state.latent.shape[0]}"
+            )
 
         v_mask, v_clean = video_state.denoise_mask, video_state.clean_latent
         a_mask, a_clean = audio_state.denoise_mask, audio_state.clean_latent
@@ -1161,7 +1178,7 @@ def make_multimodal_av_denoise_loop(
             r = 1 + int(mm.need_stg) + (
                 (int(mm.need_cfg) + int(mm.need_mod)) if with_guidance else 0
             )
-            perturb = _build_mm_perturbations(mm, with_guidance)
+            perturb = _build_mm_perturbations(mm, with_guidance, batch)
 
             def stack_ctx(pos, neg):
                 ctxs = [pos]
@@ -1220,12 +1237,12 @@ def make_multimodal_av_denoise_loop(
         forward_reduced = build_forward(with_guidance=False) if reuse else None
 
         def zero_delta(state):
-            return jnp.zeros((1,) + state.latent.shape[1:], jnp.float32)
+            return jnp.zeros(state.latent.shape, jnp.float32)
 
         def eval_full(v_latent, a_latent, sigma, deltas, skip_flag):
             v_outs, a_outs = forward_full(v_latent, a_latent, sigma)
-            v_cond, v_uncond, v_ptb, v_mod_row = _mm_split(mm, v_outs)
-            a_cond, a_uncond, a_ptb, a_mod_row = _mm_split(mm, a_outs)
+            v_cond, v_uncond, v_ptb, v_mod_row = _mm_split(mm, v_outs, batch)
+            a_cond, a_uncond, a_ptb, a_mod_row = _mm_split(mm, a_outs, batch)
             v_du = (
                 (v_cond - v_uncond).astype(jnp.float32)
                 if mm.need_cfg else deltas[0]
@@ -1252,8 +1269,8 @@ def make_multimodal_av_denoise_loop(
 
         def eval_reused(v_latent, a_latent, sigma, deltas, skip_flag):
             v_outs, a_outs = forward_reduced(v_latent, a_latent, sigma)
-            v_cond, _, v_ptb, _ = _mm_split(mm, v_outs, with_guidance=False)
-            a_cond, _, a_ptb, _ = _mm_split(mm, a_outs, with_guidance=False)
+            v_cond, _, v_ptb, _ = _mm_split(mm, v_outs, batch, with_guidance=False)
+            a_cond, _, a_ptb, _ = _mm_split(mm, a_outs, batch, with_guidance=False)
             v_du, v_dm, a_du, a_dm = deltas
             v_den = _mm_combine_deltas(
                 mm, v_cond, v_du, v_ptb, v_dm, mm.video_cfg_scale, skip_flag

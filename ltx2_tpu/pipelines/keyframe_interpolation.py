@@ -10,7 +10,7 @@ past the sequence end with temporally-offset positions
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -45,17 +45,19 @@ def create_keyframe_conditionings(
     dtype=jnp.float32,
 ) -> List[VideoConditionByKeyframeIndex]:
     """Encode keyframe images -> append conditionings
-    (keyframe_interpolation.py:129-170). frame_index converts from pixel to
-    latent frames (8x temporal compression)."""
+    (keyframe_interpolation.py:129-170). frame_index stays in PIXEL frames:
+    VideoConditionByKeyframeIndex offsets pixel-frame temporal coordinates
+    (positions[:, 0] + frame_idx) / fps — converting to latent frames here
+    would collapse every keyframe toward t=0 at 1/8th the intended time
+    (reference keyframe_interpolation.py:160-164 passes it raw)."""
     conditionings = []
     for kf in keyframes:
         image = load_image_tensor(kf.image_path, height, width, dtype)
         encoded = encode_fn(image)  # (1, 128, 1, H/32, W/32)
-        latent_frame_idx = max(0, (kf.frame_index - 1) // 8 + (1 if kf.frame_index > 0 else 0))
         conditionings.append(
             VideoConditionByKeyframeIndex(
                 keyframes=encoded,
-                frame_idx=latent_frame_idx,
+                frame_idx=kf.frame_index,
                 strength=kf.strength,
             )
         )

@@ -54,18 +54,35 @@ def get_video_metadata(video_path: str) -> Tuple[float, int, int, int]:
 
     if _Path(video_path).suffix.lower() in PURE_PYTHON_SUFFIXES:
         return probe_video(video_path)
+    import json
+
     cmd = [
-        "ffprobe", "-v", "quiet", "-select_streams", "v:0",
-        "-show_entries", "stream=r_frame_rate,nb_frames,height,width",
-        "-of", "csv=p=0", video_path,
+        "ffprobe", "-v", "quiet", "-print_format", "json",
+        "-show_streams", "-show_format", video_path,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
-    parts = out.strip().split(",")
-    width, height = int(parts[0]), int(parts[1])
-    num, den = parts[2].split("/")
-    fps = float(num) / float(den)
-    num_frames = int(parts[3]) if len(parts) > 3 and parts[3].isdigit() else 0
-    return fps, num_frames, height, width
+    data = json.loads(out)
+    for stream in data.get("streams", []):
+        if stream.get("codec_type") != "video":
+            continue
+        width, height = int(stream["width"]), int(stream["height"])
+        num, _, den = str(stream.get("r_frame_rate", "24/1")).partition("/")
+        fps = float(num) / float(den or 1)
+        nb = str(stream.get("nb_frames", "0"))
+        num_frames = int(nb) if nb.isdigit() else 0
+        if num_frames <= 0:
+            # MKV/WebM streams report nb_frames as 'N/A': fall back to
+            # duration * fps (retake.py:88-91) — returning 0 would snap to
+            # n_frames = -7 and feed ffmpeg `-frames:v -7`.
+            duration = float(data.get("format", {}).get("duration", 0) or 0)
+            num_frames = int(duration * fps)
+        if num_frames <= 0:
+            raise ValueError(
+                f"{video_path}: could not determine frame count "
+                "(no nb_frames and no container duration)"
+            )
+        return fps, num_frames, height, width
+    raise ValueError(f"No video stream found in {video_path}")
 
 
 def load_video_frames(

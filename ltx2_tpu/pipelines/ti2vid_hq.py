@@ -98,7 +98,11 @@ class TI2VidHQPipeline(DistilledPipeline):
     ):
         """Host-driven Res2s loop (ti2vid_hq.py:153-273); two jitted CFG
         evals per step."""
-        need_cfg = cfg_scale != 1.0
+        av_cfg = audio_state is not None and audio_cfg_scale != 1.0
+        # Audio CFG alone still needs the uncond row (ti2vid_hq.py:299
+        # gates on `cfg_scale > 1.0 or audio_cfg_scale > 1.0`); video
+        # guidance at scale 1 is then the identity neg + 1*(pos-neg).
+        need_cfg = (cfg_scale != 1.0 or av_cfg) and neg_v is not None
         av = audio_state is not None
         eval_fn = _make_cfg_eval(self.transformer_cfg, need_cfg, av)
 
@@ -238,6 +242,21 @@ class TI2VidHQPipeline(DistilledPipeline):
             patchifier=self.patchifier, target_shape=latent_shape, fps=config.fps
         )
         video_state = video_tools.create_initial_state(dtype=dtype)
+        # Image conditionings apply to STAGE 1 too (ti2vid_hq.py:387-392):
+        # the half-res Res2s loop is where the content forms — without them
+        # i2v would silently degrade to weak stage-2-only conditioning.
+        from ltx2_tpu.pipelines.common import (
+            apply_conditionings,
+            create_image_conditionings,
+        )
+
+        stage_1_conditionings = create_image_conditionings(
+            images, self._encode_image,
+            stage_1_shape.height, stage_1_shape.width, dtype,
+        )
+        video_state = apply_conditionings(
+            video_state, stage_1_conditionings, video_tools
+        )
         sigmas = LTX2Scheduler().execute(
             steps=config.num_inference_steps, tokens=latent_shape.tokens
         )

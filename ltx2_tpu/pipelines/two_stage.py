@@ -188,7 +188,16 @@ class TwoStagePipeline(DistilledPipeline):
             audio_state = audio_tools.unpatchify(audio_state)
             stage_1_audio_latent = audio_state.latent
         else:
-            guider = CFGGuider(scale=config.cfg_scale)
+            # guidance_rescale applies in the video-only CFG loop too
+            # (reference two_stage.py:288-290 rescale_noise_cfg).
+            if config.guidance_rescale > 0:
+                from ltx2_tpu.components.guiders import RescaledCFGGuider
+
+                guider = RescaledCFGGuider(
+                    scale=config.cfg_scale, rescale=config.guidance_rescale
+                )
+            else:
+                guider = CFGGuider(scale=config.cfg_scale)
             loop = make_video_denoise_loop(
                 self.transformer_cfg,
                 DenoiseLoopConfig(

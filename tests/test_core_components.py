@@ -181,6 +181,41 @@ class TestGuiders:
         assert carry2.shape == self.cond.shape
         assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
+    def test_apg_norm_clamp_is_per_sample(self):
+        """The norm clamp must not couple independent clips under batched
+        serving: a batch-2 delta equals the per-sample deltas stacked.
+        (The reference reduces over its always-batch-1 latent's full shape
+        — identical at B=1.)"""
+        guider = LtxAPGGuider(scale=4.0, eta=0.5, norm_threshold=2.0)
+        # Make sample 0's guidance much larger so a joint norm would
+        # clamp sample 1 differently than its solo run.
+        cond = self.cond.at[0].multiply(50.0)
+        batched = np.asarray(guider.delta(cond, self.uncond))
+        for i in range(2):
+            solo = np.asarray(
+                guider.delta(cond[i : i + 1], self.uncond[i : i + 1])
+            )
+            np.testing.assert_allclose(batched[i : i + 1], solo, atol=1e-5)
+
+    def test_rescaled_cfg_matches_reference_formula(self):
+        """RescaledCFGGuider = CFG then arXiv-2305.08891 mean/std matching
+        (reference two_stage.py:55-85), blended by `rescale`."""
+        from ltx2_tpu.components import RescaledCFGGuider
+
+        scale, rescale = 3.0, 0.7
+        out = np.asarray(
+            RescaledCFGGuider(scale=scale, rescale=rescale).guide(
+                self.cond[:1], self.uncond[:1]
+            )
+        )
+        cond = np.asarray(self.cond[:1], np.float64)
+        uncond = np.asarray(self.uncond[:1], np.float64)
+        cfg = cond + (scale - 1) * (cond - uncond)
+        rescaled = (cfg - cfg.mean()) / (cfg.std() + 1e-8) * cond.std() + cond.mean()
+        want = rescale * rescaled + (1 - rescale) * cfg
+        np.testing.assert_allclose(out, want, atol=1e-4)
+        assert not RescaledCFGGuider(scale=1.0).enabled()
+
 
 class TestPatchifier:
     def test_video_roundtrip(self):

@@ -1,5 +1,7 @@
 """Tests for keyframe, retake, ti2vid_hq, a2vid, ic_lora pipelines."""
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -143,6 +145,144 @@ class TestTI2VidHQ:
         latent, audio = pipeline(pos, neg, config, skip_decode=True)
         assert latent.shape == (1, 8, 2, 2, 2)
         assert audio is not None
+
+
+class TestTI2VidHQReviewFixes:
+    def test_stage1_applies_image_conditioning(self, tmp_path):
+        """Image conditionings must shape STAGE 1 (reference
+        ti2vid_hq.py:387-392) — previously images were first consumed in
+        stage 2, so i2v silently degraded to weak tail-only conditioning.
+        No upscaler => the returned latent IS the stage-1 latent."""
+        from PIL import Image
+
+        from ltx2_tpu.pipelines import ImageCondition
+
+        img_path = str(tmp_path / "cond.png")
+        Image.fromarray(
+            (np.random.default_rng(3).random((32, 32, 3)) * 255).astype(np.uint8)
+        ).save(img_path)
+
+        pipeline, dit_cfg = make_pipeline(
+            TI2VidHQPipeline, spatial_upscaler_params=None
+        )
+        # Stub the VAE encode with a stage-1-grid latent (the tiny test
+        # encoder's stride does not match the real 32x pixel->latent grid).
+        pipeline._encode_image = lambda img: jnp.full((1, 8, 1, 1, 1), 3.0)
+        config = TI2VidHQConfig(
+            height=64, width=64, num_frames=9, latent_channels=8,
+            num_inference_steps=2, cfg_scale=2.0,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        plain = pipeline(pos, neg, config, skip_decode=True)
+        conditioned = pipeline(
+            pos, neg, config, skip_decode=True,
+            images=[ImageCondition(image_path=img_path, frame_index=0)],
+        )
+        assert plain.shape == conditioned.shape
+        assert not np.allclose(np.asarray(plain), np.asarray(conditioned)), (
+            "stage-1 output ignored the conditioning image"
+        )
+
+    def test_audio_cfg_engages_without_video_cfg(self):
+        """cfg_scale=1.0 with audio_cfg_scale>1 must still run the uncond
+        row (reference ti2vid_hq.py:299 gates on EITHER scale) — previously
+        audio CFG silently became 1.0 whenever video CFG was off."""
+        pipeline, dit_cfg = make_pipeline(
+            TI2VidHQPipeline, model_type=LTXModelType.AudioVideo,
+            spatial_upscaler_params=None,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+
+        def run(audio_scale):
+            config = TI2VidHQConfig(
+                height=64, width=64, num_frames=9, latent_channels=8,
+                num_inference_steps=2, cfg_scale=1.0,
+                audio_cfg_scale=audio_scale, audio_enabled=True,
+                audio_vae_channels=2, audio_mel_bins=4,
+            )
+            return pipeline(pos, neg, config, skip_decode=True)
+
+        _, audio_off = run(1.0)
+        _, audio_on = run(7.0)
+        assert not np.allclose(np.asarray(audio_off), np.asarray(audio_on)), (
+            "audio_cfg_scale had no effect at cfg_scale=1.0"
+        )
+
+
+class TestKeyframePixelFrameIndex:
+    def test_frame_index_stays_in_pixel_frames(self, tmp_path):
+        """The reference passes Keyframe.frame_index RAW into the position
+        offset ((pixel_coords + frame_idx) / fps); a pixel->latent
+        conversion here would place every keyframe at 1/8th the intended
+        time."""
+        from PIL import Image
+
+        from ltx2_tpu.pipelines.keyframe_interpolation import (
+            create_keyframe_conditionings,
+        )
+
+        img_path = str(tmp_path / "kf.png")
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img_path)
+        conds = create_keyframe_conditionings(
+            [Keyframe(image_path=img_path, frame_index=48, strength=0.9)],
+            lambda x: jnp.zeros((1, 8, 1, 1, 1), x.dtype), 32, 32, 24.0,
+        )
+        assert conds[0].frame_idx == 48
+
+
+class TestRetakeMetadataFallback:
+    def _probe_with(self, monkeypatch, payload):
+        import subprocess as sp
+
+        from ltx2_tpu.pipelines import retake as retake_mod
+
+        def fake_run(cmd, **kwargs):
+            class R:
+                stdout = payload
+            return R()
+
+        monkeypatch.setattr(retake_mod.subprocess, "run", fake_run)
+        return retake_mod.get_video_metadata("clip.mkv")
+
+    def test_nb_frames_na_falls_back_to_duration(self, monkeypatch):
+        """MKV/WebM report nb_frames as 'N/A': duration * fps stands in
+        (reference retake.py:88-91) — returning 0 snapped to n_frames=-7
+        and fed ffmpeg `-frames:v -7`."""
+        payload = (
+            '{"streams": [{"codec_type": "video", "width": 64, "height": 32,'
+            ' "r_frame_rate": "24/1", "nb_frames": "N/A"}],'
+            ' "format": {"duration": "2.0"}}'
+        )
+        fps, n, h, w = self._probe_with(monkeypatch, payload)
+        assert (fps, n, h, w) == (24.0, 48, 32, 64)
+
+    def test_no_frames_and_no_duration_raises(self, monkeypatch):
+        payload = (
+            '{"streams": [{"codec_type": "video", "width": 64, "height": 32,'
+            ' "r_frame_rate": "24/1"}], "format": {}}'
+        )
+        with pytest.raises(ValueError, match="frame count"):
+            self._probe_with(monkeypatch, payload)
+
+
+class TestA2VidTempFileCleanup:
+    def test_ffmpeg_fallback_does_not_leak(self, tmp_path):
+        """The ffmpeg-conversion fallback must unlink its temp WAV even on
+        failure — a long-running server otherwise leaks one per request."""
+        import glob
+        import tempfile
+
+        from ltx2_tpu.pipelines.a2vid_two_stage import load_audio_file
+
+        bogus = tmp_path / "clip.mp3"
+        bogus.write_bytes(b"\x00" * 64)
+        before = set(glob.glob(str(Path(tempfile.gettempdir()) / "*.wav")))
+        with pytest.raises(Exception):
+            load_audio_file(str(bogus), target_sr=16000)
+        after = set(glob.glob(str(Path(tempfile.gettempdir()) / "*.wav")))
+        assert after == before, f"leaked temp wavs: {after - before}"
 
 
 class TestA2Vid:

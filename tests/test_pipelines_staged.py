@@ -170,6 +170,106 @@ class TestTwoStage:
         np.testing.assert_allclose(restored, base, atol=1e-5)
 
 
+class TestTwoStageGuidanceRescale:
+    def test_video_only_rescale_engaged(self):
+        """guidance_rescale must apply in the VIDEO-ONLY stage-1 CFG loop
+        too (reference two_stage.py:288-290 rescale_noise_cfg) — it was
+        previously consumed only by the AV MultiModalGuider path."""
+        pipeline, dit_cfg = make_pipeline(TwoStagePipeline, with_upscaler=False)
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        neg = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+
+        def run(rescale):
+            config = TwoStageCFGConfig(
+                height=64, width=64, num_frames=9, latent_channels=8,
+                num_inference_steps=2, cfg_scale=3.0,
+                guidance_rescale=rescale,
+            )
+            latent, _ = pipeline(pos, neg, config, skip_decode=True)
+            return np.asarray(latent)
+
+        assert not np.allclose(run(0.0), run(0.7)), (
+            "guidance_rescale had no effect on the video-only stage 1"
+        )
+
+
+class TestMultiModalBatchedClips:
+    def test_mm_loop_batch2_matches_per_sample(self):
+        """The AV multimodal loop's row split must be batch-aware: a B=2
+        run equals the two B=1 runs (previously _mm_split hard-coded
+        outs[0:1]/outs[idx:idx+1], silently misassigning guidance rows)."""
+        import jax.numpy as jnp
+
+        from ltx2_tpu.components import (
+            AudioPatchifier,
+            GaussianNoiser,
+            VideoLatentPatchifier,
+        )
+        from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
+        from ltx2_tpu.models.transformer.model import LTXModelType
+        from ltx2_tpu.pipelines.denoise import make_multimodal_av_denoise_loop
+        from ltx2_tpu.types import AudioLatentShape, LatentState, VideoLatentShape
+        from tests.test_dit import tiny_config
+
+        cfg = tiny_config(
+            in_channels=8, out_channels=8, model_type=LTXModelType.AudioVideo
+        )
+        params = cached_params(cfg)
+        noiser = GaussianNoiser()
+
+        v_shape = VideoLatentShape(batch=2, channels=8, frames=2, height=2, width=3)
+        v_tools = VideoLatentTools(
+            patchifier=VideoLatentPatchifier(1), target_shape=v_shape, fps=24.0
+        )
+        v_state = noiser(jax.random.PRNGKey(0), v_tools.create_initial_state(), 1.0)
+        a_shape = AudioLatentShape(
+            batch=2, channels=cfg.audio_in_channels, frames=5, mel_bins=1
+        )
+        a_tools = AudioLatentTools(
+            patchifier=AudioPatchifier(1), target_shape=a_shape
+        )
+        a_state = noiser(jax.random.PRNGKey(1), a_tools.create_initial_state(), 1.0)
+
+        k = jax.random.PRNGKey(7)
+        pos_v, neg_v, pos_a, neg_a = (
+            jax.random.normal(kk, (2, 5, cfg.caption_channels))
+            for kk in jax.random.split(k, 4)
+        )
+        sigmas = jnp.asarray([1.0, 0.6, 0.2], jnp.float32)
+
+        mm = MultiModalLoopConfig(
+            video_cfg_scale=3.0, audio_cfg_scale=5.0, stg_scale=1.0,
+            stg_blocks=None, rescale_scale=0.7, modality_scale=2.0,
+        )
+        loop = make_multimodal_av_denoise_loop(cfg, mm)
+        gv, ga = loop(
+            params, v_state, a_state, sigmas, pos_v, neg_v, pos_a, neg_a
+        )
+
+        def sl(state, i):
+            return LatentState(
+                latent=state.latent[i : i + 1],
+                denoise_mask=state.denoise_mask[i : i + 1],
+                positions=state.positions[i : i + 1],
+                clean_latent=state.clean_latent[i : i + 1],
+            )
+
+        for i in range(2):
+            gv1, ga1 = loop(
+                params, sl(v_state, i), sl(a_state, i), sigmas,
+                pos_v[i : i + 1], neg_v[i : i + 1],
+                pos_a[i : i + 1], neg_a[i : i + 1],
+            )
+            np.testing.assert_allclose(
+                np.asarray(gv.latent[i : i + 1]), np.asarray(gv1.latent),
+                atol=2e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ga.latent[i : i + 1]), np.asarray(ga1.latent),
+                atol=2e-4,
+            )
+
+
 class TestTextToVideo:
     def test_generation(self):
         pipeline, dit_cfg = make_pipeline(TextToVideoPipeline, with_upscaler=False)

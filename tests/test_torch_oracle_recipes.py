@@ -663,8 +663,11 @@ class TestKeyframeRecipeOracle:
         tp = tree_to_torch(params)
         ocfg = oracle_cfg(cfg)
         enc_tp = tree_to_torch(enc_params)
-        # latent frame indices per reference: max(0, (i-1)//8 + (1 if i>0))
-        kf_specs = [(0, 0.95), (1, 0.9)]
+        # Raw PIXEL frame indices: the reference passes Keyframe.frame_index
+        # straight into the position offset (keyframe_interpolation.py:164,
+        # conditioning/keyframe.py:70 — (pixel_coords + frame_idx) / fps);
+        # there is no pixel->latent conversion anywhere in the chain.
+        kf_specs = [(0, 0.95), (8, 0.9)]
 
         def encode_keyframes(res):
             pixel = torch.from_numpy(
