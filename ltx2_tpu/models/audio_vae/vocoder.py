@@ -417,11 +417,79 @@ class VocoderWithBWEConfig:
         return self.output_sampling_rate
 
 
+def vocoder_with_bwe_config_from_checkpoint(vocoder_cfg: dict) -> VocoderWithBWEConfig:
+    """Build the BWE chain config from checkpoint metadata
+    (reference scripts/generate.py:173-222): the checkpoint's
+    `vocoder.vocoder` / `vocoder.bwe` dicts override the architecture
+    defaults. The dataclass default bwe.upsample_rates=(2,) is only the
+    reference's metadata FALLBACK — real LTX-2.3 checkpoints declare the
+    true rates, whose product must equal (output_sr/input_sr) * hop_length
+    for the BWE residual to line up with the resampled skip."""
+    inner_cfg = vocoder_cfg.get("vocoder", {}) or {}
+    bwe_cfg = vocoder_cfg.get("bwe", {}) or {}
+
+    def tups(v):
+        return tuple(tuple(x) for x in v)
+
+    inner = VocoderConfig(
+        resblock_kernel_sizes=tuple(inner_cfg.get("resblock_kernel_sizes", (3, 7, 11))),
+        upsample_rates=tuple(inner_cfg.get("upsample_rates", (6, 5, 2, 2, 2))),
+        upsample_kernel_sizes=tuple(inner_cfg.get("upsample_kernel_sizes", (16, 15, 8, 4, 4))),
+        resblock_dilation_sizes=tups(
+            inner_cfg.get("resblock_dilation_sizes", ((1, 3, 5), (1, 3, 5), (1, 3, 5)))
+        ),
+        upsample_initial_channel=inner_cfg.get("upsample_initial_channel", 1024),
+        resblock=inner_cfg.get("resblock", "AMP1"),
+        output_sample_rate=bwe_cfg.get("input_sampling_rate", 24000),
+        activation=inner_cfg.get("activation", "snakebeta"),
+        use_tanh_at_final=inner_cfg.get("use_tanh_at_final", True),
+    )
+    bwe = VocoderConfig(
+        resblock_kernel_sizes=tuple(bwe_cfg.get("resblock_kernel_sizes", (3, 7, 11))),
+        upsample_rates=tuple(bwe_cfg.get("upsample_rates", (2,))),
+        upsample_kernel_sizes=tuple(bwe_cfg.get("upsample_kernel_sizes", (4,))),
+        resblock_dilation_sizes=tups(
+            bwe_cfg.get("resblock_dilation_sizes", ((1, 3, 5), (1, 3, 5), (1, 3, 5)))
+        ),
+        upsample_initial_channel=bwe_cfg.get("upsample_initial_channel", 256),
+        resblock=bwe_cfg.get("resblock", "AMP1"),
+        output_sample_rate=bwe_cfg.get("output_sampling_rate", 48000),
+        activation=bwe_cfg.get("activation", "snakebeta"),
+        apply_final_activation=False,
+        use_tanh_at_final=bwe_cfg.get("use_tanh_at_final", True),
+    )
+    mel = MelSTFTConfig(
+        filter_length=bwe_cfg.get("n_fft", 2048),
+        hop_length=bwe_cfg.get("hop_length", 240),
+        win_length=bwe_cfg.get("n_fft", 2048),
+        n_mel_channels=bwe_cfg.get("num_mels", 128),
+    )
+    return VocoderWithBWEConfig(
+        vocoder=inner, bwe=bwe, mel_stft=mel,
+        input_sampling_rate=bwe_cfg.get("input_sampling_rate", 24000),
+        output_sampling_rate=bwe_cfg.get("output_sampling_rate", 48000),
+        hop_length=bwe_cfg.get("hop_length", 240),
+    )
+
+
 def vocoder_with_bwe_apply(
     params: Params, cfg: VocoderWithBWEConfig, mel_spec: jnp.ndarray
 ) -> jnp.ndarray:
     """Vocoder -> mel re-analysis -> BWE residual + resampled skip -> clip
     (vocoder.py:596-652). fp32 forced."""
+    ratio_x_hop = (
+        cfg.output_sampling_rate // cfg.input_sampling_rate
+    ) * cfg.hop_length
+    if math.prod(cfg.bwe.upsample_rates) != ratio_x_hop:
+        from ltx2_tpu.utils.profiling import log
+
+        log.warning(
+            "BWE upsample product %d != (out_sr/in_sr)*hop = %d: the BWE "
+            "residual will cover only part of the resampled skip (use "
+            "vocoder_with_bwe_config_from_checkpoint with the checkpoint's "
+            "vocoder metadata for real weights)",
+            math.prod(cfg.bwe.upsample_rates), ratio_x_hop,
+        )
     input_dtype = mel_spec.dtype
     mel_spec = mel_spec.astype(jnp.float32)
 

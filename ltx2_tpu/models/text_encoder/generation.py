@@ -142,10 +142,11 @@ def gemma3_generate(
     nucleus sampling (the reference's prompt-enhancement default is
     temperature 0.7 / top_p 0.9, prompt_enhancement.py:236-290) using `key`.
 
-    input_ids / attention_mask are (B, S) RIGHT-padded; generation continues
-    from each row's last valid position... all rows must share the same
-    prompt length for the single-position decode (pad to a common length
-    with the mask; B>1 with ragged prompts should left-pad upstream).
+    input_ids / attention_mask are (B, S) LEFT-padded: the first generated
+    token is computed from the hidden state at position -1, which must be
+    the last REAL prompt token (right padding would continue from a pad
+    embedding). generate_text (below) left-pads accordingly; B>1 ragged
+    prompts must left-pad to a common length upstream.
     """
     do_sample = temperature > 0.0 and top_p > 0.0
     if key is None:

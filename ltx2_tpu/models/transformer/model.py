@@ -186,10 +186,16 @@ def _prepare_attention_mask(
     attention_mask: Optional[jnp.ndarray], target_dtype
 ) -> Optional[jnp.ndarray]:
     """bool (B, S) -> additive (B, 1, 1, S) with -finfo(dtype).max
-    (model.py:163-201); float masks pass through."""
+    (model.py:163-201); additive float masks reshape to the same key-only
+    layout (a raw (B, S) float would be misread downstream: sdpa treats 2D
+    masks as (T_q, T_k))."""
     if attention_mask is None:
         return None
     if jnp.issubdtype(attention_mask.dtype, jnp.floating):
+        if attention_mask.ndim == 2:
+            return attention_mask.reshape(
+                attention_mask.shape[0], 1, 1, attention_mask.shape[-1]
+            ).astype(target_dtype)
         return attention_mask
     mask_value = float(jnp.finfo(target_dtype).max)
     mask = (1.0 - attention_mask.astype(jnp.float32)) * (-mask_value)

@@ -65,9 +65,14 @@ def _res_block(p: Params, x: jnp.ndarray, num_groups: int) -> jnp.ndarray:
 
 
 def _temporal_pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
-    """Channels-last equivalent of "b (c p) f h w -> b c (f p) h w"
-    (temporal.py:192-215). x: (B, T, H, W, C*r) with channel packing
-    (p, c_out) — the factor is the SLOWEST axis in the packed channels."""
+    """Channels-last temporal pixel shuffle (temporal.py:192-215).
+
+    x: (B, T, H, W, C*r) with the factor as the SLOWEST packed-channel
+    axis — i.e. einops "(p c)". NOTE: the reference's docstring quotes
+    "b (c p1) f h w" but its executable reshape is
+    `x.reshape(b, r, c_out, t, h, w)` (r slowest) = "(p1 c)"; we match the
+    reference's CODE (what real checkpoints decode through), and the torch
+    oracle (test_torch_oracle_upscalers.py) pins the same order."""
     b, t, h, w, c = x.shape
     c_out = c // r
     x = x.reshape(b, t, h, w, r, c_out)
@@ -161,8 +166,13 @@ def load_temporal_upscaler_params(path: str) -> Params:
             i += 1
         return blocks
 
-    up_w = get("upsampler.0.weight") or get("upsampler.conv.weight")
-    up_b = get("upsampler.0.bias") or get("upsampler.conv.bias")
+    # Explicit None checks: `a or b` on a multi-element jnp array raises on
+    # truthiness (spatial.py's loader does the same).
+    up_w = get("upsampler.0.weight")
+    up_b = get("upsampler.0.bias")
+    if up_w is None:
+        up_w = get("upsampler.conv.weight")
+        up_b = get("upsampler.conv.bias")
 
     return {
         "initial_conv": {"weight": get("initial_conv.weight"), "bias": get("initial_conv.bias")},

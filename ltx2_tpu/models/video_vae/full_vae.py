@@ -140,7 +140,16 @@ def full_video_encoder_apply(
     causal: bool = True,
 ) -> jnp.ndarray:
     """(B, 3, F, H, W) -> normalized latent means (B, C, F', H', W')
-    (encoder.py:246-300). F must be 8k + 1."""
+    (encoder.py:246-300). F must be 8k + 1.
+
+    The reference encoder is unconditionally causal (encoder.py:264-280
+    hardcodes causal=True at every conv); causal=False is rejected rather
+    than silently producing a mixed-mode network."""
+    if not causal:
+        raise ValueError(
+            "the full video encoder is always causal "
+            "(reference encoder.py:264-280)"
+        )
     frames = sample.shape[2]
     if (frames - 1) % 8 != 0:
         raise ValueError(
@@ -163,14 +172,14 @@ def full_video_encoder_apply(
                 resnet_groups=cfg.norm_num_groups, norm_layer=cfg.norm_layer,
                 spatial_padding_mode=spad,
             )
-            x = unet_mid_block_3d_apply(block_params, mid_cfg, x, causal=causal)
+            x = unet_mid_block_3d_apply(block_params, mid_cfg, x, causal=True)
         elif name == "res_x_y":
             rb_cfg = ResnetBlock3DConfig(
                 dims=cfg.dims, in_channels=in_ch, out_channels=out_ch,
                 groups=cfg.norm_num_groups, norm_layer=cfg.norm_layer,
                 spatial_padding_mode=spad,
             )
-            x = resnet_block_3d_apply(block_params, rb_cfg, x, causal=causal)
+            x = resnet_block_3d_apply(block_params, rb_cfg, x, causal=True)
         elif name in ("compress_time", "compress_space", "compress_all", "compress_all_x_y"):
             # strided causal conv (encoder.py:61-101)
             x = conv3d_ndhwc(
@@ -180,7 +189,7 @@ def full_video_encoder_apply(
             )
         else:  # compress_*_res: residual SpaceToDepthDownsample (sampling.py:73-149)
             x = _down_block(
-                block_params, x, causal, in_ch, out_ch, _COMPRESS_STRIDES[name]
+                block_params, x, True, in_ch, out_ch, _COMPRESS_STRIDES[name]
             )
 
     x = pixel_norm(x) if cfg.norm_layer == NormLayerType.PIXEL_NORM else _gn(
@@ -293,8 +302,15 @@ def full_video_decoder_apply(
     """
     spad = cfg.spatial_padding_mode
 
-    if cfg.timestep_conditioning and noise_key is not None:
-        noise = jax.random.normal(noise_key, sample.shape, sample.dtype)
+    # Independent randomness per consumer: one key for the input decode
+    # noise, a fresh split per injection block below — the reference's
+    # default path (key=None in MLX) draws fresh noise at every site.
+    k_decode = k_blocks = None
+    if noise_key is not None:
+        k_decode, k_blocks = jax.random.split(noise_key)
+
+    if cfg.timestep_conditioning and k_decode is not None:
+        noise = jax.random.normal(k_decode, sample.shape, sample.dtype)
         sample = noise * cfg.decode_noise_scale + (1.0 - cfg.decode_noise_scale) * sample
 
     sample = un_normalize_latent(
@@ -302,8 +318,10 @@ def full_video_decoder_apply(
     )
 
     x = to_ndhwc(sample)
+    # conv_in/conv_out follow the config's causal mode like every block
+    # (reference decoder.py:247,279 uses self.causal uniformly).
     x = conv3d_ndhwc(
-        params["conv_in"], x, causal=True,
+        params["conv_in"], x, causal=cfg.causal,
         spatial_mode=spad.value if spad != PaddingModeType.ZEROS else "zeros",
     )
 
@@ -312,6 +330,9 @@ def full_video_decoder_apply(
     for block_params, (name, bcfg, in_ch, out_ch), t_emb in zip(
         params["up_blocks"], plan, ts
     ):
+        k_block = None
+        if k_blocks is not None and bcfg.get("inject_noise", False):
+            k_blocks, k_block = jax.random.split(k_blocks)
         if name == "res_x":
             mid_cfg = UNetMidBlock3DConfig(
                 dims=cfg.dims, in_channels=in_ch,
@@ -323,7 +344,7 @@ def full_video_decoder_apply(
             )
             x = unet_mid_block_3d_apply(
                 block_params, mid_cfg, x, causal=cfg.causal,
-                timestep=t_emb, key=noise_key,
+                timestep=t_emb, key=k_block,
             )
         elif name == "res_x_y":
             rb_cfg = ResnetBlock3DConfig(
@@ -332,7 +353,9 @@ def full_video_decoder_apply(
                 inject_noise=bcfg.get("inject_noise", False),
                 spatial_padding_mode=spad,
             )
-            x = resnet_block_3d_apply(block_params, rb_cfg, x, causal=cfg.causal)
+            x = resnet_block_3d_apply(
+                block_params, rb_cfg, x, causal=cfg.causal, key=k_block
+            )
         else:  # compress_time / compress_space / compress_all -> d2s upsample
             x = _upsample_block(
                 block_params, x, cfg.causal, _COMPRESS_STRIDES[name],
@@ -354,7 +377,7 @@ def full_video_decoder_apply(
 
     x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
     x = conv3d_ndhwc(
-        params["conv_out"], x, causal=True,
+        params["conv_out"], x, causal=cfg.causal,
         spatial_mode=spad.value if spad != PaddingModeType.ZEROS else "zeros",
     )
     x = from_ndhwc(x)

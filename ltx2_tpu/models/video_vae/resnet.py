@@ -112,10 +112,20 @@ def make_conv_nd_apply(
     spatial_padding_mode: PaddingModeType = PaddingModeType.ZEROS,
 ) -> jnp.ndarray:
     """Dispatch: dims=3 -> full causal 3D conv; dims=(2, 1) -> DualConv3d
-    (make_conv_nd, convolution.py:~590-610)."""
+    (make_conv_nd, convolution.py:447-524)."""
     if dims == 3:
         return causal_conv3d(p, x, causal, spatial_padding_mode)
     if dims == (2, 1):
+        # dual_conv3d implements the reference DualConv3d's NON-causal
+        # zero-padded path (symmetric temporal zeros, spatial zeros). No
+        # real config combines (2,1) with causal/reflect padding; refuse
+        # rather than silently run different semantics.
+        if causal or spatial_padding_mode != PaddingModeType.ZEROS:
+            raise NotImplementedError(
+                "DualConv3d (dims=(2,1)) supports only non-causal zero "
+                f"padding; got causal={causal}, "
+                f"spatial_padding_mode={spatial_padding_mode}"
+            )
         return dual_conv3d(p, x)
     raise ValueError(f"unsupported dims {dims}")
 
@@ -237,7 +247,13 @@ def unet_mid_block_3d_apply(
     """Sequential ResnetBlock3Ds (UNetMidBlock3D, resnet.py:240-321)."""
     block_cfg = cfg.block_config()
     for block in p["res_blocks"]:
-        x = resnet_block_3d_apply(block, block_cfg, x, causal, timestep, key)
+        # Independent noise per block (the reference draws fresh noise at
+        # every injection site) — reusing one key would correlate every
+        # block's injected noise bit-for-bit.
+        sub = None
+        if key is not None:
+            key, sub = jax.random.split(key)
+        x = resnet_block_3d_apply(block, block_cfg, x, causal, timestep, sub)
     return x
 
 

@@ -239,7 +239,6 @@ def decode_tiled(
     tiling_config: TilingConfig,
     timestep: Optional[float] = 0.05,
     scale_factors: Tuple[int, int, int] = (8, 32, 32),
-    key: Optional[jax.Array] = None,
     mesh=None,
     data_axis: str = "data",
 ) -> Iterator[np.ndarray]:

@@ -130,17 +130,14 @@ def _shard_mapped(fn, n_args, batch: int, heads: int, extra_batch_specs=0):
     )
 
 
-@lru_cache(maxsize=8)
-def _flash_attention(block_q: int, block_kv: int):
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        flash_attention,
-    )
+def _full_block_sizes(block_q: int, block_kv: int):
+    """Forward AND backward (dkv/dq) tile sizes: the backward tiles make
+    the Pallas kernel DIFFERENTIABLE — training (ltx2_tpu/training)
+    backprops through both the plain and the masked flash paths; without
+    them the custom VJP raises "not all backward blocks are specified"."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    # Backward (dkv/dq) tile sizes make the kernel DIFFERENTIABLE — training
-    # (ltx2_tpu/training) backprops through this path; without them the
-    # custom VJP raises "not all backward blocks are specified".
-    block_sizes = BlockSizes(
+    return BlockSizes(
         block_q=block_q,
         block_k_major=block_kv,
         block_k=block_kv,
@@ -153,6 +150,13 @@ def _flash_attention(block_q: int, block_kv: int):
         block_k_dq=block_kv,
         block_q_dq=block_q,
     )
+
+
+@lru_cache(maxsize=8)
+def _flash_attention(block_q: int, block_kv: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    block_sizes = _full_block_sizes(block_q, block_kv)
 
     def run(q, k, v, scale):
         return flash_attention(
@@ -185,17 +189,11 @@ _MASK_VALID_THRESHOLD = -1e30  # additive masks use -0.7 * finfo.max
 @lru_cache(maxsize=8)
 def _flash_attention_masked(block_q: int, block_kv: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
         SegmentIds,
         flash_attention,
     )
 
-    block_sizes = BlockSizes(
-        block_q=block_q,
-        block_k_major=block_kv,
-        block_k=block_kv,
-        block_b=1,
-    )
+    block_sizes = _full_block_sizes(block_q, block_kv)
 
     def run(q, k, v, scale, kv_valid):
         seg_q = jnp.ones((q.shape[0], q.shape[2]), jnp.int32)

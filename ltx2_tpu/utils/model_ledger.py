@@ -158,14 +158,18 @@ class ModelLedger:
         def load():
             from ltx2_tpu.models.audio_vae import (
                 VocoderConfig,
-                VocoderWithBWEConfig,
                 load_vocoder_params,
                 load_vocoder_with_bwe_params,
+                vocoder_with_bwe_config_from_checkpoint,
             )
 
             voc_cfg = self.checkpoint_config.get("vocoder", {})
             if "bwe" in voc_cfg:
-                cfg = VocoderWithBWEConfig()
+                # Architecture from the checkpoint's vocoder metadata
+                # (upsample rates / kernels / mel geometry) — the dataclass
+                # defaults are only the reference's fallbacks
+                # (generate.py:173-222).
+                cfg = vocoder_with_bwe_config_from_checkpoint(voc_cfg)
                 return load_vocoder_with_bwe_params(self.checkpoint_path, cfg), cfg, True
             cfg = VocoderConfig()
             return load_vocoder_params(self.checkpoint_path, cfg), cfg, False

@@ -238,3 +238,50 @@ class TestFP32IslandPolicy:
         assert out.dtype == jnp.bfloat16  # cast back to caller dtype
         assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
         assert float(jnp.max(jnp.abs(out.astype(jnp.float32)))) <= 1.0 + 1e-3
+
+
+class TestBWEConfigFromCheckpoint:
+    def test_metadata_overrides_defaults(self):
+        """The BWE chain architecture comes from checkpoint metadata
+        (reference scripts/generate.py:173-222) — the dataclass defaults
+        are only the reference's fallbacks (bwe upsample_rates=(2,) cannot
+        reach 48 kHz from hop-240 frames)."""
+        from ltx2_tpu.models.audio_vae import (
+            vocoder_with_bwe_config_from_checkpoint,
+        )
+
+        meta = {
+            "vocoder": {"upsample_initial_channel": 512, "resblock": "AMP1"},
+            "bwe": {
+                "upsample_rates": [6, 5, 4, 2, 2],
+                "upsample_kernel_sizes": [12, 10, 8, 4, 4],
+                "upsample_initial_channel": 128,
+                "hop_length": 240,
+                "n_fft": 1024,
+                "num_mels": 64,
+                "input_sampling_rate": 24000,
+                "output_sampling_rate": 48000,
+            },
+        }
+        cfg = vocoder_with_bwe_config_from_checkpoint(meta)
+        assert cfg.vocoder.upsample_initial_channel == 512
+        assert cfg.vocoder.output_sample_rate == 24000  # bwe input rate
+        assert cfg.bwe.upsample_rates == (6, 5, 4, 2, 2)
+        assert cfg.bwe.upsample_initial_channel == 128
+        assert cfg.bwe.apply_final_activation is False
+        assert cfg.mel_stft.filter_length == 1024
+        assert cfg.mel_stft.n_mel_channels == 64
+        assert cfg.hop_length == 240
+        # Consistent: residual covers the whole skip.
+        import math
+        assert math.prod(cfg.bwe.upsample_rates) == 2 * cfg.hop_length
+
+    def test_empty_metadata_gives_reference_fallbacks(self):
+        from ltx2_tpu.models.audio_vae import (
+            vocoder_with_bwe_config_from_checkpoint,
+        )
+
+        cfg = vocoder_with_bwe_config_from_checkpoint({"bwe": {}})
+        assert cfg.bwe.upsample_rates == (2,)
+        assert cfg.vocoder.upsample_rates == (6, 5, 2, 2, 2)
+        assert cfg.input_sampling_rate == 24000

@@ -376,3 +376,34 @@ class TestSwiGLU:
         )
         got = np.asarray(jax.jit(fn)(sharded, x))
         np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestAttentionMaskPreparation:
+    def test_float_2d_mask_reshapes_to_key_only(self):
+        """An additive float (B, S) mask must become (B, 1, 1, S) like the
+        bool path — raw 2D floats are misread downstream (sdpa treats 2D
+        masks as (T_q, T_k))."""
+        from ltx2_tpu.models.transformer.model import _prepare_attention_mask
+
+        m = jnp.where(jnp.arange(6)[None, :] < 4, 0.0, -1e9).repeat(2, axis=0)
+        out = _prepare_attention_mask(m, jnp.float32)
+        assert out.shape == (2, 1, 1, 6)
+        np.testing.assert_array_equal(np.asarray(out[0, 0, 0]), np.asarray(m[0]))
+        # bool path unchanged
+        out_b = _prepare_attention_mask(jnp.asarray(m == 0.0), jnp.float32)
+        assert out_b.shape == (2, 1, 1, 6)
+        # 4D float masks pass through untouched.
+        m4 = jnp.zeros((2, 1, 1, 6))
+        assert _prepare_attention_mask(m4, jnp.float32) is m4
+
+    def test_flash_block_sizes_carry_backward_tiles(self):
+        """Both flash variants (plain + masked segment-id) must build
+        BlockSizes with the dkv/dq tiles, or backprop through the Pallas
+        custom VJP raises 'not all backward blocks are specified'."""
+        from ltx2_tpu.ops.attention import _full_block_sizes
+
+        bs = _full_block_sizes(512, 1024)
+        for f in ("block_q_major_dkv", "block_k_major_dkv", "block_k_dkv",
+                  "block_q_dkv", "block_k_major_dq", "block_k_dq",
+                  "block_q_dq"):
+            assert getattr(bs, f) is not None, f

@@ -218,7 +218,9 @@ class TestFullDecoderOracle:
         stats = tp["per_channel_statistics"]
         x = latent * stats["std_of_means"].reshape(1, -1, 1, 1, 1)
         x = x + stats["mean_of_means"].reshape(1, -1, 1, 1, 1)
-        x = conv3d(tp["conv_in"], x, True, "reflect")
+        # conv_in/conv_out follow cfg.causal like every block (reference
+        # decoder.py:247,279 uses self.causal uniformly).
+        x = conv3d(tp["conv_in"], x, cfg.causal, "reflect")
         for bp, (name, bcfg, in_ch, out_ch), t_emb in zip(tp["up_blocks"], plan, t_embs):
             if name == "res_x":
                 for rb in bp["res_blocks"]:
@@ -237,7 +239,7 @@ class TestFullDecoderOracle:
         shift = ada[:, 0][:, :, None, None, None]
         scale = ada[:, 1][:, :, None, None, None]
         x = F.silu(x * (1 + scale) + shift)
-        x = conv3d(tp["conv_out"], x, True, "reflect")
+        x = conv3d(tp["conv_out"], x, cfg.causal, "reflect")
         want = einops.rearrange(
             x, "b (c p r q) f h w -> b c (f p) (h q) (w r)", p=1, r=2, q=2
         )
@@ -258,8 +260,17 @@ class TestDualConvOracle:
         g = torch.Generator().manual_seed(65)
         x = torch.randn(1, 6, 4, 5, 6, generator=g)
 
+        # DualConv3d supports only the non-causal zero-padded path
+        # (causal now raises instead of silently running non-causal).
         got = resnet_block_3d_apply(
-            params, cfg, t2j(x).transpose(0, 2, 3, 4, 1)
+            params, cfg, t2j(x).transpose(0, 2, 3, 4, 1), causal=False
         ).transpose(0, 4, 1, 2, 3)
-        want = torch_resnet3d(tree_to_torch(params), x, True, "zeros", "pixel", dual=True)
+        want = torch_resnet3d(tree_to_torch(params), x, False, "zeros", "pixel", dual=True)
         assert_close(got, want, rtol=1e-3, atol=1e-4, msg="dual-conv resnet block")
+
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="non-causal"):
+            resnet_block_3d_apply(
+                params, cfg, t2j(x).transpose(0, 2, 3, 4, 1), causal=True
+            )

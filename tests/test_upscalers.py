@@ -111,6 +111,53 @@ class TestTemporalUpscaler:
         out = fn(temporal_params(), latent)
         assert bool(jnp.all(jnp.isfinite(out)))
 
+    def test_loader_handles_sequential_upsampler_keys(self, tmp_path):
+        """Real checkpoints store the upsampler conv as 'upsampler.0.*'
+        (torch Sequential): the loader must branch with `is None`, not
+        `or` — truthiness of a multi-element jnp array raises."""
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+        from ltx2_tpu.models.upscaler.temporal import (
+            init_temporal_upscaler,
+            load_temporal_upscaler_params,
+            temporal_upscaler_apply,
+        )
+
+        params = init_temporal_upscaler(jax.random.PRNGKey(0), TINY_TEMPORAL)
+        tensors = {}
+
+        def emit(prefix, node):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    emit(f"{prefix}{k}.", v)
+                elif isinstance(v, list):
+                    for i, item in enumerate(v):
+                        emit(f"{prefix}{k}.{i}.", item)
+                else:
+                    tensors[f"{prefix}{k}"] = np.asarray(v, np.float32)
+
+        emit("", {
+            "initial_conv": params["initial_conv"],
+            "initial_norm": params["initial_norm"],
+            "res_blocks": params["res_blocks"],
+            "post_upsample_res_blocks": params["post_upsample_res_blocks"],
+            "final_conv": params["final_conv"],
+        })
+        # Torch-Sequential layout for the upsampler conv.
+        tensors["upsampler.0.weight"] = np.asarray(
+            params["upsampler"]["conv"]["weight"], np.float32
+        )
+        tensors["upsampler.0.bias"] = np.asarray(
+            params["upsampler"]["conv"]["bias"], np.float32
+        )
+        path = tmp_path / "temporal.safetensors"
+        write_safetensors(str(path), tensors)
+
+        loaded = load_temporal_upscaler_params(str(path))
+        latent = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 3, 4, 4))
+        want = temporal_upscaler_apply(params, TINY_TEMPORAL, latent)
+        got = temporal_upscaler_apply(loaded, TINY_TEMPORAL, latent)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
     def test_temporal_shuffle_packing(self):
         from ltx2_tpu.models.upscaler.temporal import _temporal_pixel_shuffle
 

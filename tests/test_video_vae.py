@@ -525,3 +525,98 @@ class TestFullVAE:
                 np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5,
                 err_msg=f"strided conv3d {stride}",
             )
+
+
+class TestNoiseInjectionKeys:
+    """Injected decoder noise must be independent per injection site (the
+    reference's default path draws fresh noise at every site); the encoder
+    is unconditionally causal like the reference's."""
+
+    def test_mid_block_splits_keys_per_block(self, monkeypatch):
+        import ltx2_tpu.models.video_vae.resnet as rn
+
+        seen = []
+        orig = rn.resnet_block_3d_apply
+
+        def spy(p, cfg, x, causal=True, timestep=None, key=None):
+            seen.append(None if key is None else np.asarray(key))
+            return orig(p, cfg, x, causal, timestep, key)
+
+        monkeypatch.setattr(rn, "resnet_block_3d_apply", spy)
+        cfg = rn.UNetMidBlock3DConfig(
+            in_channels=8, num_layers=2, inject_noise=True,
+            norm_layer=rn.NormLayerType.PIXEL_NORM,
+        )
+        from ltx2_tpu.models.video_vae.resnet import init_resnet_block_3d
+
+        block = init_resnet_block_3d(
+            jax.random.PRNGKey(0), cfg.block_config()
+        )
+        params = {"res_blocks": [block, block]}
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 4, 4, 8))
+        rn.unet_mid_block_3d_apply(params, cfg, x, key=jax.random.PRNGKey(2))
+        assert len(seen) == 2
+        assert seen[0] is not None and seen[1] is not None
+        assert not np.array_equal(seen[0], seen[1]), (
+            "blocks received the SAME key: injected noise would be "
+            "bit-identical across blocks"
+        )
+
+    def test_decoder_res_x_y_inject_noise_uses_key(self):
+        """A res_x_y block with inject_noise must actually draw noise
+        (previously the decoder never passed it a key, silently disabling
+        injection)."""
+        from ltx2_tpu.models.video_vae import (
+            FullVideoDecoderConfig,
+            full_video_decoder_apply,
+            init_full_video_decoder,
+        )
+
+        cfg = FullVideoDecoderConfig(
+            in_channels=8, patch_size=2,
+            blocks=(("res_x_y", {"inject_noise": True}),),
+        )
+        params = jax.jit(lambda k: init_full_video_decoder(k, cfg))(
+            jax.random.PRNGKey(0)
+        )
+        # Noise scales init at zero would null the injection — randomize.
+        def bump(node):
+            if isinstance(node, list):
+                for item in node:
+                    bump(item)
+                return
+            if not isinstance(node, dict):
+                return
+            for k, v in node.items():
+                if isinstance(v, (dict, list)):
+                    bump(v)
+                elif "per_channel_scale" in k:
+                    node[k] = jnp.ones_like(v) * 0.5
+        bump(params)
+        latent = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 3, 4, 4))
+        fn = jax.jit(
+            lambda p, z, k: full_video_decoder_apply(p, cfg, z, noise_key=k)
+        )
+        a = np.asarray(fn(params, latent, jax.random.PRNGKey(5)))
+        b = np.asarray(fn(params, latent, jax.random.PRNGKey(5)))
+        c = np.asarray(fn(params, latent, jax.random.PRNGKey(6)))
+        np.testing.assert_array_equal(a, b)  # deterministic per key
+        assert not np.array_equal(a, c), (
+            "res_x_y inject_noise ignored the noise key"
+        )
+
+    def test_encoder_rejects_non_causal(self):
+        from ltx2_tpu.models.video_vae import (
+            FullVideoEncoderConfig,
+            full_video_encoder_apply,
+            init_full_video_encoder,
+        )
+
+        cfg = FullVideoEncoderConfig(
+            patch_size=2, blocks=(("res_x", {"num_layers": 1}),),
+        )
+        params = init_full_video_encoder(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError, match="always causal"):
+            full_video_encoder_apply(
+                params, cfg, jnp.zeros((1, 3, 9, 8, 8)), causal=False
+            )
