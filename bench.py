@@ -173,8 +173,6 @@ def bench_text_encode():
     sync(ctx)
     sec = time.perf_counter() - t0
 
-    from ltx2_tpu.utils.flops import gemma_encode_flops  # noqa: F811
-
     flops = gemma_encode_flops(gcfg, TEXT_TOKENS)
     _DETAIL.setdefault("phases", {})["text_encode"] = {
         "seconds": round(sec, 3),
@@ -304,6 +302,15 @@ def bench_dit_step(num_layers: int, fp8: bool):
 
 
 def main():
+    import gc
+
+    # Each fallback tier runs OUTSIDE the failed tier's except block: while
+    # a handler is active, the in-flight traceback pins the failed tier's
+    # frame locals (the ~13 GB fp8 param tree), so a gc.collect() inside it
+    # frees nothing and the next tier would cascade-OOM. Leaving the
+    # handler clears the exception (py3 deletes the handler's binding), and
+    # only then can collect() release the HBM.
+    result = None
     try:
         sec = bench_e2e()
         result = {
@@ -313,9 +320,9 @@ def main():
             "vs_baseline": round(REFERENCE_SEC_E2E_121F / sec, 2),
         }
     except Exception:
-        import gc
-
-        gc.collect()  # free the failed tier's HBM before the fallback
+        pass
+    if result is None:
+        gc.collect()
         try:
             sec = bench_dit_step(FULL_BLOCKS, fp8=True)
             result = {
@@ -325,15 +332,18 @@ def main():
                 "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
             }
         except Exception:
-            sec = bench_dit_step(FALLBACK_BLOCKS, fp8=False) * (
-                FULL_BLOCKS / FALLBACK_BLOCKS
-            )
-            result = {
-                "metric": "dit_sec_per_step_768x512x121f_bf16_48blocks_extrapolated",
-                "value": round(sec, 4),
-                "unit": "s",
-                "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
-            }
+            pass
+    if result is None:
+        gc.collect()
+        sec = bench_dit_step(FALLBACK_BLOCKS, fp8=False) * (
+            FULL_BLOCKS / FALLBACK_BLOCKS
+        )
+        result = {
+            "metric": "dit_sec_per_step_768x512x121f_bf16_48blocks_extrapolated",
+            "value": round(sec, 4),
+            "unit": "s",
+            "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
+        }
     if _DETAIL:
         import sys
 

@@ -28,6 +28,12 @@ inline float bf16_bits_to_f32(uint16_t h) {
 inline uint16_t f32_to_bf16_bits(float f) {
   uint32_t bits;
   std::memcpy(&bits, &f, sizeof(bits));
+  // NaN first: the round-to-nearest-even add below would carry a low-16-bit
+  // NaN payload into the exponent and launder NaN into +/-Inf (ml_dtypes/
+  // XLA preserve NaN — a corrupted weight must stay visibly NaN).
+  if ((bits & 0x7F800000u) == 0x7F800000u && (bits & 0x007FFFFFu) != 0u) {
+    return static_cast<uint16_t>((bits >> 16) | 0x0040u);  // quiet NaN
+  }
   // Round to nearest even (matches XLA/ml_dtypes semantics for normals).
   uint32_t lsb = (bits >> 16) & 1u;
   uint32_t rounded = bits + 0x7FFFu + lsb;

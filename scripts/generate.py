@@ -241,18 +241,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def parse_loras(args):
+def parse_lora_spec(spec: str, default_strength: float = 1.0):
+    """'path[:strength]' -> LoRAConfig."""
     from ltx2_tpu.loader.lora import LoRAConfig
 
+    if ":" in spec:
+        path, strength = spec.rsplit(":", 1)
+        return LoRAConfig(path=path, strength=float(strength))
+    return LoRAConfig(path=spec, strength=default_strength)
+
+
+def parse_loras(args):
     default = getattr(args, "lora_strength", 1.0)
-    configs = []
-    for spec in args.lora:
-        if ":" in spec:
-            path, strength = spec.rsplit(":", 1)
-            configs.append(LoRAConfig(path=path, strength=float(strength)))
-        else:
-            configs.append(LoRAConfig(path=spec, strength=default))
-    return configs
+    return [parse_lora_spec(spec, default) for spec in args.lora]
 
 
 def parse_images(args):
@@ -296,8 +297,18 @@ def _apply_reference_compat(args):
         log.info("--steps-stage2 %d: stage 2 uses the fixed 3-sigma "
                  "distilled tail (reference behavior); ignoring",
                  args.steps_stage2)
-    if args.ic_lora_weights and not args.lora:
-        args.lora = [args.ic_lora_weights]
+    if args.pipeline == "ic-lora":
+        # The IC-LoRA fuses for STAGE 1 ONLY inside the pipeline (fuse ->
+        # stage 1 -> restore); it must NOT also be fused at checkpoint load
+        # by the ledger — that would double-apply it in stage 1 and leave
+        # it permanently fused in stage 2. Route --lora specs to
+        # --ic-lora-weights for this pipeline and keep them out of the
+        # ledger's lora list.
+        if args.lora and not args.ic_lora_weights:
+            args.ic_lora_weights = args.lora[0]
+        if args.ic_lora_weights:
+            ic_path = args.ic_lora_weights.split(":")[0]
+            args.lora = [s for s in args.lora if s.split(":")[0] != ic_path]
     if (
         args.checkpoint is None
         and not args.placeholder
@@ -377,7 +388,16 @@ def encode_prompts(args, ledger, dit_cfg):
     # caption_channels the projection expects (V1).
     v_dim = dit_cfg.caption_channels or dit_cfg.cross_attention_dim
     a_dim = dit_cfg.caption_channels or dit_cfg.audio_inner_dim
-    if args.no_gemma or args.placeholder:
+    if ledger is None and not (args.no_gemma or args.placeholder):
+        # build_models fell back to placeholder weights (no checkpoint
+        # resolved) but real Gemma encoding was requested — fail with the
+        # remedy instead of an AttributeError at ledger.gemma().
+        raise SystemExit(
+            "no checkpoint loaded (placeholder mode) but real text encoding "
+            "was requested: pass --checkpoint, or add --no-gemma / "
+            "--placeholder for dummy embeddings"
+        )
+    if args.no_gemma or args.placeholder or ledger is None:
         log.info("using dummy text embeddings (--no-gemma/--placeholder)")
         key = jax.random.PRNGKey(args.seed)
         ks = jax.random.split(key, 4)
@@ -1079,7 +1099,6 @@ def _execute_request(args, models, ledger):
             )
             video = pipeline(args.video, pos, neg, cfg, skip_decode=args.skip_vae)
         elif args.pipeline == "ic-lora":
-            from ltx2_tpu.loader.lora import LoRAConfig
             from ltx2_tpu.pipelines import (
                 ControlType,
                 ICLoraConfig,
@@ -1090,8 +1109,12 @@ def _execute_request(args, models, ledger):
             up = _upscaler_kwargs(args, ledger)
             pipeline = ICLoraPipeline(**models, **up)
             cfg = ICLoraConfig(
+                # Stage-1-only fuse inside the pipeline; the spec's
+                # :strength suffix is honored (default 1.0, reference
+                # generate.py:1482).
                 ic_lora_config=(
-                    LoRAConfig(path=args.lora[0].split(":")[0]) if args.lora else None
+                    parse_lora_spec(args.ic_lora_weights)
+                    if args.ic_lora_weights else None
                 ),
                 **common,
             )
@@ -1130,9 +1153,17 @@ def _execute_request(args, models, ledger):
         log.info("latent saved to %s", out)
     else:
         with phase("mux"):
+            # Mux at the vocoder's actual output rate: BWE checkpoints
+            # (LTX-2.3) emit 48 kHz — a hardcoded 24000 would play the
+            # audio at half speed, an octave down.
+            voc_cfg = models.get("vocoder_cfg")
             save_video(
                 np.asarray(video), args.output, args.fps,
                 output_fps=args.output_fps, audio=audio_out,
+                audio_sample_rate=(
+                    int(voc_cfg.output_sample_rate)
+                    if voc_cfg is not None else 24000
+                ),
                 speed=args.speed,
             )
         log.info("video saved to %s", args.output)
@@ -1164,6 +1195,17 @@ def _audio_encoder_kwargs(args, ledger):
 
 
 def _upscaler_kwargs(args, ledger):
+    if args.temporal_upscaler:
+        # Temporal upscaling applies on the one-stage/text-to-video path
+        # only (same scope as the reference, generate.py:2039-2060, whose
+        # staged pipelines also never consume it) — warn instead of
+        # silently ignoring the flag.
+        from ltx2_tpu.utils.profiling import log
+
+        log.warning(
+            "--temporal-upscaler has no effect on --pipeline %s (only "
+            "one-stage / text-to-video apply it); ignoring", args.pipeline
+        )
     if ledger is None or args.spatial_upscaler is None:
         return {}
     params, cfg = ledger.spatial_upscaler()

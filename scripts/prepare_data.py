@@ -105,6 +105,14 @@ def main(argv=None):
         data = np.load(args.pixels)["pixels"]
         if data.dtype == np.uint8:
             data = data.astype(np.float32) / 127.5 - 1.0
+        f = data.shape[2]
+        snapped = f - (f - 1) % 8  # causal VAE needs 8k+1 frames
+        if snapped != f:
+            log.warning(
+                "--pixels clips have %d frames; trimming to %d (the causal "
+                "VAE's temporal stride-8 geometry needs 8k+1)", f, snapped
+            )
+            data = data[:, :, :snapped]
         clips = [data[i : i + 1] for i in range(data.shape[0])]
     elif args.images:
         from pathlib import Path

@@ -333,6 +333,72 @@ class TestServe:
 
         assert "_apply_reference_compat" in inspect.getsource(serve.main)
 
+    def test_ic_lora_weights_stay_out_of_ledger_loras(self):
+        """The IC-LoRA fuses for STAGE 1 ONLY inside the pipeline; routing
+        it into the ledger's lora list would double-fuse it in stage 1 and
+        leave it permanently fused in stage 2. --lora specs on the ic-lora
+        pipeline normalize to --ic-lora-weights (strength suffix kept)."""
+        import generate
+
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args([
+                "--pipeline", "ic-lora", "--lora", "ic.safetensors:0.5",
+                "--placeholder",
+            ])
+        )
+        assert args.ic_lora_weights == "ic.safetensors:0.5"
+        assert args.lora == []  # ledger must NOT fuse it at load
+        cfg = generate.parse_lora_spec(args.ic_lora_weights)
+        assert cfg.path == "ic.safetensors" and cfg.strength == 0.5
+
+        # A style LoRA alongside the IC-LoRA stays with the ledger.
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args([
+                "--pipeline", "ic-lora", "--ic-lora-weights", "ic.safetensors",
+                "--lora", "style.safetensors:0.7", "--placeholder",
+            ])
+        )
+        assert args.lora == ["style.safetensors:0.7"]
+        # Other pipelines are untouched.
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args([
+                "--lora", "style.safetensors", "--placeholder",
+            ])
+        )
+        assert args.lora == ["style.safetensors"]
+
+    def test_placeholder_fallback_with_real_gemma_fails_loudly(self):
+        """No checkpoint resolved + real text encoding requested must exit
+        with the remedy, not AttributeError on ledger.gemma()."""
+        import generate
+
+        args = generate.build_parser().parse_args(
+            ["--gemma-dir", "weights/gemma-nonexistent"]
+        )
+        from ltx2_tpu.models.transformer.model import LTXModelConfig
+
+        with pytest.raises(SystemExit, match="no checkpoint"):
+            generate.encode_prompts(
+                args, None, LTXModelConfig(caption_channels=None)
+            )
+
+    def test_temporal_upscaler_warns_on_staged_pipelines(self, caplog):
+        """--temporal-upscaler only applies on one-stage/text-to-video;
+        staged pipelines must warn instead of silently ignoring it."""
+        import logging
+
+        import generate
+
+        args = generate.build_parser().parse_args([
+            "--pipeline", "distilled", "--temporal-upscaler", "tu.safetensors",
+            "--placeholder",
+        ])
+        with caplog.at_level(logging.WARNING, logger="ltx2_tpu"):
+            kwargs = generate._upscaler_kwargs(args, None)
+        assert kwargs == {}
+        assert any("--temporal-upscaler has no effect" in r.message
+                   for r in caplog.records)
+
     def test_warmup_leaves_no_artifacts(self, tmp_path):
         """--warmup must generate into throwaway temp files, never the
         launch --output path, and must clean up after itself."""

@@ -393,6 +393,24 @@ class TestNativeConvert:
         expected = x.astype(ml_dtypes.bfloat16)
         np.testing.assert_array_equal(got.view(np.uint16), expected.view(np.uint16))
 
+    def test_f32_to_bf16_preserves_nan_and_specials(self):
+        """RNE narrowing must not launder NaN into Inf: a NaN whose payload
+        lives only in the low 16 bits (0x7F800001) would carry into the
+        exponent under the rounding add. ml_dtypes is the parity target."""
+        from ltx2_tpu.loader.native import f32_to_bf16
+
+        x = np.array([np.nan, np.inf, -np.inf, 0.0, -0.0], np.float32)
+        x = np.concatenate([
+            x,
+            np.frombuffer(np.uint32(0x7F800001).tobytes(), np.float32),
+            np.frombuffer(np.uint32(0xFF800001).tobytes(), np.float32),
+        ])
+        got = np.asarray(f32_to_bf16(x), np.float32)
+        want = np.asarray(x.astype(ml_dtypes.bfloat16), np.float32)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        mask = ~np.isnan(want)
+        np.testing.assert_array_equal(got[mask], want[mask])
+
     def test_fp8_dequant(self):
         from ltx2_tpu.loader.native import fp8_e4m3_dequant
 

@@ -781,6 +781,20 @@ class TestPrepareData:
         ])
         assert (tmp_path / "adapter.safetensors").exists()
 
+        # --pixels clips with a non-8k+1 frame count snap (trim) like the
+        # --videos path instead of feeding the causal VAE bad geometry.
+        px10 = (np.random.RandomState(1).rand(1, 3, 10, 64, 96) * 2 - 1).astype(
+            np.float32
+        )
+        np.savez(tmp_path / "clips10.npz", pixels=px10)
+        out10 = tmp_path / "lat10.npz"
+        prepare_data.main([
+            "--pixels", str(tmp_path / "clips10.npz"), "--placeholder",
+            "--context-dim", "128", "--output", str(out10),
+        ])
+        # 10 -> 9 frames -> 2 latent frames -> 2*2*3 tokens.
+        assert np.load(out10)["x0"].shape == (1, 12, 128)
+
 
 class TestAVTraining:
     """Joint audio-video fine-tuning: both modalities share the per-sample
