@@ -137,7 +137,13 @@ def audio_decoder_apply(
     target_mel = f * LATENT_DOWNSAMPLE_FACTOR
 
     h = sample.transpose(0, 2, 3, 1)  # NHWC: (B, T, M, C)
-    causal = cfg.is_causal
+    # The reference's is_causal changes ONLY the output frame trim above:
+    # every CausalConv2d is constructed with the default frame-causal
+    # padding and Upsample2d always drops the first row regardless
+    # (decoder.py:84-131, 211-242, 290-300 — is_causal threads only into
+    # the patchifier and target_frames). Threading it into the convs would
+    # silently run a different network than the reference's is_causal=False.
+    causal = True
 
     h = causal_conv2d(params["conv_in"], h, 3, causal)
     h = _res_block(params["mid_block_1"], h, causal)

@@ -479,21 +479,24 @@ def make_video_denoise_loop(
                 state.latent.shape[1], mesh, sequence_axis, "video"
             )
 
-        def build_forward(with_cfg: bool):
+        def build_forward(with_cfg: bool, with_stg: Optional[bool] = None):
             """One DiT forward over this step kind's guidance rows.
 
             Recompute steps carry [cond, uncond, stg] x batch; reuse steps
-            drop the uncond row, so contexts, RoPE tiling, perturbation
-            layout and the SP/PP wrappers are all built per row plan.
+            drop the uncond row; the Heun corrector drops the STG row
+            (with_stg=False) — contexts, RoPE tiling, perturbation layout
+            and the SP/PP wrappers are all built per row plan.
             """
-            r = 1 + int(with_cfg) + int(loop_cfg.need_stg)
-            context = _stack_guidance_ctx(
-                pos_ctx, neg_ctx, with_cfg, loop_cfg.need_stg
-            )
+            if with_stg is None:
+                with_stg = loop_cfg.need_stg
+            r = 1 + int(with_cfg) + int(with_stg)
+            context = _stack_guidance_ctx(pos_ctx, neg_ctx, with_cfg, with_stg)
 
             positions = _tile_rows(state.positions, r)
             video_pe = _precompute_video_pe(model_cfg, state.positions, r)
-            perturb = _build_perturbations(loop_cfg, r, batch)
+            perturb = (
+                _build_perturbations(loop_cfg, r, batch) if with_stg else None
+            )
 
             text_kv = None
             if loop_cfg.cache_text_kv and not model_cfg.cross_attention_adaln:
@@ -566,6 +569,27 @@ def make_video_denoise_loop(
         forward_full = build_forward(with_cfg=loop_cfg.need_cfg)
         forward_reduced = build_forward(with_cfg=False) if reuse_cfg else None
 
+        # Heun's corrector is CFG-ONLY (reference one_stage.py:385-395 vs
+        # :426-444 — STG applies to the FIRST evaluation only; the second
+        # has no perturbed pass), so it gets STG-row-free forwards.
+        heun = loop_cfg.sampler == "heun"
+        forward_corr = (
+            build_forward(loop_cfg.need_cfg, with_stg=False)
+            if heun and loop_cfg.need_stg else forward_full
+        )
+        forward_corr_reduced = (
+            build_forward(False, with_stg=False)
+            if heun and loop_cfg.need_stg and reuse_cfg else forward_reduced
+        )
+
+        def combine_corr(pos, neg, ema=None):
+            if not loop_cfg.need_cfg:
+                return pos
+            if hasattr(loop_cfg.guider, "momentum"):
+                out, _ = loop_cfg.guider.guide(pos, neg, ema)  # read-only EMA
+                return out
+            return loop_cfg.guider.guide(pos, neg)
+
         def combine(pos, neg, perturbed, stg_flag):
             return _combine_rows(
                 loop_cfg, loop_cfg.guider, pos, neg, perturbed, stg_flag
@@ -618,23 +642,23 @@ def make_video_denoise_loop(
 
             if loop_cfg.sampler == "heun":
                 predicted = _euler_step(latent, denoised, sigma, sigma_next)
+                # Corrector: CFG-only, no STG row runs or combines.
                 if reuse_cfg:
-                    # Heun's corrector reuses the step's (possibly fresh)
-                    # delta — one reduced forward instead of a full one.
-                    denoised2, _ = eval_reused(
-                        predicted, sigma_next, cfg_delta, stg_flag
+                    # Reuses the step's (possibly fresh) delta — one reduced
+                    # forward instead of a full one.
+                    p2, _, _ = _split_rows(
+                        forward_corr_reduced(predicted, sigma_next),
+                        batch, False, False,
                     )
-                elif stateful_guider:
-                    p2, n2, pert2 = split(forward_full(predicted, sigma_next), True)
-                    # Corrector reads the step's EMA without advancing it.
-                    denoised2, _ = _combine_rows_stateful(
-                        loop_cfg, loop_cfg.guider, p2, n2, pert2, stg_flag,
-                        apg_carry,
-                    )
+                    n2 = (p2.astype(jnp.float32) - cfg_delta).astype(p2.dtype)
+                    denoised2 = combine_corr(p2, n2)
                 else:
-                    outs2 = forward_full(predicted, sigma_next)
-                    denoised2 = _combine_guidance(
-                        loop_cfg, outs2, loop_cfg.guider, stg_flag, batch
+                    p2, n2, _ = _split_rows(
+                        forward_corr(predicted, sigma_next),
+                        batch, loop_cfg.need_cfg, False,
+                    )
+                    denoised2 = combine_corr(
+                        p2, n2, apg_carry if stateful_guider else None
                     )
                 denoised2 = post_process_latent(denoised2, mask, clean)
                 v1 = (latent.astype(jnp.float32) - denoised) / sigma

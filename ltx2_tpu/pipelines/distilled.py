@@ -67,6 +67,13 @@ class DistilledConfig:
     audio_hop_length: int = 160
     audio_downsample_factor: int = 4
 
+    # Sigma-schedule shift: False (default) anchors at the reference's
+    # fixed 4096 tokens (its pipelines never pass a latent); True shifts
+    # by the actual token count (upstream-LTX resolution-aware opt-in).
+    # Consumed by the scheduler-driven stage-1 loops (ti2vid-hq); the
+    # distilled stages use fixed sigma tables.
+    token_dependent_shift: bool = False
+
     def __post_init__(self):
         if self.num_frames % 8 != 1:
             raise ValueError(

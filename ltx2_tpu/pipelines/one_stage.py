@@ -100,6 +100,12 @@ class OneStageCFGConfig:
     # would leak into the a2v/v2a cross-modal attention).
     token_bucket: int = 0
 
+    # False (default) = the reference's fixed 4096-token shift anchor
+    # (its pipelines never pass a latent to the scheduler); True = shift
+    # the sigma schedule by the actual latent token count (the upstream
+    # LTX resolution-aware design; beyond-reference opt-in).
+    token_dependent_shift: bool = False
+
     def __post_init__(self):
         if self.num_frames % 8 != 1:
             raise ValueError(
@@ -322,7 +328,15 @@ class OneStagePipeline:
 
         sigmas = jnp.asarray(
             self.scheduler.execute(
-                steps=config.num_inference_steps, tokens=latent_shape.tokens
+                steps=config.num_inference_steps,
+                # Reference pipelines call execute(steps) with no latent, so
+                # the shift anchors at the fixed 4096 tokens (schedulers.py:
+                # 55-58, one_stage.py:840). token_dependent_shift is the
+                # opt-in resolution-aware shift (the upstream LTX design).
+                tokens=(
+                    latent_shape.tokens
+                    if config.token_dependent_shift else None
+                ),
             )
         )
         video_state = noiser(noise_key, video_state, noise_scale=1.0)

@@ -39,6 +39,8 @@ class RetakeConfig:
     dtype: str = "float32"
     latent_channels: int = 128
     tiling_config: Optional[TilingConfig] = None
+    # Reference anchor (4096) by default; True = resolution-aware shift.
+    token_dependent_shift: bool = False
 
     def __post_init__(self):
         if self.end_time <= self.start_time:
@@ -190,7 +192,12 @@ class RetakePipeline(OneStagePipeline):
 
         sigmas = jnp.asarray(
             LTX2Scheduler().execute(
-                steps=config.num_inference_steps, tokens=latent_shape.tokens
+                steps=config.num_inference_steps,
+                # Reference retake.py:365 uses the fixed 4096 anchor.
+                tokens=(
+                    latent_shape.tokens
+                    if config.token_dependent_shift else None
+                ),
             )
         )
         state = GaussianNoiser()(noise_key, state, noise_scale=1.0)

@@ -258,7 +258,11 @@ class TI2VidHQPipeline(DistilledPipeline):
             video_state, stage_1_conditionings, video_tools
         )
         sigmas = LTX2Scheduler().execute(
-            steps=config.num_inference_steps, tokens=latent_shape.tokens
+            steps=config.num_inference_steps,
+            # Reference ti2vid_hq.py:395 uses the fixed 4096 anchor.
+            tokens=(
+                latent_shape.tokens if config.token_dependent_shift else None
+            ),
         )
         video_state = noiser(k1, video_state, noise_scale=1.0)
 

@@ -86,6 +86,9 @@ class TwoStageCFGConfig:
     audio_downsample_factor: int = 4
     audio_output_sample_rate: int = 24000
 
+    # Reference anchor (4096) by default; True = resolution-aware shift.
+    token_dependent_shift: bool = False
+
     def __post_init__(self):
         if self.num_frames % 8 != 1:
             raise ValueError(
@@ -149,7 +152,12 @@ class TwoStagePipeline(DistilledPipeline):
         video_state = apply_conditionings(video_state, conditionings, video_tools)
         sigmas = jnp.asarray(
             scheduler.execute(
-                steps=config.num_inference_steps, tokens=stage_1_latent_shape.tokens
+                steps=config.num_inference_steps,
+                # Reference two_stage.py:598 uses the fixed 4096 anchor.
+                tokens=(
+                    stage_1_latent_shape.tokens
+                    if config.token_dependent_shift else None
+                ),
             )
         )
         video_state = noiser(k1, video_state, noise_scale=1.0)

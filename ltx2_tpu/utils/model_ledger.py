@@ -72,7 +72,14 @@ class ModelLedger:
                 caption_channels=None if v2 else 3840,
                 cross_attention_adaln=v2,
                 apply_gated_attention=v2,
-                use_rope_double_precision=v2,
+                # The reference DiT always uses the f32 RoPE grid: its
+                # preprocessors never forward use_double_precision to
+                # precompute_freqs_cis (model.py:219-228, 333-343 — the
+                # flag is stored but dead); ONLY the text-encoder connector
+                # runs the f64 grid (connector.py:266). Keep the DiT f32
+                # for executable parity; the config knob remains for
+                # experiments.
+                use_rope_double_precision=False,
                 rope_type=LTXRopeType.SPLIT,
                 compute_dtype=self.target_dtype,
                 # Inference-only: no gradients, so per-block rematerialization

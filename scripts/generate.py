@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "with explicit per-conv halo exchange (untiled "
                         "decode of one oversized frame; latent W must "
                         "divide the count). 0 = single-chip decode")
+    p.add_argument("--token-shift", action="store_true",
+                   help="shift the sigma schedule by the ACTUAL latent "
+                        "token count (upstream-LTX resolution-aware "
+                        "design). Default off = the reference's fixed "
+                        "4096-token anchor (its pipelines never pass the "
+                        "latent to the scheduler)")
     p.add_argument("--token-bucket", type=int, default=0,
                    help="round the video token count up to a multiple of "
                         "this and mask the padding (one-stage/text-to-video"
@@ -951,6 +957,7 @@ def _execute_request(args, models, ledger):
         latent_channels=latent_channels,
         audio_enabled=args.audio,
         use_internal_audio_branch=not args.no_internal_audio,
+        token_dependent_shift=args.token_shift,
     )
 
     audio_out = None
@@ -1096,6 +1103,7 @@ def _execute_request(args, models, ledger):
                 cfg_interval=args.cfg_interval,
                 latent_channels=latent_channels,
                 tiling_config=tiling,
+                token_dependent_shift=args.token_shift,
             )
             video = pipeline(args.video, pos, neg, cfg, skip_decode=args.skip_vae)
         elif args.pipeline == "ic-lora":

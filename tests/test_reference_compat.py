@@ -368,14 +368,18 @@ class TestReferenceFlagCompat:
         args = generate._apply_reference_compat(args)
         assert args.num_inference_steps == 15
 
-    def test_ic_lora_weights_feeds_lora_list(self):
+    def test_ic_lora_weights_stays_out_of_lora_list(self):
+        """--ic-lora-weights must NOT feed the ledger's lora list: the
+        IC-LoRA fuses for stage 1 only inside the pipeline — a load-time
+        fusion would double-apply it in stage 1 and leak into stage 2."""
         import generate
 
         args = generate.build_parser().parse_args([
             "--pipeline", "ic-lora", "--ic-lora-weights", "/x.safetensors",
         ])
         args = generate._apply_reference_compat(args)
-        assert args.lora == ["/x.safetensors"]
+        assert args.lora == []
+        assert args.ic_lora_weights == "/x.safetensors"
 
     def test_image_and_lora_default_strengths(self):
         import generate

@@ -431,14 +431,18 @@ class TestGemmaOracle:
 # ---------------------------------------------------------------------------
 
 
-def torch_rope_pipeline(bounds, dim, heads, max_pos, theta, rope_type):
-    """Reference rope pipeline in torch: freq grid (f64) -> midpoint
-    fractional positions -> per-token freqs -> cos/sin with FRONT identity
-    padding -> (SPLIT) head reshape (rope.py:147-418)."""
+def torch_rope_pipeline(bounds, dim, heads, max_pos, theta, rope_type,
+                        double_precision=True):
+    """Reference rope pipeline in torch: freq grid (f64 or f32 per
+    double_precision — the reference DiT runs the f32 grid, only the
+    connector the f64 one) -> midpoint fractional positions -> per-token
+    freqs -> cos/sin with FRONT identity padding -> (SPLIT) head reshape
+    (rope.py:147-418)."""
     n_dims = bounds.shape[1]
     n_elem = 2 * n_dims
     num = dim // n_elem
-    lin = torch.linspace(0.0, 1.0, num, dtype=torch.float64)
+    grid_dtype = torch.float64 if double_precision else torch.float32
+    lin = torch.linspace(0.0, 1.0, num, dtype=grid_dtype)
     indices = (theta**lin * math.pi / 2).to(torch.float32)
 
     mid = (bounds[..., 0] + bounds[..., 1]).to(torch.float32) / 2.0  # (B, n_dims, T)

@@ -74,21 +74,23 @@ def torch_audio_decoder(tp, cfg, sample):
         target_frames = max(target_frames - 3, 1)
     target_mel = f * 4
 
-    causal = cfg.is_causal
-    h = causal_conv2d(tp["conv_in"], sample, 3, causal)
-    h = audio_res_block(tp["mid_block_1"], h, causal)
-    h = audio_res_block(tp["mid_block_2"], h, causal)
+    # The reference's is_causal affects ONLY target_frames: every
+    # CausalConv2d keeps the default frame-causal padding and Upsample2d
+    # always drops the first row (decoder.py:84-131, 211-242 — is_causal
+    # threads only into the patchifier and the output trim).
+    h = causal_conv2d(tp["conv_in"], sample, 3, True)
+    h = audio_res_block(tp["mid_block_1"], h, True)
+    h = audio_res_block(tp["mid_block_2"], h, True)
     for level in tp["up_blocks"]:
         for rb in level["res_blocks"]:
-            h = audio_res_block(rb, h, causal)
+            h = audio_res_block(rb, h, True)
         if "upsample" in level:
             # Upsample2d (decoder.py:211-242): nearest 2x, conv, drop first
             # causal row
             h = h.repeat_interleave(2, dim=2).repeat_interleave(2, dim=3)
-            h = causal_conv2d(level["upsample"]["conv"], h, 3, causal)
-            if causal:
-                h = h[:, :, 1:]
-    h = causal_conv2d(tp["conv_out"], F.silu(audio_pixel_norm(h)), 3, causal)
+            h = causal_conv2d(level["upsample"]["conv"], h, 3, True)
+            h = h[:, :, 1:]
+    h = causal_conv2d(tp["conv_out"], F.silu(audio_pixel_norm(h)), 3, True)
     return h[:, : cfg.out_ch, :target_frames, :target_mel]
 
 
@@ -121,7 +123,10 @@ class TestAudioDecoderOracle:
 
     def test_noncausal_chain(self):
         out = self._run(False)
-        assert out.shape == (1, 2, 20, 16)
+        # is_causal=False changes ONLY the target trim (to t*4 = 20), but
+        # the always-causal network emits 17 rows — the trim keeps them
+        # all (reference semantics; convs never become non-causal).
+        assert out.shape == (1, 2, 17, 16)
 
 
 # ---------------------------------------------------------------------------

@@ -262,7 +262,8 @@ def torch_av_block(p, video, audio, vcfg, acfg, eps=1e-6, skip=()):
 
 
 def torch_prepare_stream(tp, modality, *, prefix, inner_dim, heads, max_pos,
-                         theta, ts_mult, rope_type, v2, gated):
+                         theta, ts_mult, rope_type, v2, gated,
+                         rope_f64=True):
     """TransformerArgsPreprocessor.prepare (model.py:231-281)."""
     x = lin(tp[f"{prefix}patchify_proj"], modality["latent"])
     batch = x.shape[0]
@@ -297,7 +298,8 @@ def torch_prepare_stream(tp, modality, *, prefix, inner_dim, heads, max_pos,
         mask = ((1.0 - mask.float()) * -3.40e38).reshape(batch, 1, 1, -1)
 
     pe = torch_rope_pipeline(
-        modality["positions"], inner_dim, heads, max_pos, theta, rope_type
+        modality["positions"], inner_dim, heads, max_pos, theta, rope_type,
+        double_precision=rope_f64,
     )
     return {
         "x": x, "context": context, "timesteps": timesteps, "pe": pe,
@@ -308,12 +310,13 @@ def torch_prepare_stream(tp, modality, *, prefix, inner_dim, heads, max_pos,
 
 def torch_prepare_cross(tp, args, modality, cross_modality, *, ss_key, gate_key,
                         inner_dim, heads, theta, ts_mult, av_ca_mult,
-                        cross_max_pos, cross_dim, rope_type):
+                        cross_max_pos, cross_dim, rope_type, rope_f64=True):
     """MultiModalTransformerArgsPreprocessor (model.py:284-410): temporal-only
     cross RoPE; cross-attn timestep from the OTHER modality's sigma."""
     temporal = modality["positions"][:, 0:1]
     cross_pe = torch_rope_pipeline(
-        temporal, cross_dim, heads, [cross_max_pos], theta, rope_type
+        temporal, cross_dim, heads, [cross_max_pos], theta, rope_type,
+        double_precision=rope_f64,
     )
     sigma = cross_modality.get("sigma")
     if sigma is None:
@@ -358,6 +361,7 @@ def torch_ltx_forward(tp, cfg, video=None, audio=None, skip=()):
             tp, video, prefix="", inner_dim=v_inner, heads=cfg["heads"],
             max_pos=cfg["max_pos"], theta=cfg["theta"], ts_mult=cfg["ts_mult"],
             rope_type=cfg["rope_type"], v2=cfg["v2"], gated=cfg["gated"],
+            rope_f64=cfg.get("rope_f64", True),
         )
         if run_a:
             v_args = torch_prepare_cross(
@@ -367,7 +371,7 @@ def torch_ltx_forward(tp, cfg, video=None, audio=None, skip=()):
                 inner_dim=v_inner, heads=cfg["audio_heads"], theta=cfg["theta"],
                 ts_mult=cfg["ts_mult"], av_ca_mult=cfg["av_ca_mult"],
                 cross_max_pos=cfg["cross_max_pos"], cross_dim=a_inner,
-                rope_type=cfg["rope_type"],
+                rope_type=cfg["rope_type"], rope_f64=cfg.get("rope_f64", True),
             )
     if run_a:
         a_args = torch_prepare_stream(
@@ -375,6 +379,7 @@ def torch_ltx_forward(tp, cfg, video=None, audio=None, skip=()):
             heads=cfg["audio_heads"], max_pos=[cfg["cross_max_pos"]],
             theta=cfg["theta"], ts_mult=cfg["ts_mult"],
             rope_type=cfg["rope_type"], v2=cfg["v2"], gated=cfg["gated"],
+            rope_f64=cfg.get("rope_f64", True),
         )
         if run_v:
             a_args = torch_prepare_cross(
@@ -384,7 +389,7 @@ def torch_ltx_forward(tp, cfg, video=None, audio=None, skip=()):
                 inner_dim=a_inner, heads=cfg["audio_heads"], theta=cfg["theta"],
                 ts_mult=cfg["ts_mult"], av_ca_mult=cfg["av_ca_mult"],
                 cross_max_pos=cfg["cross_max_pos"], cross_dim=a_inner,
-                rope_type=cfg["rope_type"],
+                rope_type=cfg["rope_type"], rope_f64=cfg.get("rope_f64", True),
             )
 
     for i in range(cfg["layers"]):
@@ -478,6 +483,7 @@ def oracle_cfg(cfg):
         "av_ca_mult": cfg.av_ca_timestep_scale_multiplier,
         "cross_max_pos": cfg.audio_cross_pe_max_pos,
         "rope_type": "split",
+        "rope_f64": cfg.use_rope_double_precision,
         "eps": cfg.norm_eps,
         "v2": cfg.cross_attention_adaln,
         "gated": cfg.apply_gated_attention,
@@ -550,6 +556,23 @@ class TestFullModelOracle:
         tp = tree_to_torch(params)
         want = torch_ltx_forward(tp, oracle_cfg(cfg), video=mod)
         assert_close(got, want, rtol=5e-4, atol=1e-3, msg="V1 video forward")
+
+    def test_f32_rope_grid_forward(self):
+        """The REAL serving config: the reference DiT always runs the f32
+        frequency grid (its preprocessors never forward
+        use_double_precision, model.py:219-228/333-343; only the text
+        connector uses f64) — model-level parity must hold on the f32 path
+        too, not just the f64 one the other tests pin."""
+        from ltx2_tpu.models.transformer.model import ltx_model_apply
+
+        cfg, params = build_jax_model(use_rope_double_precision=False)
+        assert oracle_cfg(cfg)["rope_f64"] is False
+        mod = video_inputs(cfg)
+        got = ltx_model_apply(params, cfg, video=to_jax_modality(mod))
+
+        tp = tree_to_torch(params)
+        want = torch_ltx_forward(tp, oracle_cfg(cfg), video=mod)
+        assert_close(got, want, rtol=5e-4, atol=1e-3, msg="f32-grid forward")
 
     def test_v1_per_token_timesteps_and_mask(self):
         """Per-token timesteps (the denoise-mask path, common.py:193-232) +
@@ -840,7 +863,7 @@ class TestHeunStgLoopOracle:
         ones = torch.ones(1, 12, 1)
         scale, stg = 3.0, 1.5
 
-        def x0_eval(lat, sigma):
+        def x0_eval(lat, sigma, with_stg):
             def fwd(ctx, skip=()):
                 mod = {
                     "latent": lat,
@@ -853,15 +876,20 @@ class TestHeunStgLoopOracle:
 
             cond = fwd(pos_ctx)
             uncond = fwd(neg_ctx)
-            perturbed = fwd(pos_ctx, skip=("video_self",))
             denoised = cond + (scale - 1.0) * (cond - uncond)
-            return denoised + stg * (denoised - perturbed)
+            if with_stg:
+                perturbed = fwd(pos_ctx, skip=("video_self",))
+                denoised = denoised + stg * (denoised - perturbed)
+            return denoised
 
         for i in range(len(sigmas) - 1):
             s, sn = float(sigmas[i]), float(sigmas[i + 1])
-            d1 = x0_eval(latent, s)
+            d1 = x0_eval(latent, s, with_stg=True)
             predicted = latent + (latent - d1) / s * (sn - s)
-            d2 = x0_eval(predicted, sn)
+            # Corrector: CFG-only — the reference applies STG at the FIRST
+            # evaluation only (one_stage.py:385-395); denoised_at_predicted
+            # has no perturbed pass (:426-444).
+            d2 = x0_eval(predicted, sn, with_stg=False)
             if sn == 0:
                 latent = d1
             else:

@@ -172,7 +172,7 @@ class TestTwoStageRecipeOracle:
         from ltx2_tpu.components import LTX2Scheduler
 
         sigmas1 = np.asarray(
-            LTX2Scheduler().execute(steps=2, tokens=f1 * h1 * w1), np.float32
+            LTX2Scheduler().execute(steps=2), np.float32
         )
 
         def euler_cfg_loop(latent, sigmas, positions, scale, ctx_pos, ctx_neg):
@@ -334,7 +334,7 @@ class TestTI2VidHQRes2sRecipeOracle:
         )
         sigmas1 = [
             float(s)
-            for s in LTX2Scheduler().execute(steps=config.num_inference_steps, tokens=n1)
+            for s in LTX2Scheduler().execute(steps=config.num_inference_steps)
         ]
 
         def cfg_eval(lat, positions, sigma, n):
@@ -510,7 +510,7 @@ class TestRetakeRecipeOracle:
         ocfg = oracle_cfg(cfg)
         sigmas = [
             float(s) for s in LTX2Scheduler().execute(
-                steps=config.num_inference_steps, tokens=n
+                steps=config.num_inference_steps
             )
         ]
         for i in range(len(sigmas) - 1):
@@ -575,18 +575,20 @@ def _kf_positions(f, h, w, frame_idx, fps):
 class TestKeyframeRecipeOracle:
     def test_keyframe_append_two_stage_recipe(self, tmp_path):
         """Full keyframe-interpolation recipe (reference
-        keyframe_interpolation.py:172-503): keyframe images VAE-encoded and
+        keyframe_interpolation.py:332-497): keyframe images VAE-encoded and
         APPENDED past the sequence end with offset positions and
-        (1-strength) denoise masks, two-stage distilled generation,
+        (1-strength) denoise masks; stage 1 = CFG Euler loop over
+        LTX2Scheduler sigmas (zeros negative context) at half res; stage 2
+        = 2x upscale + distilled refinement, CFG disabled;
         clear_conditioning truncation. Torch side: independent VAE-encoder
         chain, independent append-position/mask math, independent
-        per-token-timestep loops and upscale boundary. The image-file ->
-        pixel-tensor load is a shared input (load_image_tensor has its own
-        coverage); everything downstream is independent."""
+        per-token-timestep CFG loops and upscale boundary. The image-file
+        -> pixel-tensor load is a shared input (load_image_tensor has its
+        own coverage); everything downstream is independent."""
         from PIL import Image
 
         from ltx2_tpu.components import (
-            DISTILLED_SIGMA_VALUES,
+            LTX2Scheduler,
             STAGE_2_DISTILLED_SIGMA_VALUES,
             VideoLatentPatchifier,
         )
@@ -647,6 +649,7 @@ class TestKeyframeRecipeOracle:
         )
         config = KeyframeInterpolationConfig(
             height=64, width=64, num_frames=9, seed=44,
+            num_inference_steps=2, cfg_scale=7.5, stage_2_steps=3,
             dtype="float32", latent_channels=8,
             audio_enabled=False, use_internal_audio_branch=False,
         )
@@ -677,8 +680,10 @@ class TestKeyframeRecipeOracle:
             _, _, kf_f, kf_h, kf_w = lat.shape
             return torch.from_numpy(_patchify_np(lat.detach().numpy())), (kf_f, kf_h, kf_w)
 
+        neg_ctx = torch.zeros_like(pos_ctx)
+
         def run_stage(latent_grid, sigmas, noise_key, noise_scale, res,
-                      initial_tokens=None):
+                      cfg_scale, initial_tokens=None):
             f, h, w = latent_grid
             n_base = f * h * w
             shape = VideoLatentShape(batch=1, channels=8, frames=f, height=h, width=w)
@@ -709,28 +714,41 @@ class TestKeyframeRecipeOracle:
             mask = torch.cat(parts_mask, dim=1)
             positions = torch.from_numpy(np.concatenate(parts_pos, axis=2))
 
-            vkey, _akey = jax.random.split(noise_key)
             noise = torch.from_numpy(
-                np.asarray(jax.random.normal(vkey, tuple(latent.shape)), np.float32)
+                np.asarray(jax.random.normal(noise_key, tuple(latent.shape)), np.float32)
             )
             latent = noise * mask * noise_scale + latent * (1 - mask * noise_scale)
 
             for i in range(len(sigmas) - 1):
                 sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
-                mod = {
-                    "latent": latent, "context": pos_ctx,
-                    "timesteps": mask.squeeze(-1) * sigma,
-                    "positions": positions,
-                    "sigma": torch.full((1,), sigma),
-                }
-                denoised = torch_x0(mod, torch_ltx_forward(tp, ocfg, video=mod))
+
+                def fwd(ctx):
+                    mod = {
+                        "latent": latent, "context": ctx,
+                        "timesteps": mask.squeeze(-1) * sigma,
+                        "positions": positions,
+                        "sigma": torch.full((1,), sigma),
+                    }
+                    return torch_x0(mod, torch_ltx_forward(tp, ocfg, video=mod))
+
+                denoised = fwd(pos_ctx)
+                if cfg_scale != 1.0:
+                    # Reference :327-333: CFG against a ZEROS negative.
+                    uncond = fwd(neg_ctx)
+                    denoised = denoised + (cfg_scale - 1.0) * (denoised - uncond)
                 denoised = denoised * mask + clean * (1 - mask)
                 latent = latent + (latent - denoised) / sigma * (sigma_next - sigma)
             return latent[:, :n_base]  # clear_conditioning truncation
 
         key = jax.random.PRNGKey(config.seed)
         k1, k2, _dk = jax.random.split(key, 3)
-        stage1 = run_stage((2, 1, 1), list(DISTILLED_SIGMA_VALUES), k1, 1.0, 32)
+        # Stage 1: CFG loop over scheduler sigmas (fixed 4096 anchor,
+        # reference keyframe_interpolation.py:373) at half res.
+        s1_sigmas = [
+            float(s)
+            for s in LTX2Scheduler().execute(steps=config.num_inference_steps)
+        ]
+        stage1 = run_stage((2, 1, 1), s1_sigmas, k1, 1.0, 32, config.cfg_scale)
 
         lat5 = torch.from_numpy(_unpatchify_np(stage1.numpy(), 2, 1, 1))
         mean5 = mean.reshape(1, -1, 1, 1, 1)
@@ -742,7 +760,9 @@ class TestKeyframeRecipeOracle:
 
         sigma0 = float(STAGE_2_DISTILLED_SIGMA_VALUES[0])
         stage2 = run_stage(
-            (2, 2, 2), list(STAGE_2_DISTILLED_SIGMA_VALUES), k2, sigma0, 64,
+            (2, 2, 2),
+            list(STAGE_2_DISTILLED_SIGMA_VALUES[: config.stage_2_steps + 1]),
+            k2, sigma0, 64, 1.0,  # stage 2: CFG disabled (reference :486)
             initial_tokens=tokens2,
         )
         want = _unpatchify_np(stage2.numpy(), 2, 2, 2)
