@@ -42,7 +42,14 @@ def group_norm_per_frame(
     eps: float = 1e-5,
 ) -> jnp.ndarray:
     """GroupNorm per (frame, group) over (H, W, C/g) for channels-last
-    (B, T, H, W, C) (temporal.py:130-135)."""
+    (B, T, H, W, C) (temporal.py:130-135).
+
+    Group membership is PyTorch-CONTIGUOUS (channel c -> group c // (C/G)),
+    the layout the real checkpoints were trained with. NOTE: the reference
+    instantiates MLX nn.GroupNorm WITHOUT pytorch_compatible=True
+    (temporal.py:114-115), whose default grouping is interleaved — a
+    reference bug against its own torch-trained weights; the sibling
+    spatial upscaler hand-rolls the contiguous layout, which we match."""
     b, t, h, w, c = x.shape
     cg = c // num_groups
     xf = x.astype(jnp.float32).reshape(b, t, h, w, num_groups, cg)

@@ -16,6 +16,22 @@ arithmetic included); params are pytrees; applies are jittable. Channels-last
 The reference's full decoder leaves timestep embedding "outside the module"
 (resnet.py:276-277) — here mid-blocks accept an optional pre-embedded
 (B, 4*C) timestep with the same AdaLN contract as ResnetBlock3D.
+
+DELIBERATE divergences from the reference's full path (which is a
+non-production skeleton: its weight loading is a literal
+`TODO: Load VAE weights from file`, scripts/generate.py:782, so real
+checkpoints only ever flow through the Simple* path):
+- dims=3 convs here are TRUE full-3D causal convs (single (out, in, kT,
+  kH, kW) kernels, the PyTorch checkpoint layout) — the reference's
+  make_conv_nd(dims=3) returns CausalConv3d wrapping a FACTORIZED
+  DualConv3d (separate 2D+1D weight pairs, convolution.py:60-290), which
+  could not load the original's 3D kernels;
+- the residual depth-to-space upsample repeats channels with jnp.tile,
+  matching the reference's weight-loading Simple decoder
+  (simple_decoder.py:300, validated by its measured real-weight parity) —
+  the skeleton's sampling.py:214 uses interleaved mx.repeat instead;
+- the reference's spatial_padding_mode is stored but never applied in
+  DualConv3d (always zero-pads); here it is honored.
 """
 
 from __future__ import annotations
@@ -368,9 +384,19 @@ def full_video_decoder_apply(
         params["conv_norm_out"], x, cfg.norm_num_groups
     )
 
-    if cfg.timestep_conditioning and last_timestep_embedding is not None:
+    if cfg.timestep_conditioning:
+        # With an externally pre-embedded timestep (the PyTorch-original
+        # contract, resnet.py:276-277) the table offsets by it; without
+        # one the RAW table still applies (the reference's simplified
+        # executable path, decoder.py:271-276 — its own embedder is a
+        # 'would include' TODO).
         table = params["last_scale_shift_table"].astype(jnp.float32)  # (2, C)
-        ada = table[None] + last_timestep_embedding.reshape(-1, 2, table.shape[-1])
+        if last_timestep_embedding is not None:
+            ada = table[None] + last_timestep_embedding.reshape(
+                -1, 2, table.shape[-1]
+            )
+        else:
+            ada = table[None]
         shift = ada[:, 0][:, None, None, None, :]
         scale = ada[:, 1][:, None, None, None, :]
         x = (x.astype(jnp.float32) * (1 + scale) + shift).astype(x.dtype)

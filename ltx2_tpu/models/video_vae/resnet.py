@@ -202,7 +202,13 @@ def resnet_block_3d_apply(
 
     shortcut = x
     if "norm3" in p:
-        shortcut = _norm(cfg, p["norm3"], shortcut)
+        # ALWAYS GroupNorm(num_groups=1), not cfg.norm_layer: the reference
+        # builds the shortcut norm as a LayerNorm-equivalent GroupNorm with
+        # affine params whenever channels change (resnet.py:121-128,
+        # 231-235) even in pixel-norm blocks.
+        sc = shortcut.transpose(0, 4, 1, 2, 3)
+        sc = group_norm(p["norm3"], sc, 1, cfg.eps)
+        shortcut = sc.transpose(0, 2, 3, 4, 1)
     if "conv_shortcut" in p:
         from ltx2_tpu.ops.common import linear
 
@@ -300,6 +306,13 @@ def init_resnet_block_3d(key, cfg: ResnetBlock3DConfig, dtype=jnp.float32) -> Pa
         from ltx2_tpu.ops.common import init_linear
 
         p["conv_shortcut"] = init_linear(k3, cfg.in_channels, cfg.out_ch, dtype=dtype)
+        # Shortcut norm: ALWAYS GroupNorm(num_groups=1) — a LayerNorm
+        # equivalent with affine params — whenever channels change,
+        # regardless of cfg.norm_layer (resnet.py:121-128).
+        p["norm3"] = {
+            "weight": jnp.ones((cfg.in_channels,), dtype),
+            "bias": jnp.zeros((cfg.in_channels,), dtype),
+        }
     return p
 
 

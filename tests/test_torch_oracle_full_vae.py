@@ -94,9 +94,16 @@ def torch_resnet3d(p, x, causal, spatial_mode, norm, dual=False, timestep=None):
         h = h * (1 + sc2) + sh2
     h = apply_conv("conv2", F.silu(h))
     shortcut = x
+    if "norm3" in p:
+        # Shortcut norm: ALWAYS GroupNorm(num_groups=1) with affine params
+        # whenever channels change (reference resnet.py:121-128, 231-235),
+        # regardless of the block's norm_layer.
+        shortcut = F.group_norm(
+            shortcut, 1, p["norm3"]["weight"], p["norm3"]["bias"], eps=1e-6
+        )
     if "conv_shortcut" in p:
         # pointwise linear over channels (make_linear_nd)
-        shortcut = lin(p["conv_shortcut"], x.permute(0, 2, 3, 4, 1)).permute(
+        shortcut = lin(p["conv_shortcut"], shortcut.permute(0, 2, 3, 4, 1)).permute(
             0, 4, 1, 2, 3
         )
     return shortcut + h
