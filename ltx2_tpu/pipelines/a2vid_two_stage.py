@@ -66,15 +66,21 @@ def load_audio_file(
                 raw.astype(np.float32) / 32768.0
             ).reshape(-1, wf.getnchannels()), sr
 
-    if audio_path.lower().endswith(".avi"):
-        # Pull the PCM track straight out of an AVI (e.g. this framework's
-        # own no-ffmpeg output) — drive a2vid from a previous clip's audio.
-        from ltx2_tpu.utils.video_io import read_avi_audio
+    suffix = audio_path.lower().rsplit(".", 1)[-1] if "." in audio_path else ""
+    pcm_out = None
+    if suffix in ("avi", "mov", "mp4", "m4v"):
+        # Pull the PCM track straight out of the container (e.g. this
+        # framework's own no-ffmpeg outputs) — drive a2vid from a previous
+        # clip's audio. A compressed track (AAC mp4, ...) returns None and
+        # falls through to soundfile/ffmpeg below.
+        from ltx2_tpu.utils.video_io import read_avi_audio, read_mov_audio
 
-        out = read_avi_audio(audio_path)
-        if out is None:
+        reader = read_avi_audio if suffix == "avi" else read_mov_audio
+        pcm_out = reader(audio_path)
+        if pcm_out is None and suffix == "avi":
             raise ValueError(f"{audio_path}: no PCM audio stream")
-        pcm, sr = out
+    if pcm_out is not None:
+        pcm, sr = pcm_out
         data = pcm.T  # (N, C) like the other readers below
     else:
         try:

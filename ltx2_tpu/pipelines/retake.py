@@ -50,12 +50,17 @@ class RetakeConfig:
 def get_video_metadata(video_path: str) -> Tuple[float, int, int, int]:
     """(fps, num_frames, height, width) — pure-Python probe for the
     formats we decode without ffmpeg, ffprobe otherwise (retake.py:67-95)."""
-    from pathlib import Path as _Path
+    from ltx2_tpu.utils.video_io import (
+        _cv2_or_none,
+        decodes_pure_python,
+        probe_cv2,
+        probe_video,
+    )
 
-    from ltx2_tpu.utils.video_io import PURE_PYTHON_SUFFIXES, probe_video
-
-    if _Path(video_path).suffix.lower() in PURE_PYTHON_SUFFIXES:
+    if decodes_pure_python(video_path):
         return probe_video(video_path)
+    if _cv2_or_none() is not None:
+        return probe_cv2(video_path)
     import json
 
     cmd = [
@@ -93,12 +98,17 @@ def load_video_frames(
     """Decode frames via ffmpeg rawvideo pipe -> (1, 3, F, H, W) in [-1, 1]
     (retake.py:97-139). GIF/WebP/y4m/AVI-MJPEG decode in pure Python even
     without ffmpeg (utils/video_io.py)."""
-    from pathlib import Path as _Path
+    from ltx2_tpu.utils.video_io import (
+        _cv2_or_none,
+        decodes_pure_python,
+        read_cv2,
+        read_video_any,
+    )
 
-    from ltx2_tpu.utils.video_io import PURE_PYTHON_SUFFIXES, read_video_any
-
-    if _Path(video_path).suffix.lower() in PURE_PYTHON_SUFFIXES:
+    if decodes_pure_python(video_path):
         return read_video_any(video_path, height, width, num_frames)
+    if _cv2_or_none() is not None:
+        return read_cv2(video_path, height, width, num_frames)
     cmd = [
         "ffmpeg", "-v", "quiet", "-i", video_path,
         "-vf", f"scale={width}:{height}",

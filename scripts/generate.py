@@ -785,8 +785,12 @@ def save_video(frames: np.ndarray, output: str, fps: float, output_fps=None, aud
         if output_fps:
             output_fps = output_fps * speed
     suffix = output.rsplit(".", 1)[-1].lower() if "." in output else ""
-    if suffix in ("avi", "y4m"):
-        from ltx2_tpu.utils.video_io import write_avi_mjpeg, write_y4m
+    if suffix in ("avi", "y4m", "mov"):
+        from ltx2_tpu.utils.video_io import (
+            write_avi_mjpeg,
+            write_mp4_mjpeg,
+            write_y4m,
+        )
 
         if suffix == "y4m":
             write_y4m(output, frames, fps)
@@ -795,6 +799,10 @@ def save_video(frames: np.ndarray, output: str, fps: float, output_fps=None, aud
                 if audio_np.ndim == 3:
                     audio_np = audio_np[0]
                 _write_wav(output.rsplit(".", 1)[0] + ".wav", audio_np, audio_sample_rate)
+        elif suffix == "mov":
+            write_mp4_mjpeg(
+                output, frames, fps, audio=audio, sample_rate=audio_sample_rate
+            )
         else:
             write_avi_mjpeg(
                 output, frames, fps, audio=audio, sample_rate=audio_sample_rate
@@ -839,15 +847,23 @@ def save_video(frames: np.ndarray, output: str, fps: float, output_fps=None, aud
 
 def _save_video_fallback(frames: np.ndarray, output: str, fps: float, audio,
                          audio_sample_rate: int):
-    """No-ffmpeg fallback: playable MJPEG AVI (audio muxed in) + animated
-    GIF preview + raw frames npz (+ wav)."""
+    """No-ffmpeg fallback: the requested .mp4 itself when that's what was
+    asked for (pure-Python MJPEG mux, audio included), playable MJPEG AVI
+    otherwise, + animated GIF preview + raw frames npz (+ wav)."""
     from PIL import Image
 
-    from ltx2_tpu.utils.video_io import write_avi_mjpeg
+    from ltx2_tpu.utils.video_io import write_avi_mjpeg, write_mp4_mjpeg
 
     base = output.rsplit(".", 1)[0]
-    avi_path = base + ".avi"
-    write_avi_mjpeg(avi_path, frames, fps, audio=audio, sample_rate=audio_sample_rate)
+    suffix = output.rsplit(".", 1)[-1].lower() if "." in output else ""
+    if suffix in ("mp4", "m4v"):
+        avi_path = output  # honor the requested container
+        write_mp4_mjpeg(output, frames, fps, audio=audio,
+                        sample_rate=audio_sample_rate)
+    else:
+        avi_path = base + ".avi"
+        write_avi_mjpeg(avi_path, frames, fps, audio=audio,
+                        sample_rate=audio_sample_rate)
     gif_path = base + ".gif"
     imgs = [Image.fromarray(f) for f in frames]
     imgs[0].save(

@@ -237,6 +237,7 @@ class TestRetakeMetadataFallback:
         import subprocess as sp
 
         from ltx2_tpu.pipelines import retake as retake_mod
+        from ltx2_tpu.utils import video_io
 
         def fake_run(cmd, **kwargs):
             class R:
@@ -244,6 +245,9 @@ class TestRetakeMetadataFallback:
             return R()
 
         monkeypatch.setattr(retake_mod.subprocess, "run", fake_run)
+        # Force the ffprobe branch: with OpenCV present the probe would be
+        # served by cv2 and never reach the JSON fallback under test.
+        monkeypatch.setattr(video_io, "_cv2_or_none", lambda: None)
         return retake_mod.get_video_metadata("clip.mkv")
 
     def test_nb_frames_na_falls_back_to_duration(self, monkeypatch):
