@@ -275,20 +275,65 @@ def merge_params(trainable, frozen):
     )
 
 
-def _data_extended_sharding(leaf, p_shard, mesh, data_axis: str):
+def _data_extended_sharding(leaf, p_shard, mesh, data_axis: str,
+                            start_dim: int = 0):
     """Param sharding + the `data` axis on the first still-free divisible
-    dim — the shared layout rule for ZeRO-1 moments and ZeRO-2 grads."""
+    dim (at or after `start_dim`) — the shared layout rule for ZeRO-1
+    moments, ZeRO-2 grads, and ZeRO-3/FSDP params. A spec that already
+    carries `data_axis` (FSDP params feeding the ZeRO helpers) passes
+    through unchanged."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     dsize = dict(mesh.shape).get(data_axis, 1)
     ndim = getattr(leaf, "ndim", 0)
     spec = list(p_shard.spec) + [None] * (ndim - len(p_shard.spec))
+    if data_axis in spec:
+        return NamedSharding(mesh, P(*spec))
     if dsize > 1:
-        for i in range(ndim):
+        for i in range(start_dim, ndim):
             if spec[i] is None and leaf.shape[i] % dsize == 0 and leaf.shape[i] >= dsize:
                 spec[i] = data_axis
                 break
     return NamedSharding(mesh, P(*spec))
+
+
+def fsdp_param_shardings(params, param_shardings, mesh, data_axis: str = "data"):
+    """ZeRO-3 / FSDP: shard the PARAMETERS themselves over the `data` axis.
+
+    ZeRO-1/2 leave one full copy of the weights on every data shard; for
+    full fine-tuning of the 19B that copy is the remaining memory wall.
+    This layout extends each param's TP spec with `data_axis` on a free
+    divisible dim, so per-device parameter bytes drop to ~1/(D*TP); GSPMD
+    then all-gathers each block's weights where the forward/backward needs
+    them (one block at a time inside the scan — peak live weights stay one
+    block's worth) and reduce-scatters the matching gradient, the
+    classical FSDP exchange, expressed purely through shardings.
+
+    Stacked transformer-block leaves (leading (L, ...) scan axis) shard a
+    NON-scan dim: `lax.scan` slices layer l out of the leading axis every
+    iteration, and a `data`-sharded scan axis would force a full-stack
+    gather per step instead of per-layer gathers.
+
+    Compose with the ZeRO helpers by passing the result as their
+    `param_shardings`: leaves already carrying `data_axis` pass through,
+    so moments/grads simply inherit the FSDP layout. Pass the same tree to
+    `make_train_step(param_shardings=...)` so donation keeps the layout
+    across steps.
+    """
+    import re
+
+    from ltx2_tpu.parallel.sharding import path_to_str
+
+    def ext(path, p_shard, leaf):
+        stacked = "transformer_blocks/" in path or re.search(r"(^|/)layers/", path)
+        return _data_extended_sharding(
+            leaf, p_shard, mesh, data_axis, start_dim=1 if stacked else 0
+        )
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p_shard, leaf: ext(path_to_str(path), p_shard, leaf),
+        param_shardings, params,
+    )
 
 
 def zero2_grad_shardings(params, param_shardings, mesh, data_axis: str = "data"):
@@ -408,6 +453,7 @@ def make_train_step(
     accum_steps: int = 1,
     opt_state_shardings=None,
     grad_shardings=None,
+    param_shardings=None,
 ):
     """One jitted (params, opt_state, batch, key) -> (loss, params, opt_state).
 
@@ -443,6 +489,14 @@ def make_train_step(
             return opt_state
         return jax.lax.with_sharding_constraint(opt_state, opt_state_shardings)
 
+    def constrain_params(params):
+        # ZeRO-3/FSDP (fsdp_param_shardings): pin the UPDATED params so
+        # donation keeps the 1/D layout across steps instead of drifting
+        # to whatever GSPMD propagates out of apply_updates.
+        if param_shardings is None:
+            return params
+        return jax.lax.with_sharding_constraint(params, param_shardings)
+
     def pin_grads(grads):
         if grad_shardings is None:
             return grads
@@ -464,7 +518,7 @@ def make_train_step(
             loss, grads = value_and_grad(loss_fn, params, batch, key)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return loss, params, constrain(opt_state)
+            return loss, constrain_params(params), constrain(opt_state)
 
         return jax.jit(step, donate_argnums=(0, 1))
 
@@ -475,7 +529,7 @@ def make_train_step(
         loss, grads = value_and_grad(loss_fn, trainable, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        return loss, trainable, constrain(opt_state)
+        return loss, constrain_params(trainable), constrain(opt_state)
 
     return jax.jit(step, donate_argnums=(0, 1))
 

@@ -125,6 +125,11 @@ def build_parser():
                         "backprop's cross-data sync lowers to reduce-scatter "
                         "and grad/clip/Adam math runs on 1/dp shards "
                         "(implies --zero1)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard the PARAMETERS over 'data' too (ZeRO-3 / "
+                        "FSDP): per-device weight bytes ~1/(dp*tp), GSPMD "
+                        "all-gathers each block's weights per scan step and "
+                        "reduce-scatters its gradient (implies --zero1/2)")
     return p
 
 
@@ -251,7 +256,18 @@ def main(argv=None):
         from ltx2_tpu.parallel.sharding import shard_dit_params
 
         mesh = create_mesh(data=dp, model=tp, devices=jax.devices()[: dp * tp])
-        params = shard_dit_params(mesh, params)
+        if args.fsdp:
+            from ltx2_tpu.parallel.sharding import dit_param_shardings
+            from ltx2_tpu.training import fsdp_param_shardings
+
+            fsdp_shardings = fsdp_param_shardings(
+                params, dit_param_shardings(mesh, params), mesh
+            )
+            params = jax.tree_util.tree_map(
+                jax.device_put, params, fsdp_shardings
+            )
+        else:
+            params = shard_dit_params(mesh, params)
         dp_put = lambda a: jax.device_put(  # noqa: E731
             a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
         )
@@ -385,32 +401,45 @@ def main(argv=None):
 
     opt_shardings = None
     grad_shardings = None
-    if args.zero1 or args.zero2:
-        which = "--zero2" if args.zero2 else "--zero1"
+    step_param_shardings = None
+    if args.fsdp or args.zero1 or args.zero2:
+        which = ("--fsdp" if args.fsdp
+                 else "--zero2" if args.zero2 else "--zero1")
         if mesh is None or max(args.dp_devices, 1) <= 1:
             raise SystemExit(f"{which} needs --dp-devices > 1 (a 'data' axis "
-                             "to shard the Adam moments over)")
+                             "to shard over)")
         from ltx2_tpu.parallel.sharding import dit_param_shardings
         from ltx2_tpu.training import (
-            zero1_opt_state_shardings, zero2_grad_shardings,
+            fsdp_param_shardings, zero1_opt_state_shardings,
+            zero2_grad_shardings,
         )
 
         param_shardings = dit_param_shardings(mesh, opt_target)
+        if args.fsdp:
+            # ZeRO-3: moments/grads inherit the params' data-extended
+            # layout (the zero helpers pass data-sharded specs through),
+            # and the step pins its returned params to keep it.
+            param_shardings = fsdp_param_shardings(
+                opt_target, param_shardings, mesh
+            )
+            step_param_shardings = param_shardings
         opt_shardings = zero1_opt_state_shardings(
             opt_state, opt_target, param_shardings, mesh
         )
         opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, opt_shardings)
-        if args.zero2:
+        if args.zero2 or args.fsdp:
             grad_shardings = zero2_grad_shardings(
                 opt_target, param_shardings, mesh
             )
-        log.info("ZeRO-%d: Adam moments%s sharded over 'data' (%d-way)",
-                 2 if args.zero2 else 1,
-                 " + gradients" if args.zero2 else "",
+        log.info("ZeRO-%d: %sAdam moments%s sharded over 'data' (%d-way)",
+                 3 if args.fsdp else 2 if args.zero2 else 1,
+                 "params + " if args.fsdp else "",
+                 " + gradients" if (args.zero2 or args.fsdp) else "",
                  max(args.dp_devices, 1))
     step = make_train_step(
         cfg, opt, tc, trainable_mask=mask, accum_steps=args.accum_steps,
         opt_state_shardings=opt_shardings, grad_shardings=grad_shardings,
+        param_shardings=step_param_shardings,
     )
 
     # ---- EMA of the optimizer target (fp32 shadow; exported at save).
