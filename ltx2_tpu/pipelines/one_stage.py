@@ -262,6 +262,7 @@ class OneStagePipeline:
         guider_override=None,
         ge_gamma: float = 0.0,
         sampler: str = "euler",
+        spatial_upscaler: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
         temporal_upscaler: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
         cross_attn_scale: float = 1.0,
         cross_attn_start_block: int = 40,
@@ -422,12 +423,23 @@ class OneStagePipeline:
         # (temporal upscaler, VAE decode) need a consolidated latent.
         final_video_latent = consolidate_latent(video_state.latent)
 
-        if temporal_upscaler is not None:
+        # Post-hoc latent upscaling, spatial before temporal (the reference's
+        # standard-pipeline order, generate.py:2000-2060). Each upscaler runs
+        # on UN-normalized latents (trained that way) with its own
+        # un-normalize/re-normalize bracket, exactly like the reference.
+        for upscaler in (spatial_upscaler, temporal_upscaler):
+            if upscaler is None:
+                continue
+            if self.video_decoder_params is None:
+                # Reference fallback (generate.py:2027-2031): no VAE stats
+                # available — upscale the normalized latent directly.
+                final_video_latent = upscaler(final_video_latent)
+                continue
             stats = self.video_decoder_params["per_channel_statistics"]
             std = stats["std_of_means"].reshape(1, -1, 1, 1, 1)
             mean = stats["mean_of_means"].reshape(1, -1, 1, 1, 1)
             latent_unnorm = final_video_latent * std + mean
-            latent_upscaled = temporal_upscaler(latent_unnorm)
+            latent_upscaled = upscaler(latent_unnorm)
             final_video_latent = (latent_upscaled - mean) / std
 
         if skip_decode:

@@ -117,6 +117,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial-upscaler", "--spatial-upscaler-weights", type=str, default=None)
     p.add_argument("--temporal-upscaler", "--temporal-upscaler-weights", type=str, default=None,
                    help="enables 2x frame-rate latent upscaling")
+    p.add_argument("--upscale-spatial", action="store_true",
+                   help="reference compat: 2x spatial latent upscale after "
+                        "the denoise loop (one-stage/text-to-video; "
+                        "defaults --spatial-upscaler to the reference "
+                        "weights path)")
+    p.add_argument("--upscale-temporal", action="store_true",
+                   help="reference compat: 2x temporal latent upscale after "
+                        "the denoise loop (defaults --temporal-upscaler to "
+                        "the reference weights path)")
     p.add_argument("--lora", action="append", default=[],
                    help="path[:strength], repeatable")
     p.add_argument("--distilled-lora", type=str, default=None)
@@ -297,6 +306,24 @@ def _apply_reference_compat(args):
                  "--fp8-serving / --tiled-vae / --pp-stages)")
     if args.fast_mode:
         log.info("--fast-mode: no-op on TPU (no mx.eval scheduling under jit)")
+    # Reference upscale booleans (generate.py:2449-2469): the weights-path
+    # flags default to the reference layout when only the boolean is given.
+    if args.upscale_spatial and args.spatial_upscaler is None:
+        args.spatial_upscaler = (
+            "weights/ltx-2/ltx-2-spatial-upscaler-x2-1.0.safetensors"
+        )
+    if args.upscale_temporal and args.temporal_upscaler is None:
+        args.temporal_upscaler = (
+            "weights/ltx-2/ltx-2-temporal-upscaler-x2-1.0.safetensors"
+        )
+    if args.upscale_spatial and args.pipeline not in (
+        "one-stage", "text-to-video"
+    ):
+        log.info(
+            "--upscale-spatial: --pipeline %s upscales internally (the "
+            "post-hoc 2x applies to one-stage/text-to-video only, like the "
+            "reference's standard flow)", args.pipeline,
+        )
     if args.steps_stage1 is not None and args.pipeline in ("two-stage", "ti2vid-hq"):
         args.num_inference_steps = args.steps_stage1
     if args.steps_stage2 is not None and args.steps_stage2 != 3:
@@ -1006,13 +1033,9 @@ def _execute_request(args, models, ledger):
                 cfg_interval=args.cfg_interval,
                 **common,
             )
-            temporal_upscaler = None
-            if ledger and args.temporal_upscaler:
-                from ltx2_tpu.pipelines.common import jitted_temporal_upscaler
-
-                tu_params, tu_cfg = ledger.temporal_upscaler()
-                tu_fn = jitted_temporal_upscaler(tu_cfg)
-                temporal_upscaler = lambda z: tu_fn(tu_params, z)  # noqa: E731
+            spatial_upscaler, temporal_upscaler = _post_hoc_upscalers(
+                args, ledger
+            )
             video, audio_out = pipeline(
                 pos, neg, cfg, images=images,
                 positive_audio_encoding=pos_a, negative_audio_encoding=neg_a,
@@ -1023,6 +1046,7 @@ def _execute_request(args, models, ledger):
                 guider_override=guider_override,
                 ge_gamma=args.ge_gamma,
                 sampler=args.sampler,
+                spatial_upscaler=spatial_upscaler,
                 temporal_upscaler=temporal_upscaler,
                 cross_attn_scale=args.cross_attn_scale,
                 cross_attn_start_block=args.cross_attn_start_block,
@@ -1216,6 +1240,74 @@ def _audio_encoder_kwargs(args, ledger):
     if params is None:
         return {}
     return dict(audio_encoder_params=params, audio_encoder_cfg=cfg)
+
+
+def _post_hoc_upscalers(args, ledger):
+    """(spatial_fn, temporal_fn) hooks for the standard pipeline's post-hoc
+    latent upscaling (reference generate.py:2000-2060). Ledger weights when
+    a checkpoint is loaded; tiny random modules under --placeholder so the
+    flow stays drivable end-to-end without weights."""
+    import jax
+
+    from ltx2_tpu.pipelines.common import (
+        jitted_spatial_upscaler,
+        jitted_temporal_upscaler,
+    )
+    from ltx2_tpu.utils.profiling import log
+
+    placeholder = args.placeholder or args.checkpoint is None
+
+    spatial_fn = None
+    if args.upscale_spatial and args.spatial_upscaler:
+        if ledger is not None:
+            su_params, su_cfg = ledger.spatial_upscaler()
+        elif placeholder:
+            from ltx2_tpu.models.upscaler import (
+                SpatialUpscalerConfig,
+                init_spatial_upscaler,
+            )
+
+            su_cfg = SpatialUpscalerConfig(
+                mid_channels=64, num_blocks_per_stage=1, num_groups=8
+            )
+            su_params = jax.jit(lambda k: init_spatial_upscaler(k, su_cfg))(
+                jax.random.PRNGKey(7)
+            )
+        else:
+            su_params = None
+        if su_params is not None:
+            su_fn = jitted_spatial_upscaler(su_cfg)
+            spatial_fn = lambda z: su_fn(su_params, z)  # noqa: E731
+    elif args.spatial_upscaler and not args.upscale_spatial:
+        log.warning(
+            "--spatial-upscaler given without --upscale-spatial: the "
+            "standard pipeline only applies the post-hoc 2x when "
+            "--upscale-spatial is set (reference behavior); ignoring the "
+            "weights"
+        )
+
+    temporal_fn = None
+    if args.temporal_upscaler:
+        if ledger is not None:
+            tu_params, tu_cfg = ledger.temporal_upscaler()
+        elif placeholder:
+            from ltx2_tpu.models.upscaler import (
+                TemporalUpscalerConfig,
+                init_temporal_upscaler,
+            )
+
+            tu_cfg = TemporalUpscalerConfig(
+                hidden_channels=32, num_res_blocks=1, num_groups=8
+            )
+            tu_params = jax.jit(lambda k: init_temporal_upscaler(k, tu_cfg))(
+                jax.random.PRNGKey(8)
+            )
+        else:
+            tu_params = None
+        if tu_params is not None:
+            tu_fn = jitted_temporal_upscaler(tu_cfg)
+            temporal_fn = lambda z: tu_fn(tu_params, z)  # noqa: E731
+    return spatial_fn, temporal_fn
 
 
 def _upscaler_kwargs(args, ledger):

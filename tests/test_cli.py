@@ -399,6 +399,33 @@ class TestServe:
         assert any("--temporal-upscaler has no effect" in r.message
                    for r in caplog.records)
 
+    def test_upscale_booleans_fill_reference_weight_paths(self):
+        """--upscale-spatial/--upscale-temporal (reference booleans,
+        generate.py:2449-2469) default the weights-path flags to the
+        reference layout."""
+        import generate
+
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args(
+                ["--upscale-spatial", "--upscale-temporal", "--placeholder"]
+            )
+        )
+        assert args.spatial_upscaler == (
+            "weights/ltx-2/ltx-2-spatial-upscaler-x2-1.0.safetensors"
+        )
+        assert args.temporal_upscaler == (
+            "weights/ltx-2/ltx-2-temporal-upscaler-x2-1.0.safetensors"
+        )
+
+        # Explicit paths win over the defaults.
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args(
+                ["--upscale-spatial", "--spatial-upscaler", "x.safetensors",
+                 "--placeholder"]
+            )
+        )
+        assert args.spatial_upscaler == "x.safetensors"
+
     def test_warmup_leaves_no_artifacts(self, tmp_path):
         """--warmup must generate into throwaway temp files, never the
         launch --output path, and must clean up after itself."""

@@ -246,6 +246,57 @@ class TestOneStageEndToEnd:
         v2, _ = pipeline(pos, pos, config)
         np.testing.assert_array_equal(v1, v2)
 
+    def test_post_hoc_upscaler_hooks(self):
+        """spatial/temporal hooks apply spatial-first on UN-normalized
+        latents with separate un-/re-normalize brackets (reference
+        generate.py:2000-2060). Verified against a manual application on
+        the identical-seed baseline latent."""
+        dit_cfg = tiny_config(in_channels=8, out_channels=8)
+        dec_params = tiny_decoder_params()
+        pipeline = OneStagePipeline(
+            transformer_params=cached_params(dit_cfg),
+            transformer_cfg=dit_cfg,
+            video_decoder_params=dec_params,
+            video_decoder_cfg=TINY_DECODER,
+        )
+        config = OneStageCFGConfig(
+            height=64, width=96, num_frames=9,
+            num_inference_steps=2, cfg_scale=1.0, rescale_scale=0.0,
+            latent_channels=8,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        base, _ = pipeline(pos, pos, config, skip_decode=True)
+
+        calls = []
+
+        def spatial(z):
+            calls.append(("spatial", z.shape))
+            return jnp.repeat(jnp.repeat(z, 2, axis=3), 2, axis=4) * 0.5
+
+        def temporal(z):
+            calls.append(("temporal", z.shape))
+            return jnp.repeat(z, 2, axis=2) + 1.0
+
+        got, _ = pipeline(
+            pos, pos, config, skip_decode=True,
+            spatial_upscaler=spatial, temporal_upscaler=temporal,
+        )
+        assert [c[0] for c in calls] == ["spatial", "temporal"]
+        stats = dec_params["per_channel_statistics"]
+        std = np.asarray(stats["std_of_means"]).reshape(1, -1, 1, 1, 1)
+        mean = np.asarray(stats["mean_of_means"]).reshape(1, -1, 1, 1, 1)
+        want = base * std + mean
+        want = np.repeat(np.repeat(want, 2, axis=3), 2, axis=4) * 0.5
+        want = (want - mean) / std
+        want = want * std + mean
+        want = np.repeat(want, 2, axis=2) + 1.0
+        want = (want - mean) / std
+        assert got.shape == (
+            base.shape[0], base.shape[1],
+            base.shape[2] * 2, base.shape[3] * 2, base.shape[4] * 2,
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_skip_decode_returns_latent(self):
         dit_cfg = tiny_config(in_channels=8, out_channels=8)
         pipeline = OneStagePipeline(
