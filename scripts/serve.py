@@ -23,6 +23,11 @@ at launch — they define the resident configuration.
 Example:
     python scripts/serve.py --checkpoint ckpt.safetensors --gemma-dir g/ \
         --pp-stages 2 --tp-devices 2 < requests.jsonl
+
+With --http PORT the same requests arrive as `POST /generate` JSON bodies
+(responses are the same JSON objects; errors come back as HTTP 400) and
+`GET /healthz` answers liveness probes; generations serialize behind one
+lock since the resident configuration owns the accelerator.
 """
 
 import argparse
@@ -67,6 +72,12 @@ def build_parser():
     )
     p.add_argument("--requests", type=str, default="-",
                    help="requests file (JSON object per line); '-' = stdin")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve HTTP instead of stdin: POST /generate with "
+                        "the same JSON request body (one generation at a "
+                        "time — the accelerator is serialized behind a "
+                        "lock), GET /healthz for liveness. Port 0 picks a "
+                        "free port (logged at startup)")
     p.add_argument("--warmup", action="store_true",
                    help="run one generation with the launch defaults before "
                         "accepting requests (absorbs the first-compile cost)")
@@ -170,33 +181,118 @@ def main(argv=None):
             log.info("serve: warmed %dx%dx%d in %.1f s",
                      h, w, f, time.perf_counter() - t0)
 
+    if args.http is not None:
+        serve_http(args, models, ledger)
+        return
+
     stream = sys.stdin if args.requests == "-" else open(args.requests)
     req_id = 0  # counts REQUESTS (comments/blank lines don't consume ids)
     for line in stream:
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        t0 = time.perf_counter()
         try:
             request = json.loads(line)
-            req_args = apply_request(args, request)
-            generate.execute_request(req_args, models, ledger)
+            response = handle_request(args, models, ledger, request, req_id)
+        except Exception as exc:  # noqa: BLE001 — a bad line must not kill the server
             response = {
-                "status": "ok",
-                "id": req_id,
-                "output": req_args.output,
-                "artifacts": _actual_outputs(req_args.output),
-                "seconds": round(time.perf_counter() - t0, 2),
-            }
-        except Exception as exc:  # noqa: BLE001 — a bad request must not kill the server
-            response = {
-                "status": "error",
-                "id": req_id,
-                "error": f"{type(exc).__name__}: {exc}",
-                "seconds": round(time.perf_counter() - t0, 2),
+                "status": "error", "id": req_id,
+                "error": f"{type(exc).__name__}: {exc}", "seconds": 0.0,
             }
         req_id += 1
         print(json.dumps(response), flush=True)
+
+
+def handle_request(args, models, ledger, request: dict, req_id: int) -> dict:
+    """One generation: request dict in, response dict out (never raises —
+    the error response IS the contract for both the line and HTTP fronts)."""
+    t0 = time.perf_counter()
+    try:
+        req_args = apply_request(args, request)
+        generate.execute_request(req_args, models, ledger)
+        return {
+            "status": "ok",
+            "id": req_id,
+            "output": req_args.output,
+            "artifacts": _actual_outputs(req_args.output),
+            "seconds": round(time.perf_counter() - t0, 2),
+        }
+    except Exception as exc:  # noqa: BLE001 — a bad request must not kill the server
+        return {
+            "status": "error",
+            "id": req_id,
+            "error": f"{type(exc).__name__}: {exc}",
+            "seconds": round(time.perf_counter() - t0, 2),
+        }
+
+
+def make_http_server(args, models, ledger):
+    """ThreadingHTTPServer on args.http (0 = ephemeral): POST /generate with
+    the same JSON body as the line protocol, GET /healthz. Generations are
+    serialized behind one lock — a single resident model configuration owns
+    the accelerator; concurrent POSTs queue rather than interleave."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    gen_lock = threading.Lock()
+    counter = {"id": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            else:
+                self._reply(404, {"status": "error", "error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/generate":
+                self._reply(404, {"status": "error", "error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                request = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(request, dict):
+                    raise ValueError("request body must be a JSON object")
+            except Exception as exc:  # noqa: BLE001
+                self._reply(400, {
+                    "status": "error",
+                    "error": f"{type(exc).__name__}: {exc}",
+                })
+                return
+            with gen_lock:
+                req_id = counter["id"]
+                counter["id"] += 1
+                response = handle_request(args, models, ledger, request, req_id)
+            self._reply(200 if response["status"] == "ok" else 400, response)
+
+        def log_message(self, fmt, *fargs):  # route to the framework logger
+            from ltx2_tpu.utils.profiling import log
+
+            log.info("serve http: " + fmt, *fargs)
+
+    return ThreadingHTTPServer(("127.0.0.1", args.http), Handler)
+
+
+def serve_http(args, models, ledger):
+    from ltx2_tpu.utils.profiling import log
+
+    server = make_http_server(args, models, ledger)
+    log.info("serve: HTTP on http://127.0.0.1:%d (POST /generate, "
+             "GET /healthz)", server.server_address[1])
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
 
 
 if __name__ == "__main__":

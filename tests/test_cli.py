@@ -399,6 +399,73 @@ class TestServe:
         assert any("--temporal-upscaler has no effect" in r.message
                    for r in caplog.records)
 
+    def test_http_front_end(self, tmp_path):
+        """--http serves the same request contract over POST /generate
+        (JSON body in, JSON response out; errors = HTTP 400) with
+        GET /healthz liveness, sharing the resident models with the line
+        protocol."""
+        import json as json_mod
+        import threading
+        import urllib.error
+        import urllib.request
+
+        import generate
+        import serve
+
+        args = generate._apply_reference_compat(serve.build_parser().parse_args([
+            "--placeholder", "--no-gemma", "--pipeline", "one-stage",
+            "--height", "64", "--width", "96", "--num-frames", "9",
+            "--num-inference-steps", "2", "--http", "0",
+        ]))
+        models, ledger = generate.setup(args)
+        server = serve.make_http_server(args, models, ledger)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            def post(body):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate",
+                    data=json_mod.dumps(body).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=600) as resp:
+                        return resp.status, json_mod.loads(resp.read())
+                except urllib.error.HTTPError as e:
+                    return e.code, json_mod.loads(e.read())
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as resp:
+                assert resp.status == 200
+                assert json_mod.loads(resp.read()) == {"status": "ok"}
+
+            code, ok = post({"output": str(tmp_path / "h.mp4"), "seed": 5})
+            assert code == 200 and ok["status"] == "ok"
+            assert (tmp_path / "h_frames.npz").exists()
+            assert any(a.endswith("h_frames.npz") for a in ok["artifacts"])
+
+            code, bad = post({"no_such_field": 1})
+            assert code == 400 and bad["status"] == "error"
+            assert "no_such_field" in bad["error"]
+
+            code, nf = post({"output": str(tmp_path / "x.mp4")})
+            assert code == 200  # server survived the bad request
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/nope", data=b"{}"
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join(timeout=10)
+
     def test_upscale_booleans_fill_reference_weight_paths(self):
         """--upscale-spatial/--upscale-temporal (reference booleans,
         generate.py:2449-2469) default the weights-path flags to the
