@@ -324,6 +324,18 @@ def _apply_reference_compat(args):
             "post-hoc 2x applies to one-stage/text-to-video only, like the "
             "reference's standard flow)", args.pipeline,
         )
+    if args.pipeline == "two-stage" and (
+        args.height % 64 != 0 or args.width % 64 != 0
+    ):
+        # Reference CLI behavior (generate.py:1300-1307): round UP to the
+        # stage-1-half-res-divisible geometry instead of erroring.
+        new_h = ((args.height + 63) // 64) * 64
+        new_w = ((args.width + 63) // 64) * 64
+        log.warning(
+            "two-stage requires resolution divisible by 64; adjusting "
+            "%dx%d -> %dx%d", args.height, args.width, new_h, new_w,
+        )
+        args.height, args.width = new_h, new_w
     if args.steps_stage1 is not None and args.pipeline in ("two-stage", "ti2vid-hq"):
         args.num_inference_steps = args.steps_stage1
     if args.steps_stage2 is not None and args.steps_stage2 != 3:

@@ -399,6 +399,32 @@ class TestServe:
         assert any("--temporal-upscaler has no effect" in r.message
                    for r in caplog.records)
 
+    def test_two_stage_resolution_rounds_up_to_64(self, caplog):
+        """The reference CLI rounds two-stage resolutions UP to %64 with a
+        warning (generate.py:1300-1307) instead of erroring."""
+        import logging
+
+        import generate
+
+        with caplog.at_level(logging.WARNING, logger="ltx2_tpu"):
+            args = generate._apply_reference_compat(
+                generate.build_parser().parse_args([
+                    "--pipeline", "two-stage", "--height", "480",
+                    "--width", "704", "--placeholder",
+                ])
+            )
+        assert (args.height, args.width) == (512, 704)
+        assert any("divisible by 64" in r.message for r in caplog.records)
+
+        # Already-divisible resolutions pass through silently.
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args([
+                "--pipeline", "two-stage", "--height", "512",
+                "--width", "704", "--placeholder",
+            ])
+        )
+        assert (args.height, args.width) == (512, 704)
+
     def test_http_front_end(self, tmp_path):
         """--http serves the same request contract over POST /generate
         (JSON body in, JSON response out; errors = HTTP 400) with
