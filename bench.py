@@ -14,34 +14,106 @@ Tiered, most meaningful first (each tier falls back on failure):
    Reference-scaled estimate: ~30 s/step (docs/USAGE.md:310-315).
 3. DiT step extrapolated from a 12-block bf16 stack.
 
+FAILURE DISCIPLINE (round-3 post-mortem: BENCH_r03.json was an rc=1
+stack trace because a transient `ABORTED: TPU backend error` killed all
+three tiers in one process and the bare excepts recorded nothing):
+- each tier runs in its OWN subprocess, so a poisoned TPU client or
+  leaked HBM from a failed tier cannot cascade into the next;
+- transient backend errors (ABORTED / UNAVAILABLE / connection drops —
+  the tunnel flaking) are retried up to 3 attempts with backoff;
+- every attempt's outcome (rc, duration, error tail) is recorded in
+  BENCH_DETAIL.json under "tiers", so a failure is an auditable record,
+  never silence;
+- a hung tier is killed at a per-tier timeout and skipped (a hang that
+  burned 40+ min once will likely burn it again — move down a tier).
+
+Orchestration is testable without a TPU: LTX2_BENCH_SMOKE=1 shrinks all
+shapes to CPU-fast sizes, and LTX2_BENCH_FAULT="tier[:n_attempts]"
+injects an ABORTED failure into a tier (tests/test_bench_harness.py).
+
 Timing discipline: this environment reaches the TPU through a network
 tunnel (~35 ms/dispatch RPC, ~3 MB/s transfers) — all work is chained
 inside jitted programs and synced via a device-side scalar reduction.
 """
 
+import argparse
 import dataclasses
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+SMOKE = os.environ.get("LTX2_BENCH_SMOKE") == "1"
 
-FULL_BLOCKS = 48
-FALLBACK_BLOCKS = 12
-TOKENS_F, TOKENS_H, TOKENS_W = 16, 16, 24
-TEXT_TOKENS = 1024
+if SMOKE:
+    FULL_BLOCKS = 2
+    FALLBACK_BLOCKS = 1
+    TOKENS_F, TOKENS_H, TOKENS_W = 2, 2, 3
+    TEXT_TOKENS = 16
+    PIXEL_FRAMES, PIXEL_H, PIXEL_W = 9, 64, 96
+    STEP_ITERS = 1
+else:
+    FULL_BLOCKS = 48
+    FALLBACK_BLOCKS = 12
+    TOKENS_F, TOKENS_H, TOKENS_W = 16, 16, 24
+    TEXT_TOKENS = 1024
+    PIXEL_FRAMES, PIXEL_H, PIXEL_W = 121, 512, 768
+    STEP_ITERS = 5
+
 REFERENCE_SEC_PER_STEP_6144_TOKENS = 30.0
 REFERENCE_SEC_E2E_121F = 225.0
 
+# Error substrings that mean "the backend/tunnel flaked, not the code" —
+# observed in BENCH_r03.json ("ABORTED: TPU backend error") and typical
+# gRPC failure strings. These earn a fresh-process retry.
+TRANSIENT_MARKERS = (
+    "ABORTED",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "Connection reset",
+    "Socket closed",
+    "Broken pipe",
+    "connection attempts failed",
+    "injected fault",  # LTX2_BENCH_FAULT marks itself transient
+)
+MAX_ATTEMPTS = 3
+RETRY_SLEEP = (0.0, 0.0) if SMOKE else (10.0, 30.0)
+TIER_TIMEOUT = (
+    {"e2e": 300, "dit_fp8": 300, "dit_bf16_extrap": 300}
+    if SMOKE
+    else {"e2e": 3000, "dit_fp8": 2400, "dit_bf16_extrap": 1800}
+)
+
 
 def sync(x):
+    import jax.numpy as jnp
+    import numpy as np
+
     return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
 
 
-# Per-phase MFU detail, written to BENCH_DETAIL.json beside the single
-# stdout metric line (driver contract: stdout stays ONE JSON line).
+# Per-phase MFU detail. In child (--tier) mode this is written to
+# $BENCH_DETAIL_PATH; the parent merges the winning tier's phases plus
+# every attempt record into BENCH_DETAIL.json (driver contract: stdout
+# stays ONE JSON line).
 _DETAIL = {}
+
+
+def _maybe_inject_fault(tier: str) -> None:
+    """Test hook: LTX2_BENCH_FAULT="e2e" fails every e2e attempt;
+    "e2e:2" fails attempts 1-2 then lets attempt 3 succeed."""
+    spec = os.environ.get("LTX2_BENCH_FAULT", "")
+    for part in filter(None, spec.split(",")):
+        name, _, limit = part.partition(":")
+        if name != tier:
+            continue
+        attempt = int(os.environ.get("LTX2_BENCH_ATTEMPT", "1"))
+        if not limit or attempt <= int(limit):
+            raise RuntimeError(
+                f"ABORTED: injected fault (LTX2_BENCH_FAULT) "
+                f"tier={tier} attempt={attempt}"
+            )
 
 
 def full_config(num_layers: int):
@@ -62,6 +134,9 @@ def full_config(num_layers: int):
 
 
 def make_model(num_layers: int, fp8: bool):
+    import jax
+    import jax.numpy as jnp
+
     from ltx2_tpu.loader.fp8 import quantize_params_fp8
     from ltx2_tpu.models.transformer.model import init_ltx_model
 
@@ -88,6 +163,9 @@ def make_model(num_layers: int, fp8: bool):
 
 
 def make_modality(cfg):
+    import jax
+    import jax.numpy as jnp
+
     from ltx2_tpu.models.transformer.model import Modality
     from ltx2_tpu.ops.rope import create_position_grid
 
@@ -115,6 +193,9 @@ def bench_text_encode():
     import dataclasses as dc
     import gc
 
+    import jax
+    import jax.numpy as jnp
+
     from ltx2_tpu.loader.fp8 import quantize_params_fp8
     from ltx2_tpu.models.text_encoder.gemma3 import (
         Gemma3Config,
@@ -125,7 +206,10 @@ def bench_text_encode():
 
     # vocab shrunk: the 262k embedding table is 2 GB of HBM but zero matmul
     # FLOPs (a gather); layer compute is identical to real weights.
-    gcfg = Gemma3Config(compute_dtype="bfloat16", vocab_size=32768)
+    if SMOKE:
+        gcfg = Gemma3Config.tiny(compute_dtype="bfloat16")
+    else:
+        gcfg = Gemma3Config(compute_dtype="bfloat16", vocab_size=32768)
     one_cfg = dc.replace(
         gcfg, num_hidden_layers=1, layer_types=("sliding_attention",)
     )
@@ -190,6 +274,9 @@ def bench_e2e():
     with sequential residency between phases (the serve.py flow)."""
     import gc
 
+    import jax
+    import jax.numpy as jnp
+
     from ltx2_tpu.components import (
         CFGGuider,
         DISTILLED_SIGMA_VALUES,
@@ -205,11 +292,14 @@ def bench_e2e():
     from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
     from ltx2_tpu.types import VideoLatentShape, VideoPixelShape
 
+    _maybe_inject_fault("e2e")
     enc_s, ctx = bench_text_encode()
 
     cfg, dit_params = make_model(FULL_BLOCKS, fp8=True)
 
-    pixel = VideoPixelShape(batch=1, frames=121, height=512, width=768, fps=24.0)
+    pixel = VideoPixelShape(
+        batch=1, frames=PIXEL_FRAMES, height=PIXEL_H, width=PIXEL_W, fps=24.0
+    )
     latent_shape = VideoLatentShape.from_pixel_shape(pixel, latent_channels=128)
     tools = VideoLatentTools(
         patchifier=VideoLatentPatchifier(1), target_shape=latent_shape, fps=24.0
@@ -234,7 +324,9 @@ def bench_e2e():
     del dit_params, out
     gc.collect()
 
-    dec_cfg = VideoDecoderConfig(compute_dtype="bfloat16")
+    dec_cfg = VideoDecoderConfig(
+        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
+    )
     dec_params = jax.jit(
         lambda k: jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
@@ -278,8 +370,11 @@ def bench_e2e():
 
 
 def bench_dit_step(num_layers: int, fp8: bool):
+    import jax
+
     from ltx2_tpu.models.transformer.model import x0_model_apply
 
+    _maybe_inject_fault("dit_fp8" if fp8 else "dit_bf16_extrap")
     cfg, params = make_model(num_layers, fp8=fp8)
     modality = make_modality(cfg)
     step = jax.jit(lambda p, m: x0_model_apply(p, cfg, video=m))
@@ -287,10 +382,10 @@ def bench_dit_step(num_layers: int, fp8: bool):
     sync(step(params, modality))  # compile
     t0 = time.perf_counter()
     acc = 0.0
-    for _ in range(5):
+    for _ in range(STEP_ITERS):
         acc += sync(step(params, modality))
     assert acc == acc, "non-finite benchmark output"
-    sec = (time.perf_counter() - t0) / 5
+    sec = (time.perf_counter() - t0) / STEP_ITERS
 
     from ltx2_tpu.utils.flops import dit_step_flops, mfu_report
 
@@ -301,60 +396,209 @@ def bench_dit_step(num_layers: int, fp8: bool):
     return sec
 
 
-def main():
-    import gc
+# ---------------------------------------------------------------------------
+# Tier table + child/parent orchestration.
+# ---------------------------------------------------------------------------
 
-    # Each fallback tier runs OUTSIDE the failed tier's except block: while
-    # a handler is active, the in-flight traceback pins the failed tier's
-    # frame locals (the ~13 GB fp8 param tree), so a gc.collect() inside it
-    # frees nothing and the next tier would cascade-OOM. Leaving the
-    # handler clears the exception (py3 deletes the handler's binding), and
-    # only then can collect() release the HBM.
-    result = None
-    try:
-        sec = bench_e2e()
-        result = {
-            "metric": "e2e_sec_prompt_to_pixels_768x512x121f_8step_distilled_fp8",
-            "value": round(sec, 2),
-            "unit": "s",
-            "vs_baseline": round(REFERENCE_SEC_E2E_121F / sec, 2),
-        }
-    except Exception:
-        pass
-    if result is None:
-        gc.collect()
-        try:
-            sec = bench_dit_step(FULL_BLOCKS, fp8=True)
-            result = {
-                "metric": "dit_sec_per_step_768x512x121f_fp8_48blocks_measured",
-                "value": round(sec, 4),
-                "unit": "s",
-                "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
-            }
-        except Exception:
-            pass
-    if result is None:
-        gc.collect()
-        sec = bench_dit_step(FALLBACK_BLOCKS, fp8=False) * (
-            FULL_BLOCKS / FALLBACK_BLOCKS
-        )
-        result = {
-            "metric": "dit_sec_per_step_768x512x121f_bf16_48blocks_extrapolated",
-            "value": round(sec, 4),
-            "unit": "s",
-            "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
-        }
-    if _DETAIL:
-        import sys
 
-        _DETAIL["metric"] = result["metric"]
-        try:
-            with open("BENCH_DETAIL.json", "w") as fh:
-                json.dump(_DETAIL, fh, indent=1)
-        except OSError:
-            pass
-        print(json.dumps(_DETAIL), file=sys.stderr)
+def _tier_e2e():
+    sec = bench_e2e()
+    return {
+        "metric": "e2e_sec_prompt_to_pixels_768x512x121f_8step_distilled_fp8",
+        "value": round(sec, 2),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_SEC_E2E_121F / sec, 2),
+    }
+
+
+def _tier_dit_fp8():
+    sec = bench_dit_step(FULL_BLOCKS, fp8=True)
+    return {
+        "metric": "dit_sec_per_step_768x512x121f_fp8_48blocks_measured",
+        "value": round(sec, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
+    }
+
+
+def _tier_dit_bf16_extrap():
+    sec = bench_dit_step(FALLBACK_BLOCKS, fp8=False) * (FULL_BLOCKS / FALLBACK_BLOCKS)
+    return {
+        "metric": "dit_sec_per_step_768x512x121f_bf16_48blocks_extrapolated",
+        "value": round(sec, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_SEC_PER_STEP_6144_TOKENS / sec, 2),
+    }
+
+
+TIERS = (
+    ("e2e", _tier_e2e),
+    ("dit_fp8", _tier_dit_fp8),
+    ("dit_bf16_extrap", _tier_dit_bf16_extrap),
+)
+
+
+def run_tier_child(tier: str) -> None:
+    """Child mode: run ONE tier in this process; result JSON on stdout,
+    phase detail written to $BENCH_DETAIL_PATH."""
+    if SMOKE:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    fn = dict(TIERS)[tier]
+    result = fn()
+    detail_path = os.environ.get("BENCH_DETAIL_PATH")
+    if detail_path and _DETAIL:
+        with open(detail_path, "w") as fh:
+            json.dump(_DETAIL, fh)
     print(json.dumps(result))
+
+
+def _tail(text: str, max_lines: int = 12, max_chars: int = 2000) -> str:
+    lines = [ln for ln in (text or "").splitlines() if ln.strip()]
+    return "\n".join(lines[-max_lines:])[-max_chars:]
+
+
+def _is_transient(text: str) -> bool:
+    return any(marker in text for marker in TRANSIENT_MARKERS)
+
+
+def _run_attempt(tier: str, attempt: int, detail_path: str) -> dict:
+    """One subprocess attempt; returns an attempt record (always) with
+    'result'/'detail' keys when the attempt succeeded."""
+    env = os.environ.copy()
+    env["LTX2_BENCH_ATTEMPT"] = str(attempt)
+    env["BENCH_DETAIL_PATH"] = detail_path
+    cmd = [sys.executable, os.path.abspath(__file__), "--tier", tier]
+    t0 = time.perf_counter()
+    record = {"attempt": attempt}
+    try:
+        proc = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            timeout=TIER_TIMEOUT[tier],
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        rc, stdout, stderr = proc.returncode, proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as exc:
+        record.update(
+            rc=None,
+            seconds=round(time.perf_counter() - t0, 1),
+            outcome="timeout",
+            error_tail=_tail(
+                (exc.stderr or "") if isinstance(exc.stderr, str) else ""
+            ),
+        )
+        return record
+    record["rc"] = rc
+    record["seconds"] = round(time.perf_counter() - t0, 1)
+    if rc == 0:
+        for line in reversed(stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    record["result"] = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+    if "result" in record:
+        record["outcome"] = "ok"
+        try:
+            with open(detail_path) as fh:
+                record["detail"] = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            pass
+    else:
+        err = _tail(stderr) or _tail(stdout) or f"rc={rc}, no output"
+        record["outcome"] = "transient" if _is_transient(err) else "fatal"
+        record["error_tail"] = err
+    try:
+        os.unlink(detail_path)
+    except OSError:
+        pass
+    return record
+
+
+def run_parent() -> int:
+    """Orchestrate tiers across fresh subprocesses with bounded retry;
+    write BENCH_DETAIL.json (always) and print the best result line."""
+    tier_records = []
+    result = None
+    detail = None
+    for tier, _fn in TIERS:
+        if result is not None:
+            tier_records.append({"tier": tier, "status": "skipped", "attempts": []})
+            continue
+        attempts = []
+        status = "failed"
+        for attempt in range(1, MAX_ATTEMPTS + 1):
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f".bench_detail_{tier}_{os.getpid()}_{attempt}.json",
+            )
+            rec = _run_attempt(tier, attempt, detail_path)
+            if "result" in rec:
+                result = rec.pop("result")
+                detail = rec.pop("detail", None)
+                attempts.append(rec)
+                status = "ok"
+                break
+            attempts.append(rec)
+            print(
+                f"bench tier {tier} attempt {attempt}/{MAX_ATTEMPTS} "
+                f"{rec['outcome']}: {rec.get('error_tail', '')[-200:]!r}",
+                file=sys.stderr,
+            )
+            # A hang is likely to hang again (40 min each) — skip the tier.
+            # A fatal (non-transient) error is deterministic — skip too.
+            if rec["outcome"] != "transient":
+                break
+            if attempt < MAX_ATTEMPTS:
+                time.sleep(RETRY_SLEEP[min(attempt - 1, len(RETRY_SLEEP) - 1)])
+        tier_records.append({"tier": tier, "status": status, "attempts": attempts})
+
+    out_detail = dict(detail or {})
+    out_detail["tiers"] = tier_records
+    if result is not None:
+        out_detail["metric"] = result["metric"]
+    detail_file = os.environ.get("LTX2_BENCH_DETAIL_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_file, "w") as fh:
+            json.dump(out_detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(out_detail), file=sys.stderr)
+
+    if result is None:
+        # Still ONE parseable JSON line, plus rc=1 so the driver records
+        # the failure — but BENCH_DETAIL.json now explains every attempt.
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_all_tiers_failed",
+                    "value": 0.0,
+                    "unit": "s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return 1
+    print(json.dumps(result))
+    return 0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tier", choices=[name for name, _ in TIERS])
+    args = parser.parse_args()
+    if args.tier:
+        run_tier_child(args.tier)
+        return
+    sys.exit(run_parent())
 
 
 if __name__ == "__main__":
