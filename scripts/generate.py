@@ -290,6 +290,27 @@ def parse_images(args):
     return conditions
 
 
+def _round_two_stage_geometry(args):
+    """Reference CLI behavior (reference generate.py:1300-1307): two-stage
+    rounds the resolution UP to %64 instead of erroring. Shared by the CLI
+    launch path and serve's per-request overrides (advisor r3: a serve
+    request flipping pipeline=two-stage over a non-%64 resident resolution
+    bypassed the launch-time rounding and died in TwoStageCFGConfig)."""
+    if args.pipeline == "two-stage" and (
+        args.height % 64 != 0 or args.width % 64 != 0
+    ):
+        from ltx2_tpu.utils.profiling import log
+
+        new_h = ((args.height + 63) // 64) * 64
+        new_w = ((args.width + 63) // 64) * 64
+        log.warning(
+            "two-stage requires resolution divisible by 64; adjusting "
+            "%dx%d -> %dx%d", args.height, args.width, new_h, new_w,
+        )
+        args.height, args.width = new_h, new_w
+    return args
+
+
 def _apply_reference_compat(args):
     """Normalize reference-CLI compatibility flags onto the native ones
     (reference generate.py:2366-2638 surface)."""
@@ -324,18 +345,7 @@ def _apply_reference_compat(args):
             "post-hoc 2x applies to one-stage/text-to-video only, like the "
             "reference's standard flow)", args.pipeline,
         )
-    if args.pipeline == "two-stage" and (
-        args.height % 64 != 0 or args.width % 64 != 0
-    ):
-        # Reference CLI behavior (generate.py:1300-1307): round UP to the
-        # stage-1-half-res-divisible geometry instead of erroring.
-        new_h = ((args.height + 63) // 64) * 64
-        new_w = ((args.width + 63) // 64) * 64
-        log.warning(
-            "two-stage requires resolution divisible by 64; adjusting "
-            "%dx%d -> %dx%d", args.height, args.width, new_h, new_w,
-        )
-        args.height, args.width = new_h, new_w
+    _round_two_stage_geometry(args)
     if args.steps_stage1 is not None and args.pipeline in ("two-stage", "ti2vid-hq"):
         args.num_inference_steps = args.steps_stage1
     if args.steps_stage2 is not None and args.steps_stage2 != 3:
@@ -1299,7 +1309,7 @@ def _post_hoc_upscalers(args, ledger):
         )
 
     temporal_fn = None
-    if args.temporal_upscaler:
+    if args.upscale_temporal and args.temporal_upscaler:
         if ledger is not None:
             tu_params, tu_cfg = ledger.temporal_upscaler()
         elif placeholder:
@@ -1319,6 +1329,16 @@ def _post_hoc_upscalers(args, ledger):
         if tu_params is not None:
             tu_fn = jitted_temporal_upscaler(tu_cfg)
             temporal_fn = lambda z: tu_fn(tu_params, z)  # noqa: E731
+    elif args.temporal_upscaler and not args.upscale_temporal:
+        # Symmetric with the spatial branch (advisor r3): the reference
+        # gates on `upscale_temporal and temporal_upscaler_weights`
+        # (reference generate.py:2039-2060) — weights alone never upscale.
+        log.warning(
+            "--temporal-upscaler given without --upscale-temporal: the "
+            "standard pipeline only applies the post-hoc 2x when "
+            "--upscale-temporal is set (reference behavior); ignoring the "
+            "weights"
+        )
     return spatial_fn, temporal_fn
 
 

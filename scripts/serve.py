@@ -25,9 +25,14 @@ Example:
         --pp-stages 2 --tp-devices 2 < requests.jsonl
 
 With --http PORT the same requests arrive as `POST /generate` JSON bodies
-(responses are the same JSON objects; errors come back as HTTP 400) and
-`GET /healthz` answers liveness probes; generations serialize behind one
-lock since the resident configuration owns the accelerator.
+(responses are the same JSON objects; request-validation errors come back
+as HTTP 400, generation/server faults as 500, so load balancers classify
+them correctly) and `GET /healthz` answers liveness probes; generations
+serialize behind one lock since the resident configuration owns the
+accelerator. --http-host widens the bind address beyond loopback;
+--request-timeout bounds how long a POST blocks (504 on expiry — the
+in-flight generation still runs to completion and later requests queue
+behind it, because a jitted TPU program cannot be preempted mid-flight).
 """
 
 import argparse
@@ -78,6 +83,16 @@ def build_parser():
                         "time — the accelerator is serialized behind a "
                         "lock), GET /healthz for liveness. Port 0 picks a "
                         "free port (logged at startup)")
+    p.add_argument("--http-host", type=str, default="127.0.0.1",
+                   help="bind address for --http (default loopback; set "
+                        "0.0.0.0 to accept remote clients / load balancers)")
+    p.add_argument("--request-timeout", type=float, default=None,
+                   metavar="SEC",
+                   help="HTTP only: reply 504 if a request (including its "
+                        "time queued behind the generation lock) exceeds "
+                        "SEC. The in-flight generation is NOT cancelled — "
+                        "jitted TPU programs are not preemptible — so the "
+                        "accelerator stays busy until it finishes")
     p.add_argument("--warmup", action="store_true",
                    help="run one generation with the launch defaults before "
                         "accepting requests (absorbs the first-compile cost)")
@@ -120,7 +135,10 @@ def apply_request(base_args, request: dict):
         raise ValueError(
             "a2vid needs the audio models resident; launch with --audio"
         )
-    return args
+    # Same %64 round-up the CLI applies at launch (advisor r3: a request
+    # flipping pipeline=two-stage over a non-%64 resident resolution died
+    # in TwoStageCFGConfig instead of rounding).
+    return generate._round_two_stage_geometry(args)
 
 
 def _actual_outputs(requested: str) -> list:
@@ -205,10 +223,25 @@ def main(argv=None):
 
 def handle_request(args, models, ledger, request: dict, req_id: int) -> dict:
     """One generation: request dict in, response dict out (never raises —
-    the error response IS the contract for both the line and HTTP fronts)."""
+    the error response IS the contract for both the line and HTTP fronts).
+
+    Errors carry a "kind": "bad_request" when the REQUEST was invalid
+    (apply_request validation — the caller's fault) vs "server" when the
+    generation itself failed (missing weights, device OOM/abort, compile
+    errors). The HTTP front maps these to 400 vs 500 so load balancers
+    classify faults correctly (advisor r3)."""
     t0 = time.perf_counter()
     try:
         req_args = apply_request(args, request)
+    except Exception as exc:  # noqa: BLE001 — a bad request must not kill the server
+        return {
+            "status": "error",
+            "kind": "bad_request",
+            "id": req_id,
+            "error": f"{type(exc).__name__}: {exc}",
+            "seconds": round(time.perf_counter() - t0, 2),
+        }
+    try:
         generate.execute_request(req_args, models, ledger)
         return {
             "status": "ok",
@@ -217,9 +250,10 @@ def handle_request(args, models, ledger, request: dict, req_id: int) -> dict:
             "artifacts": _actual_outputs(req_args.output),
             "seconds": round(time.perf_counter() - t0, 2),
         }
-    except Exception as exc:  # noqa: BLE001 — a bad request must not kill the server
+    except Exception as exc:  # noqa: BLE001 — a device fault must not kill residency
         return {
             "status": "error",
+            "kind": "server",
             "id": req_id,
             "error": f"{type(exc).__name__}: {exc}",
             "seconds": round(time.perf_counter() - t0, 2),
@@ -257,36 +291,83 @@ def make_http_server(args, models, ledger):
                 self._reply(404, {"status": "error", "error": "not found"})
                 return
             try:
+                # Content-Length is mandatory: a chunked or length-less
+                # POST would read as b"" -> {} and silently launch a full
+                # generation with launch defaults (advisor r3).
                 length = int(self.headers.get("Content-Length", 0))
-                request = json.loads(self.rfile.read(length) or b"{}")
+                if length <= 0:
+                    self._reply(411, {
+                        "status": "error",
+                        "kind": "bad_request",
+                        "error": "POST /generate requires a positive "
+                                 "Content-Length (chunked bodies are not "
+                                 "supported)",
+                    })
+                    return
+                request = json.loads(self.rfile.read(length))
                 if not isinstance(request, dict):
                     raise ValueError("request body must be a JSON object")
             except Exception as exc:  # noqa: BLE001
                 self._reply(400, {
                     "status": "error",
+                    "kind": "bad_request",
                     "error": f"{type(exc).__name__}: {exc}",
                 })
                 return
-            with gen_lock:
-                req_id = counter["id"]
-                counter["id"] += 1
-                response = handle_request(args, models, ledger, request, req_id)
-            self._reply(200 if response["status"] == "ok" else 400, response)
+
+            def generate_locked():
+                with gen_lock:
+                    req_id = counter["id"]
+                    counter["id"] += 1
+                    return handle_request(args, models, ledger, request, req_id)
+
+            timeout = getattr(args, "request_timeout", None)
+            if timeout:
+                import queue
+
+                box = queue.Queue(maxsize=1)
+                worker = threading.Thread(
+                    target=lambda: box.put(generate_locked()), daemon=True
+                )
+                worker.start()
+                try:
+                    response = box.get(timeout=timeout)
+                except queue.Empty:
+                    # The jitted program cannot be preempted: the worker
+                    # finishes (and releases gen_lock) on its own; this
+                    # request just stops waiting for it.
+                    self._reply(504, {
+                        "status": "error",
+                        "kind": "timeout",
+                        "error": f"generation exceeded --request-timeout "
+                                 f"{timeout}s (still running; later "
+                                 f"requests queue behind it)",
+                    })
+                    return
+            else:
+                response = generate_locked()
+            if response["status"] == "ok":
+                code = 200
+            else:
+                code = 400 if response.get("kind") == "bad_request" else 500
+            self._reply(code, response)
 
         def log_message(self, fmt, *fargs):  # route to the framework logger
             from ltx2_tpu.utils.profiling import log
 
             log.info("serve http: " + fmt, *fargs)
 
-    return ThreadingHTTPServer(("127.0.0.1", args.http), Handler)
+    host = getattr(args, "http_host", "127.0.0.1")
+    return ThreadingHTTPServer((host, args.http), Handler)
 
 
 def serve_http(args, models, ledger):
     from ltx2_tpu.utils.profiling import log
 
     server = make_http_server(args, models, ledger)
-    log.info("serve: HTTP on http://127.0.0.1:%d (POST /generate, "
-             "GET /healthz)", server.server_address[1])
+    log.info("serve: HTTP on http://%s:%d (POST /generate, "
+             "GET /healthz)", server.server_address[0],
+             server.server_address[1])
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -492,6 +492,163 @@ class TestServe:
             server.server_close()
             thread.join(timeout=10)
 
+    def test_http_error_classification_and_recovery(self, tmp_path, monkeypatch):
+        """VERDICT r3 #6 + advisor r3: (a) a mid-generation device fault
+        (injected OOM) returns HTTP 500 with kind=server, leaves residency
+        intact, and the NEXT request succeeds; (b) request-validation
+        errors stay 400 with kind=bad_request; (c) a length-less POST is
+        rejected 411, never silently generating with launch defaults;
+        (d) --request-timeout answers 504 while the generation completes
+        in the background."""
+        import http.client
+        import json as json_mod
+        import threading
+        import time as time_mod
+        import urllib.error
+        import urllib.request
+
+        import generate
+        import serve
+
+        args = generate._apply_reference_compat(serve.build_parser().parse_args([
+            "--placeholder", "--no-gemma", "--pipeline", "one-stage",
+            "--height", "64", "--width", "96", "--num-frames", "9",
+            "--num-inference-steps", "2", "--skip-vae", "--http", "0",
+        ]))
+        models, ledger = generate.setup(args)
+        server = serve.make_http_server(args, models, ledger)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+
+        real_execute = generate.execute_request
+        release = threading.Event()  # defined early: finally always sets it
+
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json_mod.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=600) as resp:
+                    return resp.status, json_mod.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json_mod.loads(e.read())
+
+        try:
+            # (a) device fault mid-generation -> 500, then recovery.
+            calls = {"n": 0}
+
+            def flaky(req_args, m, led):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise RuntimeError(
+                        "RESOURCE_EXHAUSTED: injected device OOM"
+                    )
+                return real_execute(req_args, m, led)
+
+            monkeypatch.setattr(generate, "execute_request", flaky)
+            code, resp = post({"output": str(tmp_path / "f.mp4"), "seed": 1})
+            assert code == 500 and resp["status"] == "error"
+            assert resp["kind"] == "server"
+            assert "RESOURCE_EXHAUSTED" in resp["error"]
+
+            code, resp = post({"output": str(tmp_path / "g.mp4"), "seed": 1})
+            assert code == 200 and resp["status"] == "ok"
+            assert (tmp_path / "g_latent.npz").exists()  # residency intact
+
+            # (b) validation errors remain the client's fault.
+            code, resp = post({"no_such_field": 1})
+            assert code == 400 and resp["kind"] == "bad_request"
+
+            # (c) POST without Content-Length -> 411, no generation.
+            before = calls["n"]
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", "/generate")  # body=None: no Content-Length
+            resp_raw = conn.getresponse()
+            body = json_mod.loads(resp_raw.read())
+            conn.close()
+            assert resp_raw.status == 411
+            assert body["kind"] == "bad_request"
+            assert calls["n"] == before  # nothing was generated
+
+            # (d) --request-timeout: slow generation -> 504; the worker
+            # finishes in the background and the server stays healthy.
+            args.request_timeout = 0.3
+
+            def slow(req_args, m, led):
+                release.wait(timeout=30)
+                return real_execute(req_args, m, led)
+
+            monkeypatch.setattr(generate, "execute_request", slow)
+            t0 = time_mod.perf_counter()
+            code, resp = post({"output": str(tmp_path / "s.mp4"), "seed": 2})
+            assert code == 504 and resp["kind"] == "timeout"
+            assert time_mod.perf_counter() - t0 < 10
+            release.set()
+
+            args.request_timeout = None
+            monkeypatch.setattr(generate, "execute_request", real_execute)
+            deadline = time_mod.monotonic() + 120
+            while not (tmp_path / "s_latent.npz").exists():
+                assert time_mod.monotonic() < deadline, (
+                    "timed-out generation never completed in background"
+                )
+                time_mod.sleep(0.2)
+            code, resp = post({"output": str(tmp_path / "t.mp4"), "seed": 3})
+            assert code == 200 and resp["status"] == "ok"
+        finally:
+            release.set()
+            server.shutdown()
+            server.server_close()
+            thread.join(timeout=10)
+
+    def test_request_two_stage_rounding_matches_cli(self):
+        """advisor r3: a serve request that flips pipeline=two-stage over a
+        non-%64 resident resolution must round up exactly like the CLI
+        launch path, not die in TwoStageCFGConfig."""
+        import argparse
+
+        import serve
+
+        base = argparse.Namespace(
+            audio=False, pipeline="one-stage", height=480, width=704,
+        )
+        args = serve.apply_request(base, {"pipeline": "two-stage"})
+        assert (args.height, args.width) == (512, 704)
+        # Non-two-stage requests pass through untouched.
+        args = serve.apply_request(base, {"height": 480})
+        assert args.height == 480
+
+    def test_temporal_upscale_gated_on_boolean(self, caplog):
+        """advisor r3: the reference gates the post-hoc temporal upscale on
+        `upscale_temporal and temporal_upscaler_weights` (reference
+        generate.py:2039-2060) — weights alone must warn and do nothing,
+        symmetric with the spatial branch."""
+        import logging
+
+        import generate
+
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args([
+                "--placeholder", "--temporal-upscaler", "tu.safetensors",
+            ])
+        )
+        with caplog.at_level(logging.WARNING, logger="ltx2_tpu"):
+            spatial_fn, temporal_fn = generate._post_hoc_upscalers(args, None)
+        assert spatial_fn is None and temporal_fn is None
+        assert any("without --upscale-temporal" in r.message
+                   for r in caplog.records)
+
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args([
+                "--placeholder", "--upscale-temporal",
+            ])
+        )
+        _, temporal_fn = generate._post_hoc_upscalers(args, None)
+        assert temporal_fn is not None
+
     def test_upscale_booleans_fill_reference_weight_paths(self):
         """--upscale-spatial/--upscale-temporal (reference booleans,
         generate.py:2449-2469) default the weights-path flags to the
