@@ -133,20 +133,22 @@ def full_config(num_layers: int):
     )
 
 
-def make_model(num_layers: int, fp8: bool):
+def make_model(num_layers: int, fp8: bool, int8: bool = False):
     import jax
     import jax.numpy as jnp
 
     from ltx2_tpu.loader.fp8 import quantize_params_fp8
+    from ltx2_tpu.loader.int8 import quantize_params_int8
     from ltx2_tpu.models.transformer.model import init_ltx_model
 
     cfg = full_config(num_layers)
-    if fp8:
+    if fp8 or int8:
         # Init ONE block, quantize, tile to num_layers on device — peak HBM
-        # stays ~(weights_fp8 + one bf16 block).
+        # stays ~(weights_q + one bf16 block).
+        quantize = quantize_params_int8 if int8 else quantize_params_fp8
         small_cfg = dataclasses.replace(cfg, num_layers=1)
         one = jax.jit(lambda k: init_ltx_model(k, small_cfg))(jax.random.PRNGKey(0))
-        one_q = jax.jit(quantize_params_fp8)(one)
+        one_q = jax.jit(quantize)(one)
         jax.block_until_ready(one_q)
         stacked = jax.jit(
             lambda b: jax.tree_util.tree_map(
@@ -324,6 +326,26 @@ def bench_e2e():
     del dit_params, out
     gc.collect()
 
+    # Extra measurement (VERDICT r3 #2): the same 8-step loop on the int8
+    # W8A8 DiT (`generate.py --int8`, opt-in serving mode). Not part of the
+    # headline metric (fp8 is the default path); failure-isolated so the
+    # e2e number never dies for an optional phase.
+    try:
+        _, int8_params = make_model(FULL_BLOCKS, fp8=False, int8=True)
+        out8 = loop(int8_params, state, sigmas, ctx, ctx)
+        sync(out8.latent)  # compile (int8 tree retraces the loop)
+        t0 = time.perf_counter()
+        out8 = loop(int8_params, state, sigmas, ctx, ctx)
+        sync(out8.latent)
+        int8_s = time.perf_counter() - t0
+        del int8_params, out8
+        gc.collect()
+    except Exception as exc:  # noqa: BLE001 — optional phase
+        int8_s = None
+        _DETAIL["phases"]["denoise_loop_8step_int8"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:500]
+        }
+
     dec_cfg = VideoDecoderConfig(
         compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
     )
@@ -366,6 +388,12 @@ def bench_e2e():
         "denoise_loop_8step": {"seconds": round(loop_s, 3), **mfu_report(loop_flops, loop_s)},
         "vae_decode": {"seconds": round(dec_s, 3), **mfu_report(dec_flops, dec_s)},
     })
+    if int8_s is not None:
+        _DETAIL["phases"]["denoise_loop_8step_int8"] = {
+            "seconds": round(int8_s, 3),
+            **mfu_report(loop_flops, int8_s),
+            "note": "opt-in --int8 W8A8 path; headline uses fp8",
+        }
     return enc_s + loop_s + dec_s
 
 

@@ -2,16 +2,17 @@
 
 The reference's only quantized serving mode is fp8-E4M3 weights dequantized
 into bf16 matmuls (fp8_loader.py) — the MXU still runs at bf16 throughput.
-The v5e's int8 MXU path is 2x bf16 peak, and a measured output-feeds-input
-chain at the DiT's matmul shapes shows 246 TF/s int8 vs 151 TF/s bf16
-(scripts/bench_int8.py). This module supplies the serving recipe:
+The v5e's int8 MXU path is 2x bf16 peak; measured on the chip
+(scripts/bench_int8.py), the full 48-block DiT step at 6144 tokens runs
+0.954 s int8 vs 1.238 s fp8-serving (184.9 vs 142.6 achieved TF/s — a
+1.30x step speedup; the gap to 2x is the non-matmul residue plus the
+per-token quantize chain). This module supplies the serving recipe:
 
 - weights: symmetric per-OUT-CHANNEL int8 (one f32 scale per output row;
   per (layer, row) for the stacked transformer_blocks layout), quantized
   once at load;
 - activations: symmetric per-TOKEN dynamic int8, quantized inside the
-  jitted forward right before each matmul (ops/common.linear) — the
-  max/round/cast fuses into the operand load and measures free on-chip.
+  jitted forward right before each matmul (ops/common.linear).
 
 Scale leaves are named `weight_cscale` (channel scale) — deliberately NOT
 `weight_scale`, which is the fp8 per-tensor convention with different
@@ -29,6 +30,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ltx2_tpu.ops.common import Params
 
@@ -51,6 +53,35 @@ _INT8_TARGETS = (
 _SKIP_MARKERS = ("norm", "scale_shift_table", "adaln", "embed", "to_gate_logits")
 
 
+def int8_eligible(tree_key: str) -> bool:
+    """Whether a '.'-joined param-tree path names a matmul weight the W8A8
+    recipe quantizes (the same predicate quantize_params_int8 applies to an
+    in-memory tree, exposed for the streaming loader's at-load path)."""
+    return (
+        tree_key.endswith(".weight")
+        and any(t in tree_key for t in _INT8_TARGETS)
+        and not any(m in tree_key for m in _SKIP_MARKERS)
+    )
+
+
+def quantize_array_int8(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (numpy) twin of quantize_tensor_int8, used by the
+    streaming loader so the 19B checkpoint quantizes one stacked leaf at a
+    time — device HBM only ever holds the int8 tree, never the bf16 one.
+    Must stay formula-identical to quantize_tensor_int8."""
+    wf = np.asarray(w, np.float32)
+    amax = np.max(np.abs(wf), axis=-1)
+    scale = np.maximum(amax / INT8_MAX, 1e-12).astype(np.float32)
+    # Explicit f32 reciprocal-multiply, NOT division: XLA strength-reduces
+    # w/scale to w*(1/scale) inside jit, so the host twin must do the same
+    # multiply to stay bit-identical at round-half boundaries.
+    q = np.clip(
+        np.round(wf * (np.float32(1.0) / scale)[..., None]),
+        -INT8_MAX, INT8_MAX,
+    )
+    return q.astype(np.int8), scale
+
+
 def quantize_tensor_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-out-channel int8 quantization -> (w_q, cscale).
 
@@ -59,9 +90,11 @@ def quantize_tensor_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     output channel: cscale shape (out,) or (L, out)."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-1)
-    scale = jnp.maximum(amax / INT8_MAX, 1e-12)
-    q = jnp.clip(jnp.round(wf / scale[..., None]), -INT8_MAX, INT8_MAX)
-    return q.astype(jnp.int8), scale.astype(jnp.float32)
+    scale = jnp.maximum(amax / INT8_MAX, 1e-12).astype(jnp.float32)
+    # Reciprocal-multiply to match the host twin (quantize_array_int8)
+    # bit-for-bit; see the comment there.
+    q = jnp.clip(jnp.round(wf * (1.0 / scale)[..., None]), -INT8_MAX, INT8_MAX)
+    return q.astype(jnp.int8), scale
 
 
 def quantize_params_int8(params: Params, path: str = "") -> Params:

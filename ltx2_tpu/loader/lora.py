@@ -151,6 +151,14 @@ def fuse_lora_into_params(
                 "need dequantized weights). Load the transformer with "
                 "keep_fp8=False when LoRAs are in play."
             )
+        if leaf.dtype == jnp.int8:
+            raise ValueError(
+                "Cannot fuse LoRA into int8 W8A8 weights (additive deltas "
+                "need full-precision weights). Drop --int8 when a runtime "
+                "LoRA fuse is in play (e.g. two-stage's stage-2 distilled "
+                "LoRA); load-time --lora specs fuse BEFORE int8 and are "
+                "fine."
+            )
         expected = leaf.shape[1:] if block_idx is not None else leaf.shape
         if tuple(expected) != tuple(delta.shape):
             continue

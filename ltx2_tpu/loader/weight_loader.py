@@ -123,6 +123,7 @@ def load_flat_diffusion_weights(
     target_dtype: str = "bfloat16",
     fp32_keys: Tuple[str, ...] = ("scale_shift_table", "adaln", "norm"),
     keep_fp8: bool = False,
+    quantize_int8: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Stream `model.diffusion_model.*` tensors -> flat {tree-key: np array}.
 
@@ -130,8 +131,14 @@ def load_flat_diffusion_weights(
     matmul weights go to `target_dtype`. With keep_fp8, fp8-E4M3 weights
     stay quantized and their per-tensor scales land beside them as
     `<name>_scale` leaves — the DiT dequantizes at use (ops/common.linear),
-    halving weight HBM (serving mode).
+    halving weight HBM (serving mode). With quantize_int8, eligible matmul
+    weights are W8A8-quantized at load (loader/int8.py; `<name>_cscale`
+    per-out-channel scales beside int8 weights).
     """
+    if keep_fp8 and quantize_int8:
+        raise ValueError("keep_fp8 and quantize_int8 are mutually exclusive")
+    from ltx2_tpu.loader.int8 import int8_eligible, quantize_array_int8
+
     f = SafetensorsFile(path)
     fp8_scales = {
         k.replace(".weight_scale", ".weight"): k
@@ -153,7 +160,13 @@ def load_flat_diffusion_weights(
             )
             continue
         arr = _dequantize(f, key, f.get(key), fp8_scales)
-        out[tree_key] = _convert_arr(arr, tree_key, target_dtype, fp32_keys)
+        converted = _convert_arr(arr, tree_key, target_dtype, fp32_keys)
+        if quantize_int8 and int8_eligible(tree_key):
+            q, cscale = quantize_array_int8(converted)
+            out[tree_key] = q
+            out[tree_key + "_cscale"] = cscale
+        else:
+            out[tree_key] = converted
     return out
 
 
@@ -216,6 +229,7 @@ def load_transformer_params_streamed(
     num_layers: Optional[int] = None,
     device_put: Optional[Callable[[str, np.ndarray], jnp.ndarray]] = None,
     keep_fp8: bool = False,
+    quantize_int8: bool = False,
 ) -> Params:
     """Streaming loader with BOUNDED host memory (SURVEY hard-part #4).
 
@@ -239,6 +253,10 @@ def load_transformer_params_streamed(
     (weight_converter.py:415-435); the stacked scan layout needs this
     slot-fill design instead.
     """
+    if keep_fp8 and quantize_int8:
+        raise ValueError("keep_fp8 and quantize_int8 are mutually exclusive")
+    from ltx2_tpu.loader.int8 import int8_eligible, quantize_array_int8
+
     if device_put is None:
         def device_put(_path, arr):
             return jnp.asarray(arr)
@@ -276,7 +294,13 @@ def load_transformer_params_streamed(
                 ),
             }
         arr = _dequantize(f, ckpt_key, f.get(ckpt_key), fp8_scales)
-        return {"": _convert_arr(arr, tree_key, target_dtype, fp32_keys)}
+        converted = _convert_arr(arr, tree_key, target_dtype, fp32_keys)
+        if quantize_int8 and int8_eligible(tree_key):
+            q, cscale = quantize_array_int8(converted)
+            # int8 W8A8 at load (loader/int8.py): device HBM only ever
+            # holds the int8 tree + per-out-channel scales.
+            return {"": q, "_cscale": cscale}
+        return {"": converted}
 
     tree: Params = {}
 
@@ -316,6 +340,7 @@ def load_transformer_params(
     device_put: Optional[Callable[[str, np.ndarray], jnp.ndarray]] = None,
     keep_fp8: bool = False,
     streaming: bool = True,
+    quantize_int8: bool = False,
 ) -> Params:
     """Full pipeline: stream safetensors -> key rewrite -> fp8 dequant ->
     stacked param tree on device (load_transformer_weights parity,
@@ -325,10 +350,11 @@ def load_transformer_params(
         return load_transformer_params_streamed(
             path, include_audio=include_audio, target_dtype=target_dtype,
             num_layers=num_layers, device_put=device_put, keep_fp8=keep_fp8,
+            quantize_int8=quantize_int8,
         )
     flat = load_flat_diffusion_weights(
         path, include_audio=include_audio, target_dtype=target_dtype,
-        keep_fp8=keep_fp8,
+        keep_fp8=keep_fp8, quantize_int8=quantize_int8,
     )
     return structure_diffusion_weights(flat, num_layers=num_layers, device_put=device_put)
 

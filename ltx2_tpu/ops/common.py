@@ -16,6 +16,32 @@ import jax.numpy as jnp
 Params = Dict[str, object]
 
 
+def _w8a8_matmul(
+    x: jnp.ndarray, w_q: jnp.ndarray, cscale: jnp.ndarray
+) -> jnp.ndarray:
+    """int8 W8A8 matmul: per-token dynamic activation quantization against
+    per-out-channel int8 weights (loader/int8.py), accumulating in int32 on
+    the v5e's 2x-throughput int8 MXU path.
+
+    x max maps to exactly +/-127 (symmetric amax scaling), so no clip is
+    needed. Measured on the v5e (scripts/bench_int8.py): 1.30x over
+    fp8-serving on the full 48-block DiT step (184.9 vs 142.6 TF/s) — the
+    per-token amax/round/cast chain costs part of the MXU's nominal 2x."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xscale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    x_q = jnp.round(xf / xscale).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q,
+        w_q,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * xscale * cscale.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
 def linear(p: Params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """y = x @ W^T + b with W stored [out_features, in_features].
 
@@ -23,20 +49,29 @@ def linear(p: Params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     (fp8-E4M3 checkpoints kept quantized in HBM), the weight dequantizes at
     use — w_eff = cast(w) * scale. Halves weight HBM and read bandwidth;
     XLA fuses the dequant into the matmul operand load.
+
+    int8 W8A8 serving: a per-out-channel 'weight_cscale' (loader/int8.py,
+    generate.py --int8) instead routes the matmul through the int8 MXU
+    path with per-token dynamic activation quantization — 2x bf16 matmul
+    throughput on the v5e, opt-in.
     """
     w = p["weight"]
-    scale = p.get("weight_scale")
-    if scale is not None or w.dtype != x.dtype and jnp.issubdtype(w.dtype, jnp.floating):
-        w = w.astype(x.dtype)
-        if scale is not None:
-            w = w * scale.astype(x.dtype)
-    y = jax.lax.dot_general(
-        x,
-        w,
-        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        precision=precision,
-        preferred_element_type=x.dtype,
-    )
+    cscale = p.get("weight_cscale")
+    if cscale is not None:
+        y = _w8a8_matmul(x, w, cscale)
+    else:
+        scale = p.get("weight_scale")
+        if scale is not None or w.dtype != x.dtype and jnp.issubdtype(w.dtype, jnp.floating):
+            w = w.astype(x.dtype)
+            if scale is not None:
+                w = w * scale.astype(x.dtype)
+        y = jax.lax.dot_general(
+            x,
+            w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=x.dtype,
+        )
     b = p.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)

@@ -36,6 +36,11 @@ DIT_SHARDING_RULES: List[Tuple[str, P]] = [
     (r"transformer_blocks/.*w_down/weight$", P(None, None, MODEL_AXIS)),
     # Q/K norms act on the sharded inner dim.
     (r"transformer_blocks/.*(q_norm|k_norm)/weight$", P(None, MODEL_AXIS)),
+    # int8 W8A8 per-out-channel scales (loader/int8.py): column-parallel
+    # targets shard the (L, out) scale with the out-features split;
+    # row-parallel targets keep full-row scales -> replicate (default).
+    (r"transformer_blocks/.*(to_q|to_k|to_v|project_in/proj|w_up|w_gate)/"
+     r"weight_cscale$", P(None, MODEL_AXIS)),
     # LoRA adapters (training/lora.py) follow their base weight's split:
     # column-parallel targets shard B's out-features (A replicated),
     # row-parallel targets shard A's in-features (B replicated). Scales

@@ -35,6 +35,7 @@ class ModelLedger:
     target_dtype: str = "bfloat16"
     include_audio: bool = False
     keep_fp8: bool = False  # serving mode: fp8 weights stay quantized in HBM
+    int8: bool = False  # serving mode: W8A8-quantize DiT matmuls at load
     gemma_fp8: bool = False  # quantize Gemma matmul weights to fp8 at load
     # Loader placement hook fn(tree_path, np_array) -> device array: DiT
     # leaves stream DIRECTLY onto their mesh shards (TP: tp_device_put;
@@ -88,8 +89,12 @@ class ModelLedger:
             )
             # LoRA fusion mutates matmul weights, so it is incompatible with
             # keep_fp8 (would need dequant->fuse->requant); fall back to the
-            # dequantized load when LoRAs are present.
+            # dequantized load when LoRAs are present. int8 likewise: with
+            # LoRAs, load full-precision, fuse, THEN quantize on device
+            # (peak HBM = the bf16 tree — fine on CPU/hosts, a constraint
+            # on a 16 GB chip, where LoRA+int8 should be pre-exported).
             keep_fp8 = self.keep_fp8 and not self.loras
+            int8_at_load = self.int8 and not self.loras
             if self.transformer_device_put is not None and self.loras:
                 raise ValueError(
                     "sharded loading (transformer_device_put) is incompatible "
@@ -102,10 +107,17 @@ class ModelLedger:
                 target_dtype=self.target_dtype,
                 num_layers=cfg.num_layers,
                 keep_fp8=keep_fp8,
+                quantize_int8=int8_at_load,
                 device_put=self.transformer_device_put,
             )
             if self.loras:
                 params = fuse_lora_into_params(params, self.loras)
+                if self.int8:
+                    import jax
+
+                    from ltx2_tpu.loader.int8 import quantize_params_int8
+
+                    params = jax.jit(quantize_params_int8)(params)
             return params, cfg
 
         return self._get("transformer", load, force_reload)

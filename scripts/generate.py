@@ -195,6 +195,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fp8-serving", action="store_true",
                    help="keep fp8 checkpoint weights quantized in HBM "
                         "(dequant at use; fits 48-block 19B on a 16GB chip)")
+    p.add_argument("--int8", action="store_true",
+                   help="quantize DiT matmul weights to int8 W8A8 at load "
+                        "(per-out-channel weights + per-token dynamic "
+                        "activations; 2x bf16 MXU throughput on v5e, "
+                        "~0.5x weight HBM). Opt-in serving mode beyond the "
+                        "reference; excludes --fp8-serving")
     p.add_argument("--cache-text-kv", action="store_true",
                    help="precompute text cross-attn K/V once per generation "
                         "(V1 checkpoints only; helps bf16 weights, not fp8)")
@@ -290,6 +296,24 @@ def parse_images(args):
     return conditions
 
 
+def _maybe_int8(args, dit_params):
+    """--int8 for the PLACEHOLDER path: quantize the (placed) random DiT
+    to W8A8 int8 (loader/int8.py). Checkpoint loads instead quantize
+    inside the streaming loader (quantize_int8=True), one stacked leaf at
+    a time. Runs jitted over the already-sharded tree, so each shard
+    quantizes locally (per-out-channel amax never crosses a TP split) and
+    shardings carry through via GSPMD."""
+    if not getattr(args, "int8", False):
+        return dit_params
+    import jax
+
+    from ltx2_tpu.loader.int8 import quantize_params_int8
+    from ltx2_tpu.utils.profiling import log
+
+    log.info("--int8: quantizing DiT matmul weights to int8 W8A8")
+    return jax.jit(quantize_params_int8)(dit_params)
+
+
 def _round_two_stage_geometry(args):
     """Reference CLI behavior (reference generate.py:1300-1307): two-stage
     rounds the resolution UP to %64 instead of erroring. Shared by the CLI
@@ -322,6 +346,12 @@ def _apply_reference_compat(args):
         log.info("--fp16: using bfloat16 (the TPU-native 16-bit format)")
     if args.fp8:
         args.fp8_serving = True
+    if args.int8 and args.fp8_serving:
+        raise SystemExit(
+            "--int8 and --fp8-serving are mutually exclusive: int8 W8A8 "
+            "re-quantizes from full-precision weights (load dequantized, "
+            "i.e. drop --fp8-serving/--fp8, to use --int8)"
+        )
     if args.low_memory:
         log.info("--low-memory: no-op on TPU (XLA manages memory; see "
                  "--fp8-serving / --tiled-vae / --pp-stages)")
@@ -733,7 +763,9 @@ def build_models(args, meshes=None):
         enc_params = jax.jit(lambda k: init_video_encoder(k, enc_cfg))(
             jax.random.PRNGKey(4)
         )
-        dit_params = _place_transformer(dit_params, dit_cfg, args, meshes or {})
+        dit_params = _maybe_int8(
+            args, _place_transformer(dit_params, dit_cfg, args, meshes or {})
+        )
         models = dict(
             transformer_params=dit_params, transformer_cfg=dit_cfg,
             video_decoder_params=dec_params, video_decoder_cfg=dec_cfg,
@@ -794,10 +826,13 @@ def build_models(args, meshes=None):
         target_dtype=args.dtype,
         include_audio=include_audio,
         keep_fp8=args.fp8_serving,
+        int8=args.int8,
         gemma_fp8=args.gemma_fp8,
         transformer_device_put=device_put,
     )
     with phase("weight_loading"):
+        # --int8 is applied inside the ledger's streaming load (one stacked
+        # leaf at a time — device HBM never holds the bf16 tree).
         dit_params, dit_cfg = ledger.transformer()
         dec_params, dec_cfg = ledger.video_decoder()
         enc_params, enc_cfg = ledger.video_encoder()
