@@ -81,6 +81,26 @@ def pytest_sessionfinish(session, exitstatus):
         os.makedirs(_CACHE_DIR, exist_ok=True)
         with open(_SENTINEL, "w") as fh:
             fh.write("ok\n")
+    # Manifest-drift guard: a test that ran well past the slow threshold but
+    # is not in the manifest should get added (see _SLOW_MANIFEST).
+    stale = sorted(
+        (dur, nid)
+        for nid, dur in _call_durations.items()
+        if dur > 2 * _SLOW_THRESHOLD_SECS and nid not in _slow_entries
+        and "test_generation" not in nid and "test_e2e" not in nid
+    )
+    if stale:
+        tr = session.config.pluginmanager.get_plugin("terminalreporter")
+        if tr is not None:
+            tr.write_line("")
+            tr.write_line(
+                f"[slow-manifest] {len(stale)} test(s) ran >{2*_SLOW_THRESHOLD_SECS:.0f}s "
+                "but are not in tests/slow_tests.txt — regenerate via "
+                "scripts/update_slow_manifest.py:",
+                yellow=True,
+            )
+            for dur, nid in stale[-10:]:
+                tr.write_line(f"  {dur:7.1f}s {nid}", yellow=True)
 
 
 # LTX2_TESTS_NO_CACHE=1 opts out entirely (e.g. a debug run alongside a
@@ -96,6 +116,33 @@ assert jax.devices()[0].platform == "cpu", (
 assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.devices())}"
 
 
+# Fast lane: tests measured >5s on the reference full-suite run carry the
+# `slow` marker via a checked-in manifest, so `pytest -m "not slow"` is a
+# <10-minute sweep while plain `pytest tests/` stays the complete lane.
+# Regenerate the manifest from a `--durations=0` log with
+# scripts/update_slow_manifest.py; sessionfinish warns about drift (an
+# unmanifested test that ran >2x the threshold).
+_SLOW_THRESHOLD_SECS = 5.0
+_SLOW_MANIFEST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def _load_slow_manifest():
+    entries = set()
+    try:
+        with open(_SLOW_MANIFEST) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    entries.add(line)
+    except OSError:
+        pass
+    return entries
+
+
+_slow_entries = _load_slow_manifest()
+_call_durations = {}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         path = str(item.fspath)
@@ -104,6 +151,16 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.unit)
+        # nodeid is repo-relative ("tests/test_x.py::Class::test[param]").
+        if item.nodeid in _slow_entries:
+            item.add_marker(pytest.mark.slow)
+
+
+def pytest_runtest_logreport(report):
+    if report.when in ("setup", "call", "teardown"):
+        _call_durations[report.nodeid] = (
+            _call_durations.get(report.nodeid, 0.0) + report.duration
+        )
 
 
 @pytest.fixture(scope="session")
