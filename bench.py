@@ -377,16 +377,30 @@ def bench_e2e():
     # + file write is NOT in the metric: this environment reaches the TPU
     # through a ~3-25 MB/s dev tunnel, so the 170 MB of uint8 frames would
     # measure the tunnel, not the system (production pulls ride PCIe).
-    from ltx2_tpu.utils.flops import dit_step_flops, mfu_report, video_decoder_flops
+    from ltx2_tpu.utils.flops import (
+        dit_step_flops,
+        mfu_report,
+        video_decoder_ceiling_tflops,
+        video_decoder_flops,
+    )
 
     n_tokens = latent_shape.frames * latent_shape.height * latent_shape.width
     loop_flops = 8 * dit_step_flops(cfg, n_tokens, TEXT_TOKENS, rows=1)
     dec_flops = video_decoder_flops(
         dec_cfg, latent_shape.frames, latent_shape.height, latent_shape.width
     )
+    # The decode denominator that is actually achievable: the FLOP-weighted
+    # measured per-stage conv ceiling (see flops.py / docs/PERF.md) — the
+    # big-matmul roofline is unreachable at the decoder's C=128/256 shapes.
+    dec_ceiling = video_decoder_ceiling_tflops(
+        dec_cfg, latent_shape.frames, latent_shape.height, latent_shape.width
+    )
     _DETAIL["phases"].update({
         "denoise_loop_8step": {"seconds": round(loop_s, 3), **mfu_report(loop_flops, loop_s)},
-        "vae_decode": {"seconds": round(dec_s, 3), **mfu_report(dec_flops, dec_s)},
+        "vae_decode": {
+            "seconds": round(dec_s, 3),
+            **mfu_report(dec_flops, dec_s, shape_ceiling_tflops=dec_ceiling),
+        },
     })
     if int8_s is not None:
         _DETAIL["phases"]["denoise_loop_8step_int8"] = {

@@ -124,11 +124,76 @@ def video_decoder_flops(cfg, latent_f: int, latent_h: int, latent_w: int) -> int
     return total
 
 
+# Measured per-stage conv throughput ceilings (TF/s, v5e) for the
+# production kT x 2D lowering — the fastest KNOWN execution of each
+# decoder stage shape. Established by three exhaustive sweeps:
+#   scripts/bench_conv_lowering.py : 5 XLA lowerings x 8 real stage
+#     shapes; kT x 2D wins every stage (values below).
+#   scripts/bench_conv_pallas.py   : hand Pallas implicit-GEMM kernels
+#     (3 formulations x block/tap-group sweep); best loses to kT x 2D
+#     (94-96 vs 101-104 TF/s at C=128, 112-113 vs 130 at C=256).
+#   scripts/bench_vae_stage4.py    : pure-GEMM probes — the per-tap
+#     [M,128]@[128,128] GEMM and the 9-tap im2col GEMM of the SAME
+#     shapes run at-or-below these numbers (im2col is HBM-bound at
+#     ~94 TF/s by intensity).
+# The limiter is the K=C contraction depth on the 128-lane MXU (the
+# identical ~105 TF/s wall appears in flash attention's head_dim-128
+# contractions), so these ceilings are properties of the SHAPES, not of
+# the lowering. Keyed by conv in_channels; upsample/expansion convs
+# (Cout > Cin) tile deeper and are keyed separately.
+_VAE_CONV_CEILING_RES = {128: 114.0, 256: 143.0, 512: 149.0, 1024: 160.0}
+_VAE_CONV_CEILING_UP = {128: 114.0, 256: 163.0, 512: 146.0, 1024: 166.0}
+_VAE_CONV_CEILING_OUT = 68.0  # conv_out 128 -> 48 (narrow-Cout tail)
+
+
+def _nearest(table: dict, c: int) -> float:
+    return table[min(table, key=lambda k: abs(k - c))]
+
+
+def video_decoder_ceiling_tflops(cfg, latent_f: int, latent_h: int, latent_w: int) -> float:
+    """FLOP-weighted measured throughput ceiling (TF/s) of one decode.
+
+    Walks the same plan as video_decoder_flops, pricing each conv at its
+    measured per-shape ceiling: ceiling = sum(flops) / sum(flops/ceil_i).
+    This is the honest denominator for decode MFU — a decode at 100% of
+    this number cannot be made faster without changing the conv shapes
+    themselves (see docs/PERF.md).
+    """
+    f, h, w = latent_f, latent_h, latent_w
+    k3 = 27
+    flops_total = 0.0
+    time_total = 0.0
+
+    def add(flops: float, ceil_tfs: float) -> None:
+        nonlocal flops_total, time_total
+        flops_total += flops
+        time_total += flops / (ceil_tfs * 1e12)
+
+    c = cfg.base_channels * 8
+    add(2 * f * h * w * cfg.latent_channels * c * k3, _nearest(_VAE_CONV_CEILING_UP, cfg.latent_channels))
+    for kind, spec, in_ch in cfg.plan():
+        if kind == "res":
+            (num_layers,) = spec
+            add(num_layers * 2 * (2 * f * h * w * in_ch * in_ch * k3), _nearest(_VAE_CONV_CEILING_RES, in_ch))
+        else:
+            stride, multiplier, _residual = spec
+            conv_out = in_ch * stride[0] * stride[1] * stride[2] // multiplier
+            add(2 * f * h * w * in_ch * conv_out * k3, _nearest(_VAE_CONV_CEILING_UP, in_ch))
+            f *= stride[0]
+            h *= stride[1]
+            w *= stride[2]
+            if stride[0] > 1:
+                f -= 1
+    add(2 * f * h * w * cfg.final_channels * (3 * cfg.patch_size**2) * k3, _VAE_CONV_CEILING_OUT)
+    return flops_total / time_total / 1e12
+
+
 def mfu_report(
     flops: int,
     seconds: float,
     peak_tflops: float = V5E_BF16_PEAK_TFLOPS,
     roofline_tflops: Optional[float] = V5E_MEASURED_ROOFLINE_TFLOPS,
+    shape_ceiling_tflops: Optional[float] = None,
 ) -> dict:
     achieved = flops / seconds / 1e12
     out = {
@@ -139,5 +204,10 @@ def mfu_report(
     if roofline_tflops:
         out["pct_of_measured_matmul_roofline"] = round(
             100 * achieved / roofline_tflops, 1
+        )
+    if shape_ceiling_tflops:
+        out["measured_shape_ceiling_tflops"] = round(shape_ceiling_tflops, 1)
+        out["pct_of_measured_shape_ceiling"] = round(
+            100 * achieved / shape_ceiling_tflops, 1
         )
     return out

@@ -484,3 +484,28 @@ class TestFlopsAccounting:
         r = mfu_report(197e12, 1.0)
         assert r["pct_of_peak"] == 100.0
         assert r["achieved_tflops_per_s"] == 197.0
+        assert "pct_of_measured_shape_ceiling" not in r
+        r2 = mfu_report(100e12, 1.0, shape_ceiling_tflops=125.0)
+        assert r2["pct_of_measured_shape_ceiling"] == 80.0
+        assert r2["measured_shape_ceiling_tflops"] == 125.0
+
+    def test_vae_decoder_ceiling_between_stage_extremes(self):
+        """The FLOP-weighted ceiling must sit strictly between the slowest
+        (conv_out, 68 TF/s) and fastest (S1 upsample, 166 TF/s) measured
+        per-stage rates, and below the big-matmul roofline — it is a MEAN
+        of measured numbers, not an aspiration (docs/PERF.md)."""
+        from ltx2_tpu.models.video_vae.decoder import VideoDecoderConfig
+        from ltx2_tpu.utils.flops import (
+            V5E_MEASURED_ROOFLINE_TFLOPS,
+            video_decoder_ceiling_tflops,
+        )
+
+        cfg = VideoDecoderConfig()
+        ceil = video_decoder_ceiling_tflops(cfg, 16, 16, 24)
+        assert 68.0 < ceil < 166.0
+        assert ceil < V5E_MEASURED_ROOFLINE_TFLOPS
+        # Shape-independent weights per conv within a stage, so any latent
+        # shape keeps the value in the same band (weights shift only with
+        # the plan's relative FLOP mix).
+        ceil2 = video_decoder_ceiling_tflops(cfg, 8, 32, 32)
+        assert abs(ceil2 - ceil) / ceil < 0.1
