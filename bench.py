@@ -332,6 +332,7 @@ def bench_e2e():
     # e2e number never dies for an optional phase.
     try:
         _, int8_params = make_model(FULL_BLOCKS, fp8=False, int8=True)
+        _maybe_inject_fault("int8")  # after alloc: exercises the free-on-fail path
         out8 = loop(int8_params, state, sigmas, ctx, ctx)
         sync(out8.latent)  # compile (int8 tree retraces the loop)
         t0 = time.perf_counter()
@@ -345,6 +346,11 @@ def bench_e2e():
         _DETAIL["phases"]["denoise_loop_8step_int8"] = {
             "error": f"{type(exc).__name__}: {exc}"[:500]
         }
+        # Drop the multi-GB int8 tree if it was allocated before the fault;
+        # leaving it resident would OOM the VAE decode below and kill the
+        # whole e2e tier for the sake of an optional phase.
+        int8_params = out8 = None  # noqa: F841 — rebind to free HBM refs
+        gc.collect()
 
     dec_cfg = VideoDecoderConfig(
         compute_dtype="bfloat16", base_channels=8 if SMOKE else 128

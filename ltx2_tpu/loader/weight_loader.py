@@ -317,12 +317,26 @@ def load_transformer_params_streamed(
         blocks: Params = {}
         for sub in sorted(per_block):
             idx_map = per_block[sub]
+            # Convert each block exactly once and fill every suffix stack
+            # from that one dict: a two-suffix leaf (int8 "_cscale", fp8
+            # "_scale") must not re-run the dequant+convert+quantize
+            # pipeline per suffix. The companion stacks are tiny (scales),
+            # so peak host memory stays ~one stacked leaf.
             first = convert_one(idx_map[0], f"transformer_blocks.0.{sub}")
+            stacks = {
+                suffix: np.empty((n,) + proto.shape, proto.dtype)
+                for suffix, proto in first.items()
+            }
             for suffix, proto in first.items():
-                stacked = np.empty((n,) + proto.shape, proto.dtype)
-                stacked[0] = proto
-                for i in range(1, n):
-                    stacked[i] = convert_one(idx_map[i], f"transformer_blocks.{i}.{sub}")[suffix]
+                stacks[suffix][0] = proto
+            for i in range(1, n):
+                block = convert_one(idx_map[i], f"transformer_blocks.{i}.{sub}")
+                for suffix in stacks:
+                    stacks[suffix][i] = block[suffix]
+            for suffix in list(stacks):
+                # pop + del: nothing may keep a stacked leaf alive into the
+                # next sub's allocation (the one-leaf host-memory bound).
+                stacked = stacks.pop(suffix)
                 leaf_path = f"transformer_blocks.{sub}{suffix}"
                 _set_nested(
                     blocks, (sub + suffix).split("."), device_put(leaf_path, stacked)

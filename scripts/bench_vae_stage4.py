@@ -113,9 +113,6 @@ def main():
     a9 = jax.random.normal(kx, (M, 9 * C), jnp.bfloat16)
     b9 = jax.random.normal(kw1, (9 * C, C), jnp.bfloat16) * 0.02
 
-    def mm_i2c(c):
-        return jnp.dot(c, b9)
-
     # chain needs out shape == in shape; wrap: out (M,128) -> eps into carry
     @jax.jit
     def loop9(c):

@@ -300,9 +300,12 @@ def _maybe_int8(args, dit_params):
     """--int8 for the PLACEHOLDER path: quantize the (placed) random DiT
     to W8A8 int8 (loader/int8.py). Checkpoint loads instead quantize
     inside the streaming loader (quantize_int8=True), one stacked leaf at
-    a time. Runs jitted over the already-sharded tree, so each shard
-    quantizes locally (per-out-channel amax never crosses a TP split) and
-    shardings carry through via GSPMD."""
+    a time. Runs jitted over the already-sharded tree: column-parallel
+    weights quantize shard-locally (out-channels on 'model'), and for
+    row-parallel weights (to_out/w_down: in-features sharded, i.e. the
+    amax reduction axis) GSPMD inserts the cross-shard max — do NOT move
+    this into a shard_map, where reductions are shard-local and the
+    row-parallel scales would silently diverge per shard."""
     if not getattr(args, "int8", False):
         return dit_params
     import jax
@@ -352,6 +355,23 @@ def _apply_reference_compat(args):
             "re-quantizes from full-precision weights (load dequantized, "
             "i.e. drop --fp8-serving/--fp8, to use --int8)"
         )
+    if args.int8:
+        # Reject int8 x runtime-LoRA-fuse at LAUNCH: the deep guard in
+        # loader/lora.py only fires at the stage-2 fuse, i.e. after
+        # minutes of stage-1 compute. (The deep guard stays for serve
+        # requests that flip the pipeline per-request.) Load-time --lora
+        # specs fuse BEFORE quantization and are fine.
+        runtime_fuse = None
+        if args.distilled_lora and args.pipeline in ("two-stage", "ti2vid-hq"):
+            runtime_fuse = "--distilled-lora (fused into stage 2 at runtime)"
+        elif args.pipeline == "ic-lora":
+            runtime_fuse = "ic-lora's stage-boundary fuse/unfuse"
+        if runtime_fuse:
+            raise SystemExit(
+                f"--int8 is incompatible with {runtime_fuse}: LoRA deltas "
+                "need full-precision weights to fuse into. Drop --int8 "
+                "for this pipeline."
+            )
     if args.low_memory:
         log.info("--low-memory: no-op on TPU (XLA manages memory; see "
                  "--fp8-serving / --tiled-vae / --pp-stages)")

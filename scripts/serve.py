@@ -68,6 +68,17 @@ REQUEST_FIELDS = {
 }
 
 
+def _positive_float(s: str) -> float:
+    """argparse type for --request-timeout: 0 must be rejected, not
+    silently treated as 'no timeout' (the falsy-check footgun)."""
+    v = float(s)
+    if v <= 0:
+        raise argparse.ArgumentTypeError(
+            f"must be > 0 (got {s}); omit the flag to disable the timeout"
+        )
+    return v
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         description="ltx2-tpu serving loop (JSON lines in, JSON lines out)",
@@ -86,13 +97,14 @@ def build_parser():
     p.add_argument("--http-host", type=str, default="127.0.0.1",
                    help="bind address for --http (default loopback; set "
                         "0.0.0.0 to accept remote clients / load balancers)")
-    p.add_argument("--request-timeout", type=float, default=None,
+    p.add_argument("--request-timeout", type=_positive_float, default=None,
                    metavar="SEC",
                    help="HTTP only: reply 504 if a request (including its "
                         "time queued behind the generation lock) exceeds "
-                        "SEC. The in-flight generation is NOT cancelled — "
-                        "jitted TPU programs are not preemptible — so the "
-                        "accelerator stays busy until it finishes")
+                        "SEC. A timed-out request still QUEUED behind the "
+                        "lock is cancelled; an in-flight generation is not "
+                        "— jitted TPU programs are not preemptible — so "
+                        "the accelerator stays busy until it finishes")
     p.add_argument("--warmup", action="store_true",
                    help="run one generation with the launch defaults before "
                         "accepting requests (absorbs the first-compile cost)")
@@ -315,33 +327,40 @@ def make_http_server(args, models, ledger):
                 })
                 return
 
-            def generate_locked():
+            def generate_locked(abandoned=None):
                 with gen_lock:
+                    # A request whose client already got 504 while QUEUED
+                    # behind the lock is cancelled here instead of burning
+                    # a full generation nobody will collect. Only an
+                    # already-running jitted program is uncancellable.
+                    if abandoned is not None and abandoned.is_set():
+                        return None
                     req_id = counter["id"]
                     counter["id"] += 1
                     return handle_request(args, models, ledger, request, req_id)
 
             timeout = getattr(args, "request_timeout", None)
-            if timeout:
+            if timeout is not None:
                 import queue
 
                 box = queue.Queue(maxsize=1)
+                abandoned = threading.Event()
                 worker = threading.Thread(
-                    target=lambda: box.put(generate_locked()), daemon=True
+                    target=lambda: box.put(generate_locked(abandoned)),
+                    daemon=True,
                 )
                 worker.start()
                 try:
                     response = box.get(timeout=timeout)
                 except queue.Empty:
-                    # The jitted program cannot be preempted: the worker
-                    # finishes (and releases gen_lock) on its own; this
-                    # request just stops waiting for it.
+                    abandoned.set()
                     self._reply(504, {
                         "status": "error",
                         "kind": "timeout",
                         "error": f"generation exceeded --request-timeout "
-                                 f"{timeout}s (still running; later "
-                                 f"requests queue behind it)",
+                                 f"{timeout}s (an in-flight generation "
+                                 f"runs to completion; a still-queued one "
+                                 f"is cancelled)",
                     })
                     return
             else:

@@ -17,7 +17,9 @@ import os
 import re
 
 THRESHOLD_SECS = 5.0
-_LINE = re.compile(r"\s*([\d.]+)s (call|setup|teardown)\s+(tests/\S+)")
+# Capture to end-of-line, not \S+: parametrized nodeids may contain
+# spaces (test_y[two words]) and a truncated id never matches in conftest.
+_LINE = re.compile(r"\s*([\d.]+)s (call|setup|teardown)\s+(tests/.+?)\s*$")
 
 
 def main() -> None:

@@ -83,6 +83,22 @@ def test_persistent_fault_falls_back_to_next_tier(tmp_path):
     assert tier_record(detail, "dit_bf16_extrap")["status"] == "skipped"
 
 
+def test_int8_phase_failure_never_kills_the_e2e_tier(tmp_path):
+    """The optional --int8 extra phase is failure-isolated: a fault AFTER
+    the int8 tree is allocated must (a) record the error in the phase,
+    (b) free the tree so the VAE decode that follows doesn't OOM, and
+    (c) leave the e2e tier ok with the fp8 headline (review r4: the old
+    handler leaked the multi-GB int8 params into the decode)."""
+    rc, result, detail = run_bench(tmp_path, fault="int8")
+    assert rc == 0
+    assert result["metric"].startswith("e2e_sec_prompt_to_pixels")
+    assert result["value"] > 0
+    assert tier_record(detail, "e2e")["status"] == "ok"
+    int8_phase = detail["phases"]["denoise_loop_8step_int8"]
+    assert "injected fault" in int8_phase["error"]
+    assert detail["phases"]["vae_decode"]["seconds"] >= 0  # decode still ran
+
+
 def test_total_failure_still_emits_artifact(tmp_path):
     rc, result, detail = run_bench(tmp_path, fault="e2e,dit_fp8,dit_bf16_extrap")
     assert rc == 1

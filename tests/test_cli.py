@@ -8,13 +8,15 @@ save fallback.
 """
 
 import json
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+SCRIPTS = str(Path(__file__).resolve().parent.parent / "scripts")
+sys.path.insert(0, SCRIPTS)
 
 
 def _run(tmp_path, *extra):
@@ -258,6 +260,32 @@ class TestDownloadWeights:
         assert dw._is_downloaded(str(tmp_path), "gemma", None)
 
 
+class TestSlowManifest:
+    def test_parametrized_nodeids_with_spaces_survive(self, tmp_path):
+        """review r4: `tests/\\S+` truncated nodeids containing spaces
+        (test_y[two words]) so those tests silently never got marked slow."""
+        import subprocess
+        import sys
+
+        log = tmp_path / "suite.log"
+        log.write_text(
+            "  12.31s call     tests/test_x.py::test_y[two words]\n"
+            "   8.00s call     tests/test_z.py::test_plain\n"
+            "   0.10s call     tests/test_z.py::test_fast\n"
+        )
+        manifest = tmp_path / "slow_tests.txt"
+        subprocess.run(
+            [sys.executable, os.path.join(SCRIPTS, "update_slow_manifest.py"),
+             str(log), "--manifest", str(manifest)],
+            check=True, capture_output=True, text=True,
+        )
+        entries = [l for l in manifest.read_text().splitlines()
+                   if l and not l.startswith("#")]
+        assert "tests/test_x.py::test_y[two words]" in entries
+        assert "tests/test_z.py::test_plain" in entries
+        assert "tests/test_z.py::test_fast" not in entries
+
+
 class TestServe:
     """Persistent serving loop: models load once, requests stream as JSON
     lines, responses come back as JSON lines; a bad request must not kill
@@ -307,6 +335,22 @@ class TestServe:
             serve.apply_request(base, {"skip_vae": "false"})
         args = serve.apply_request(base, {"skip_vae": True, "seed": 3})
         assert args.skip_vae is True and args.seed == 3
+
+    def test_request_timeout_zero_rejected(self, capsys):
+        """review r4: `if timeout:` treated --request-timeout 0 as 'no
+        timeout'; 0 must be rejected at parse time, not silently disable
+        the bound the help text promises."""
+        import serve
+
+        with pytest.raises(SystemExit):
+            serve.build_parser().parse_args(
+                ["--placeholder", "--request-timeout", "0"]
+            )
+        assert "must be > 0" in capsys.readouterr().err
+        args = serve.build_parser().parse_args(
+            ["--placeholder", "--request-timeout", "1.5"]
+        )
+        assert args.request_timeout == 1.5
 
     def test_reference_compat_flags_apply(self):
         """serve.main must run generate's reference-flag normalization:
@@ -499,7 +543,9 @@ class TestServe:
         errors stay 400 with kind=bad_request; (c) a length-less POST is
         rejected 411, never silently generating with launch defaults;
         (d) --request-timeout answers 504 while the generation completes
-        in the background."""
+        in the background; (e) a timed-out request still QUEUED behind the
+        lock is cancelled instead of generating for a client that already
+        got its 504 (review r4)."""
         import http.client
         import json as json_mod
         import threading
@@ -586,6 +632,12 @@ class TestServe:
             code, resp = post({"output": str(tmp_path / "s.mp4"), "seed": 2})
             assert code == 504 and resp["kind"] == "timeout"
             assert time_mod.perf_counter() - t0 < 10
+
+            # (e) a second request queued behind the still-held lock also
+            # times out — and must be cancelled AT the lock, not run a
+            # full generation nobody collects.
+            code, resp = post({"output": str(tmp_path / "q.mp4"), "seed": 4})
+            assert code == 504 and resp["kind"] == "timeout"
             release.set()
 
             args.request_timeout = None
@@ -598,6 +650,10 @@ class TestServe:
                 time_mod.sleep(0.2)
             code, resp = post({"output": str(tmp_path / "t.mp4"), "seed": 3})
             assert code == 200 and resp["status"] == "ok"
+            # (e) continued: t's generation serialized behind q's worker,
+            # so by now q has passed through the lock — cancelled, so it
+            # produced nothing.
+            assert not (tmp_path / "q_latent.npz").exists()
         finally:
             release.set()
             server.shutdown()

@@ -130,6 +130,45 @@ class TestStreamingLoad:
                     )
             assert n_int8 >= 8  # qkv/out/ffn across blocks actually quantized
 
+    def test_streamed_load_converts_each_block_once(self, tmp_path, monkeypatch):
+        """Two-suffix leaves (int8 '' + '_cscale') must not re-run the
+        dequant+convert+quantize pipeline once per suffix (review r4: the
+        per-suffix loop doubled at-load work for every quantized stacked
+        leaf). Count _dequantize calls: exactly one per checkpoint tensor."""
+        from ltx2_tpu.loader import weight_loader
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+        from tests.helpers import params_to_checkpoint
+
+        cfg = LTXModelConfig(
+            model_type=LTXModelType.VideoOnly,
+            num_attention_heads=2,
+            attention_head_dim=8,
+            in_channels=8,
+            out_channels=8,
+            num_layers=2,
+            cross_attention_dim=16,
+            caption_channels=12,
+            compute_dtype="bfloat16",
+            remat=False,
+        )
+        params = jax.jit(lambda k: init_ltx_model(k, cfg))(jax.random.PRNGKey(3))
+        ckpt = params_to_checkpoint(params)
+        path = str(tmp_path / "ckpt.safetensors")
+        write_safetensors(path, ckpt)
+
+        real = weight_loader._dequantize
+        calls = {"n": 0}
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(weight_loader, "_dequantize", counting)
+        weight_loader.load_transformer_params(
+            path, target_dtype="bfloat16", quantize_int8=True, streaming=True
+        )
+        assert calls["n"] == len(ckpt)
+
     def test_keep_fp8_excludes_quantize_int8(self, tmp_path):
         from ltx2_tpu.loader.weight_loader import load_transformer_params
 
@@ -247,6 +286,29 @@ class TestCLI:
                     ["--placeholder", "--int8", "--fp8-serving"]
                 )
             )
+
+    def test_int8_runtime_lora_pipelines_rejected_at_launch(self):
+        """The int8 x runtime-LoRA-fuse conflict is knowable at parse time;
+        rejecting it only at the stage-2 fuse costs the whole stage-1
+        denoise first (review r4)."""
+        import generate
+
+        for argv in (
+            ["--placeholder", "--int8", "--pipeline", "two-stage",
+             "--distilled-lora", "x.safetensors"],
+            ["--placeholder", "--int8", "--pipeline", "ic-lora"],
+        ):
+            with pytest.raises(SystemExit, match="full-precision"):
+                generate._apply_reference_compat(
+                    generate.build_parser().parse_args(argv)
+                )
+        # --int8 with a LOAD-TIME --lora spec stays allowed (fuses first).
+        args = generate._apply_reference_compat(
+            generate.build_parser().parse_args(
+                ["--placeholder", "--int8", "--lora", "x.safetensors:0.5"]
+            )
+        )
+        assert args.int8
 
     def test_runtime_lora_fuse_refuses_int8(self, tmp_path):
         from ltx2_tpu.loader.lora import LoRAConfig, fuse_lora_into_params
