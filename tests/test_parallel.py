@@ -79,6 +79,31 @@ class TestShardedForward:
         shard_shapes = {s.data.shape for s in leaf.addressable_shards}
         assert all(shape[1] == leaf.shape[1] // 4 for shape in shard_shapes)
 
+    def test_int8_matches_unsharded(self):
+        """--int8 under TP (review r4: the weight_cscale rule was untested):
+        column-parallel scales split with their out-features, row-parallel
+        scales replicate, and the dynamic per-token activation amax crosses
+        row-parallel shards via GSPMD — the sharded int8 forward must match
+        the single-device int8 forward."""
+        from ltx2_tpu.loader.int8 import quantize_params_int8
+        from ltx2_tpu.models.transformer.model import ltx_model_apply
+
+        cfg = mesh_config()
+        int8_params = jax.jit(quantize_params_int8)(cached_params(cfg))
+        video = make_video_modality(cfg)
+        fn = jax.jit(lambda p, v: ltx_model_apply(p, cfg, video=v))
+        expected = np.asarray(fn(int8_params, video))
+
+        mesh = create_mesh(data=2, model=4)
+        sharded = shard_dit_params(mesh, int8_params)
+        cs = sharded["transformer_blocks"]["attn1"]["to_q"]["weight_cscale"]
+        shard_shapes = {s.data.shape for s in cs.addressable_shards}
+        assert all(shape[-1] == cs.shape[-1] // 4 for shape in shard_shapes), (
+            "column-parallel cscale did not shard with its out-features"
+        )
+        out = fn(sharded, video)
+        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
+
     def test_denoise_loop_sharded(self):
         """The full scanned denoise loop runs under the mesh."""
         from ltx2_tpu.components import CFGGuider, GaussianNoiser, VideoLatentPatchifier
