@@ -87,7 +87,12 @@ def load_audio_file(
             import soundfile as sf
 
             data, sr = sf.read(audio_path)
-        except ImportError:
+        except Exception:
+            # Not just ImportError: an INSTALLED soundfile whose libsndfile
+            # can't decode this file (old build without mp3, corrupt
+            # container) raises sf.LibsndfileError/RuntimeError — the
+            # documented fallback chain must still reach wave/ffmpeg
+            # (review r4).
             try:
                 data, sr = _read_wave(audio_path)
             except (wave.Error, EOFError):
@@ -212,13 +217,18 @@ class A2VidPipelineTwoStage(DistilledPipeline):
             freeze_audio=True, initial_audio_latent=initial_audio_latent,
         )
 
-        # Pass the ORIGINAL waveform through as the output audio
-        # (a2vid_two_stage.py behavior).
+        # Pass the ORIGINAL waveform through as the output audio, WITH its
+        # sample rate — reference parity (a2vid_two_stage.py:298,464
+        # returns (video, waveform, audio_sr)): the passthrough is at
+        # config.audio_sample_rate (16 kHz), not the vocoder's output
+        # rate; muxing it at the vocoder rate plays it 1.5-3x too fast.
+        # rate=None means "vocoder output rate" (generated-audio branch).
         if config.audio_enabled:
             video, _generated_audio = result
             if source_waveform is not None:
-                return video, jnp.asarray(source_waveform)[None]
-            return video, _generated_audio
+                return (video, jnp.asarray(source_waveform)[None],
+                        int(config.audio_sample_rate))
+            return video, _generated_audio, None
         return result
 
 

@@ -243,8 +243,9 @@ def _check_seq_divisible(tokens: int, mesh: Mesh, axis: str, what: str) -> None:
     n = mesh.shape[axis]
     if tokens % n != 0:
         raise ValueError(
-            f"{what} token count {tokens} must divide the '{axis}' mesh axis "
-            f"size {n} for sequence parallelism (pad frames/resolution)."
+            f"{what} token count {tokens} must be divisible by the '{axis}' "
+            f"mesh axis size {n} for sequence parallelism (pad "
+            f"frames/resolution up to a multiple of {n})."
         )
 
 
@@ -762,14 +763,18 @@ def make_av_denoise_loop(
                 audio_state.latent.shape[1], mesh, sequence_axis, "audio"
             )
 
-        def build_forward(with_cfg: bool):
-            r = 1 + int(with_cfg) + int(loop_cfg.need_stg)
-            v_ctx = _stack_guidance_ctx(pos_v, neg_v, with_cfg, loop_cfg.need_stg)
-            a_ctx = _stack_guidance_ctx(pos_a, neg_a, with_cfg, loop_cfg.need_stg)
+        def build_forward(with_cfg: bool, with_stg: Optional[bool] = None):
+            if with_stg is None:
+                with_stg = loop_cfg.need_stg
+            r = 1 + int(with_cfg) + int(with_stg)
+            v_ctx = _stack_guidance_ctx(pos_v, neg_v, with_cfg, with_stg)
+            a_ctx = _stack_guidance_ctx(pos_a, neg_a, with_cfg, with_stg)
             v_positions = _tile_rows(video_state.positions, r)
             a_positions = _tile_rows(audio_state.positions, r)
             video_pe = _precompute_video_pe(model_cfg, video_state.positions, r)
-            perturb = _build_perturbations(loop_cfg, r, batch)
+            perturb = (
+                _build_perturbations(loop_cfg, r, batch) if with_stg else None
+            )
 
             text_kv = None
             if loop_cfg.cache_text_kv and not model_cfg.cross_attention_adaln:
@@ -832,6 +837,28 @@ def make_av_denoise_loop(
 
         forward_full = build_forward(with_cfg=loop_cfg.need_cfg)
         forward_reduced = build_forward(with_cfg=False) if reuse_cfg else None
+
+        # Heun's corrector is CFG-ONLY in the reference's AV loop too
+        # (one_stage.py:670-695: the evaluation at the predicted point runs
+        # pos [+ neg under CFG] and never a perturbed pass) — same rule the
+        # video loop applies. STG-row-free corrector forwards:
+        heun = loop_cfg.sampler == "heun"
+        forward_corr = (
+            build_forward(loop_cfg.need_cfg, with_stg=False)
+            if heun and loop_cfg.need_stg else forward_full
+        )
+        forward_corr_reduced = (
+            build_forward(False, with_stg=False)
+            if heun and loop_cfg.need_stg and reuse_cfg else forward_reduced
+        )
+
+        def combine_corr(pos, neg, guider, ema=None):
+            if not loop_cfg.need_cfg:
+                return pos
+            if hasattr(guider, "momentum"):
+                out, _ = guider.guide(pos, neg, ema)  # read-only EMA
+                return out
+            return guider.guide(pos, neg)
 
         # --stg-mode: which stream the STG delta applies to (the skipped
         # attention is selected consistently in _build_perturbations).
@@ -923,32 +950,38 @@ def make_av_denoise_loop(
             if loop_cfg.sampler == "heun":
                 v_pred = _euler_step(v_latent, v_denoised, sigma, sigma_next)
                 a_pred = _euler_step(a_latent, a_denoised, sigma, sigma_next)
+                # Corrector: CFG-only, no STG row runs or combines (review
+                # r4: this previously ran forward_full and applied the STG
+                # delta to the second evaluation — the reference never does).
                 if reuse_cfg:
-                    v_d2, a_d2, _, _ = eval_reused(
-                        v_pred, a_pred, sigma_next, v_delta, a_delta, stg_flag
+                    # Reuses the step's (possibly fresh) deltas — one
+                    # reduced forward instead of a full one.
+                    v_outs2, a_outs2 = forward_corr_reduced(
+                        v_pred, a_pred, sigma_next
                     )
-                elif stateful_guider:
-                    # Corrector reads the step's EMA without advancing it.
-                    v_outs2, a_outs2 = forward_full(v_pred, a_pred, sigma_next)
-                    vp2, vn2, vpert2 = split(v_outs2, True)
-                    ap2, an2, apert2 = split(a_outs2, True)
-                    v_d2, _ = combine_stateful(
-                        vp2, vn2, vpert2, loop_cfg.guider,
-                        stg_flag * v_stg_on, v_ema,
-                    )
-                    a_d2, _ = combine_stateful(
-                        ap2, an2, apert2, loop_cfg.audio_guider,
-                        stg_flag * a_stg_on, a_ema,
-                    )
+                    vp2, _, _ = _split_rows(v_outs2, batch, False, False)
+                    ap2, _, _ = _split_rows(a_outs2, batch, False, False)
+                    vn2 = (vp2.astype(jnp.float32) - v_delta).astype(vp2.dtype)
+                    an2 = (ap2.astype(jnp.float32) - a_delta).astype(ap2.dtype)
+                    v_d2 = combine_corr(vp2, vn2, loop_cfg.guider)
+                    a_d2 = combine_corr(ap2, an2, loop_cfg.audio_guider)
                 else:
-                    v_outs2, a_outs2 = forward_full(v_pred, a_pred, sigma_next)
-                    v_d2 = _combine_guidance(
-                        loop_cfg, v_outs2, loop_cfg.guider,
-                        stg_flag * v_stg_on, batch,
+                    # Stateful guiders read the step's EMA without
+                    # advancing it.
+                    v_outs2, a_outs2 = forward_corr(v_pred, a_pred, sigma_next)
+                    vp2, vn2, _ = _split_rows(
+                        v_outs2, batch, loop_cfg.need_cfg, False
                     )
-                    a_d2 = _combine_guidance(
-                        loop_cfg, a_outs2, loop_cfg.audio_guider,
-                        stg_flag * a_stg_on, batch,
+                    ap2, an2, _ = _split_rows(
+                        a_outs2, batch, loop_cfg.need_cfg, False
+                    )
+                    v_d2 = combine_corr(
+                        vp2, vn2, loop_cfg.guider,
+                        v_ema if stateful_guider else None,
+                    )
+                    a_d2 = combine_corr(
+                        ap2, an2, loop_cfg.audio_guider,
+                        a_ema if stateful_guider else None,
                     )
                 v_d2 = post_process_latent(v_d2, v_mask, v_clean)
                 a_d2 = post_process_latent(a_d2, a_mask, a_clean)

@@ -126,6 +126,22 @@ class DistilledPipeline(OneStagePipeline):
             return self.video_encoder_params["per_channel_statistics"]
         raise ValueError("per-channel statistics unavailable (no VAE params)")
 
+    def _upscale_latent(self, latent, dtype):
+        """The shared stage-boundary bracket: consolidate (SP/PP loop
+        outputs are sharded; the upscaler convs need a full latent) ->
+        un-normalize (the upscaler is trained on un-normalized latents) ->
+        2x spatial upscale -> re-normalize -> cast. ONE definition for all
+        four staged pipelines so the bracket cannot drift (review r4)."""
+        from ltx2_tpu.pipelines.common import jitted_spatial_upscaler
+
+        stats = self._stats()
+        upscale = jitted_spatial_upscaler(self.spatial_upscaler_cfg)
+        upscaled = upscale(
+            self.spatial_upscaler_params,
+            un_normalize_latent(consolidate_latent(latent), stats),
+        )
+        return normalize_latent(upscaled, stats).astype(jnp.dtype(dtype))
+
     def _run_stage(
         self,
         pixel_shape: VideoPixelShape,
@@ -281,16 +297,8 @@ class DistilledPipeline(OneStagePipeline):
         # ====== STAGE 2: 2x spatial upscale + 3-sigma refinement ======
         final_audio_latent = stage_1_audio
         if self.spatial_upscaler_params is not None:
-            stats = self._stats()
-            # SP/PP loop outputs are sharded; the upscaler convs need a
-            # consolidated latent (see pipelines/common.py).
-            latent_unnorm = un_normalize_latent(consolidate_latent(stage_1_latent), stats)
-            from ltx2_tpu.pipelines.common import jitted_spatial_upscaler
-
-            upscale = jitted_spatial_upscaler(self.spatial_upscaler_cfg)
-            upscaled = upscale(self.spatial_upscaler_params, latent_unnorm)
-            upscaled_video_latent = normalize_latent(upscaled, stats).astype(
-                jnp.dtype(config.dtype)
+            upscaled_video_latent = self._upscale_latent(
+                stage_1_latent, config.dtype
             )
 
             stage_2_shape = VideoPixelShape(

@@ -10,7 +10,6 @@ distilled refinement.
 
 from __future__ import annotations
 
-import subprocess
 from dataclasses import dataclass
 from enum import Enum
 from pathlib import Path
@@ -49,28 +48,6 @@ class VideoCondition:
     canny_low: int = 100
     canny_high: int = 200
     save_control: bool = False
-
-
-def load_video_tensor_ffmpeg(
-    video_path: str, height: int, width: int, num_frames: int
-) -> np.ndarray:
-    """Decode + resize via ffmpeg -> (1, 3, F, H, W) in [-1, 1]."""
-    cmd = [
-        "ffmpeg", "-v", "quiet", "-i", str(video_path),
-        "-vf", f"scale={width}:{height}",
-        "-frames:v", str(num_frames),
-        "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
-    ]
-    raw = subprocess.run(cmd, capture_output=True, check=True).stdout
-    frames = np.frombuffer(raw, np.uint8)
-    n = len(frames) // (height * width * 3)
-    if n == 0:
-        raise ValueError(f"Could not read any frames from {video_path}")
-    frames = frames[: n * height * width * 3].reshape(n, height, width, 3)
-    while frames.shape[0] < num_frames:
-        frames = np.concatenate([frames, frames[-1:]], axis=0)
-    video = frames[:num_frames].astype(np.float32) / 127.5 - 1.0
-    return video.transpose(3, 0, 1, 2)[None]
 
 
 def preprocess_canny(

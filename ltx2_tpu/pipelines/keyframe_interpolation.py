@@ -30,7 +30,6 @@ from ltx2_tpu.conditioning.keyframe import VideoConditionByKeyframeIndex
 from ltx2_tpu.conditioning.tools import VideoLatentTools
 from ltx2_tpu.pipelines.common import (
     apply_conditionings,
-    consolidate_latent,
     load_image_tensor,
 )
 from ltx2_tpu.pipelines.denoise import (
@@ -196,21 +195,8 @@ class KeyframeInterpolationPipeline(DistilledPipeline):
         # ===== Stage 2: upscale + distilled refinement, no CFG =====
         if two_stage:
             from ltx2_tpu.components import STAGE_2_DISTILLED_SIGMA_VALUES
-            from ltx2_tpu.models.video_vae import (
-                normalize_latent,
-                un_normalize_latent,
-            )
-            from ltx2_tpu.pipelines.common import jitted_spatial_upscaler
 
-            stats = self._stats()
-            upscale = jitted_spatial_upscaler(self.spatial_upscaler_cfg)
-            upscaled = normalize_latent(
-                upscale(
-                    self.spatial_upscaler_params,
-                    un_normalize_latent(consolidate_latent(final_latent), stats),
-                ),
-                stats,
-            ).astype(dtype)
+            upscaled = self._upscale_latent(final_latent, dtype)
 
             distilled = jnp.asarray(
                 STAGE_2_DISTILLED_SIGMA_VALUES[: config.stage_2_steps + 1],

@@ -435,17 +435,28 @@ class OneStagePipeline:
                 # available — upscale the normalized latent directly.
                 final_video_latent = upscaler(final_video_latent)
                 continue
+            from ltx2_tpu.models.video_vae import (
+                normalize_latent,
+                un_normalize_latent,
+            )
+
             stats = self.video_decoder_params["per_channel_statistics"]
-            std = stats["std_of_means"].reshape(1, -1, 1, 1, 1)
-            mean = stats["mean_of_means"].reshape(1, -1, 1, 1, 1)
-            latent_unnorm = final_video_latent * std + mean
-            latent_upscaled = upscaler(latent_unnorm)
-            final_video_latent = (latent_upscaled - mean) / std
+            latent_upscaled = upscaler(un_normalize_latent(final_video_latent, stats))
+            final_video_latent = normalize_latent(latent_upscaled, stats)
 
         if skip_decode:
-            return np.asarray(final_video_latent), (
-                np.asarray(audio_state.latent) if audio_state is not None else None
-            )
+            # Same audio-latent contract as the decode path and the staged
+            # pipelines (review r4): conditioning cleared + unpatchified to
+            # the (B, C, T, mel) grid the audio decoder consumes — not raw
+            # (B, N, C) loop tokens.
+            audio_latent = None
+            if audio_state is not None:
+                if audio_tools is not None:
+                    a = audio_tools.clear_conditioning(audio_state)
+                    audio_latent = np.asarray(audio_tools.unpatchify(a).latent)
+                else:
+                    audio_latent = np.asarray(audio_state.latent)
+            return np.asarray(final_video_latent), audio_latent
 
         video = self._decode_video(final_video_latent, config, decode_key)
 

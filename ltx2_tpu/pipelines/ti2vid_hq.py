@@ -29,7 +29,6 @@ from ltx2_tpu.components.res2s import get_res2s_coefficients
 from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
 from ltx2_tpu.models.transformer.model import LTXModelConfig
 from ltx2_tpu.pipelines.common import (
-    consolidate_latent,
     modality_from_state,
     post_process_latent,
 )
@@ -53,7 +52,12 @@ def _make_cfg_eval(model_cfg: LTXModelConfig, need_cfg: bool, av: bool):
     rows = 2 if need_cfg else 1
 
     def eval_fn(params, v_latent, v_mask, v_positions, v_clean, v_ctx,
-                a_latent, a_mask, a_positions, a_clean, a_ctx, sigma):
+                a_latent, a_mask, a_positions, a_clean, a_ctx, sigma,
+                video_pe):
+        # video_pe is precomputed ONCE per generation by the caller
+        # (review r4): positions are loop-invariant, and computing the
+        # RoPE grid inside this jitted eval re-ran it on device twice per
+        # Res2s step — the exact recompute denoise.py's scan loops hoist.
         from ltx2_tpu.models.transformer.model import x0_model_apply
 
         v_state = LatentState(
@@ -62,7 +66,6 @@ def _make_cfg_eval(model_cfg: LTXModelConfig, need_cfg: bool, av: bool):
             positions=_tile_rows(v_positions, rows),
             clean_latent=_tile_rows(v_clean, rows),
         )
-        video_pe = _precompute_video_pe(model_cfg, v_positions, rows)
         kwargs = dict(video=modality_from_state(v_state, v_ctx, sigma), video_pe=video_pe)
         if av:
             a_state = LatentState(
@@ -105,6 +108,9 @@ class TI2VidHQPipeline(DistilledPipeline):
         need_cfg = (cfg_scale != 1.0 or av_cfg) and neg_v is not None
         av = audio_state is not None
         eval_fn = _make_cfg_eval(self.transformer_cfg, need_cfg, av)
+        video_pe = _precompute_video_pe(
+            self.transformer_cfg, video_state.positions, 2 if need_cfg else 1
+        )
 
         sig = [float(s) for s in sigmas]
         if sig[-1] == 0.0:
@@ -113,6 +119,12 @@ class TI2VidHQPipeline(DistilledPipeline):
             -math.log(sig[i + 1] / sig[i]) if sig[i] > 0 and sig[i + 1] > 0 else 0.0
             for i in range(len(sig) - 1)
         ]
+        # DELIBERATE reference parity (ti2vid_hq.py:167-185): num_steps
+        # counts the ORIGINAL schedule even though sig grew by one entry,
+        # so the appended 0.0011 tail step never executes — the loop ends
+        # with the full RK step TO sigma=0.0011 and the final denoise at
+        # 0.0011 is dead code in the reference executable too. Matching
+        # the executable (docs/PARITY.md rule) means matching this.
         num_steps = len(sigmas) - 1
         phi_cache: dict = {}
         c2 = 0.5
@@ -135,6 +147,7 @@ class TI2VidHQPipeline(DistilledPipeline):
                 audio_state.clean_latent if av else zeros,
                 a_ctx if av else zeros,
                 jnp.float32(sigma),
+                video_pe,
             )
 
             def guide(o, scale):
@@ -303,21 +316,8 @@ class TI2VidHQPipeline(DistilledPipeline):
         final_audio_latent = stage_1_audio
         if self.spatial_upscaler_params is not None:
             from ltx2_tpu.components import STAGE_2_DISTILLED_SIGMA_VALUES
-            from ltx2_tpu.models.video_vae import normalize_latent, un_normalize_latent
 
-            stats = self._stats()
-            from ltx2_tpu.pipelines.common import jitted_spatial_upscaler
-
-            upscale = jitted_spatial_upscaler(self.spatial_upscaler_cfg)
-            upscaled = normalize_latent(
-                upscale(
-                    self.spatial_upscaler_params,
-                    # SP/PP loop outputs are sharded; the upscaler convs
-                    # need a consolidated latent (see pipelines/common.py).
-                    un_normalize_latent(consolidate_latent(stage_1_latent), stats),
-                ),
-                stats,
-            ).astype(dtype)
+            upscaled = self._upscale_latent(stage_1_latent, dtype)
 
             stage_2_shape = VideoPixelShape(
                 batch=1, frames=config.num_frames,

@@ -28,15 +28,10 @@ from ltx2_tpu.components import (
 )
 from ltx2_tpu.conditioning.tools import AudioLatentTools, VideoLatentTools
 from ltx2_tpu.loader.lora import LoRAConfig, fuse_lora_into_params, unfuse_lora_deltas
-from ltx2_tpu.models.video_vae import (
-    TilingConfig,
-    normalize_latent,
-    un_normalize_latent,
-)
+from ltx2_tpu.models.video_vae import TilingConfig
 from ltx2_tpu.pipelines.common import (
     ImageCondition,
     apply_conditionings,
-    consolidate_latent,
     create_image_conditionings,
 )
 from ltx2_tpu.pipelines.denoise import (
@@ -229,16 +224,9 @@ class TwoStagePipeline(DistilledPipeline):
         # ====== STAGE 2: upscale + distilled-LoRA refinement ======
         final_audio_latent = stage_1_audio_latent
         if self.spatial_upscaler_params is not None:
-            stats = self._stats()
-            # SP/PP loop outputs are sharded; the upscaler convs need a
-            # consolidated latent (see pipelines/common.py).
-            latent_unnorm = un_normalize_latent(consolidate_latent(stage_1_video_latent), stats)
-            from ltx2_tpu.pipelines.common import jitted_spatial_upscaler
-
-            upscale = jitted_spatial_upscaler(self.spatial_upscaler_cfg)
-            upscaled_video_latent = normalize_latent(
-                upscale(self.spatial_upscaler_params, latent_unnorm), stats
-            ).astype(dtype)
+            upscaled_video_latent = self._upscale_latent(
+                stage_1_video_latent, dtype
+            )
 
             # Fuse distilled LoRA; keep the deltas to restore afterwards
             # (two_stage.py:676-691,778-782).

@@ -1081,6 +1081,9 @@ def _execute_request(args, models, ledger):
     )
 
     audio_out = None
+    # Most pipelines emit vocoder-rate audio; a2vid's passthrough overrides
+    # this with the source waveform's true rate (reference 3-tuple return).
+    audio_sr_override = None
     with phase("generation"):
         if args.pipeline in ("one-stage", "text-to-video"):
             from ltx2_tpu.pipelines import OneStageCFGConfig, OneStagePipeline
@@ -1268,7 +1271,10 @@ def _execute_request(args, models, ledger):
             cfg = A2VidConfig(audio_path=args.audio_file or "", **common)
             result = pipeline(pos, None, cfg, audio_encoding=pos_a,
                               skip_decode=args.skip_vae)
-            video, audio_out = result if args.audio else (result, None)
+            if args.audio:
+                video, audio_out, audio_sr_override = result
+            else:
+                video, audio_out = result, None
         else:
             raise ValueError(f"unknown pipeline {args.pipeline}")
 
@@ -1286,7 +1292,8 @@ def _execute_request(args, models, ledger):
                 np.asarray(video), args.output, args.fps,
                 output_fps=args.output_fps, audio=audio_out,
                 audio_sample_rate=(
-                    int(voc_cfg.output_sample_rate)
+                    audio_sr_override if audio_sr_override is not None
+                    else int(voc_cfg.output_sample_rate)
                     if voc_cfg is not None else 24000
                 ),
                 speed=args.speed,

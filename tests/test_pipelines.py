@@ -204,6 +204,110 @@ class TestDenoiseLoop:
         assert bool(jnp.all(jnp.isfinite(v_out.latent)))
         assert bool(jnp.all(jnp.isfinite(a_out.latent)))
 
+    def test_av_heun_corrector_is_cfg_only(self):
+        """Reference one_stage.py:670-695: the AV Heun corrector evaluates
+        the predicted point WITHOUT a perturbed pass — STG shapes only the
+        first evaluation, like the video loop (review r4: the AV corrector
+        previously ran the STG row and applied its delta). Pinned against a
+        hand-rolled loop calling x0_model_apply directly."""
+        from ltx2_tpu.components import AudioPatchifier
+        from ltx2_tpu.components.perturbations import (
+            BatchedPerturbationConfig,
+            create_stg_perturbation,
+        )
+        from ltx2_tpu.conditioning.tools import AudioLatentTools
+        from ltx2_tpu.models.transformer.model import x0_model_apply
+        from ltx2_tpu.types import AudioLatentShape
+
+        cfg = tiny_config(model_type=LTXModelType.AudioVideo)
+        params = cached_params(cfg)
+        v_state, _ = make_state(cfg)
+        a_shape = AudioLatentShape(batch=1, channels=2, frames=4, mel_bins=4)
+        a_tools = AudioLatentTools(
+            patchifier=AudioPatchifier(patch_size=4), target_shape=a_shape
+        )
+        a_state = GaussianNoiser()(
+            jax.random.PRNGKey(3), a_tools.create_initial_state(), 1.0
+        )
+        sigmas = jnp.asarray([1.0, 0.6, 0.0])
+        v_ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.caption_channels))
+        a_ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.caption_channels))
+
+        stg_scale = 0.7
+        loop = make_av_denoise_loop(
+            cfg,
+            DenoiseLoopConfig(
+                guider=CFGGuider(1.0), audio_guider=CFGGuider(1.0),
+                stg_scale=stg_scale, stg_blocks=(0,), sampler="heun",
+                stg_mode="video",
+            ),
+        )
+        v_out, a_out = loop(
+            params, v_state, a_state, sigmas, v_ctx, v_ctx, a_ctx, a_ctx
+        )
+
+        # Hand-rolled reference loop: no CFG, STG (video) on the FIRST
+        # evaluation only, plain pos evaluation in the corrector.
+        stg_pert = BatchedPerturbationConfig(perturbations=(
+            create_stg_perturbation(
+                skip_video_self_attn=True, blocks=[0],
+                skip_audio_self_attn=False,
+            ),
+        ))
+
+        def x0(vl, al, sigma, perturb):
+            v_s = LatentState(
+                latent=vl, denoise_mask=v_state.denoise_mask,
+                positions=v_state.positions, clean_latent=v_state.clean_latent,
+            )
+            a_s = LatentState(
+                latent=al, denoise_mask=a_state.denoise_mask,
+                positions=a_state.positions, clean_latent=a_state.clean_latent,
+            )
+            return x0_model_apply(
+                params, cfg,
+                video=modality_from_state(v_s, v_ctx, sigma),
+                audio=modality_from_state(a_s, a_ctx, sigma),
+                perturbations=perturb,
+            )
+
+        def euler(latent, denoised, s, sn):
+            vel = (latent.astype(jnp.float32) - denoised.astype(jnp.float32)) / s
+            return (latent.astype(jnp.float32) + vel * (sn - s)).astype(latent.dtype)
+
+        vl, al = v_state.latent, a_state.latent
+        for i in range(sigmas.shape[0] - 1):
+            s, sn = float(sigmas[i]), float(sigmas[i + 1])
+            pv, pa = x0(vl, al, s, None)
+            qv, _qa = x0(vl, al, s, stg_pert)
+            dv = pv + stg_scale * (pv - qv)
+            da = pa  # stg_mode="video": the audio stream takes no delta
+            dv = post_process_latent(dv, v_state.denoise_mask, v_state.clean_latent)
+            da = post_process_latent(da, a_state.denoise_mask, a_state.clean_latent)
+            if sn == 0:
+                vl, al = dv.astype(vl.dtype), da.astype(al.dtype)
+                break
+            pred_v, pred_a = euler(vl, dv, s, sn), euler(al, da, s, sn)
+            d2v, d2a = x0(pred_v, pred_a, sn, None)  # corrector: NO STG row
+            d2v = post_process_latent(d2v, v_state.denoise_mask, v_state.clean_latent)
+            d2a = post_process_latent(d2a, a_state.denoise_mask, a_state.clean_latent)
+
+            def heun(latent, d1, pred, d2):
+                w1 = (latent.astype(jnp.float32) - d1) / s
+                w2 = (pred.astype(jnp.float32) - d2) / sn
+                return (
+                    latent.astype(jnp.float32) + 0.5 * (w1 + w2) * (sn - s)
+                ).astype(latent.dtype)
+
+            vl, al = heun(vl, dv, pred_v, d2v), heun(al, da, pred_a, d2a)
+
+        np.testing.assert_allclose(
+            np.asarray(v_out.latent), np.asarray(vl), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_out.latent), np.asarray(al), atol=1e-5, rtol=1e-5
+        )
+
 
 class TestOneStageEndToEnd:
     def test_tiny_generation(self):
@@ -310,6 +414,34 @@ class TestOneStageEndToEnd:
         pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
         latent, _ = pipeline(pos, pos, config, skip_decode=True)
         assert latent.shape == (1, 8, 2, 2, 3)
+
+    def test_skip_decode_audio_latent_is_unpatchified_grid(self):
+        """skip_decode's audio latent follows the SAME contract as the
+        decode path and the staged pipelines: conditioning cleared and
+        unpatchified to the (B, C, T, mel) grid the audio decoder consumes
+        (review r4: it previously returned raw (B, N, C) loop tokens)."""
+        dit_cfg = tiny_config(
+            in_channels=8, out_channels=8, model_type=LTXModelType.AudioVideo
+        )
+        pipeline = OneStagePipeline(
+            transformer_params=cached_params(dit_cfg), transformer_cfg=dit_cfg
+        )
+        config = OneStageCFGConfig(
+            height=64, width=96, num_frames=9,
+            num_inference_steps=2, cfg_scale=1.0, rescale_scale=0.0,
+            latent_channels=8, audio_enabled=True,
+            audio_vae_channels=2, audio_mel_bins=4,
+        )
+        pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
+        pos_a = jax.random.normal(jax.random.PRNGKey(1), (1, 5, dit_cfg.caption_channels))
+        latent, audio_latent = pipeline(
+            pos, pos, config, skip_decode=True,
+            positive_audio_encoding=pos_a, negative_audio_encoding=pos_a,
+        )
+        assert latent.shape == (1, 8, 2, 2, 3)
+        assert audio_latent is not None
+        assert audio_latent.ndim == 4 and audio_latent.shape[:2] == (1, 2)
+        assert audio_latent.shape[-1] == 4  # mel-bin axis restored
 
 
 class TestTextKVCacheLoop:

@@ -288,6 +288,36 @@ class TestA2VidTempFileCleanup:
         after = set(glob.glob(str(Path(tempfile.gettempdir()) / "*.wav")))
         assert after == before, f"leaked temp wavs: {after - before}"
 
+    def test_soundfile_decode_failure_falls_back_to_wave(self, tmp_path, monkeypatch):
+        """An INSTALLED soundfile whose libsndfile can't decode the file
+        (RuntimeError, not ImportError) must still reach the stdlib wave
+        fallback for plain PCM wavs (review r4)."""
+        import sys
+        import types
+        import wave as wave_mod
+
+        from ltx2_tpu.pipelines import a2vid_two_stage
+
+        path = tmp_path / "tone.wav"
+        sr, n = 16000, 1600
+        pcm = (np.sin(np.linspace(0, 40 * np.pi, n)) * 20000).astype(np.int16)
+        with wave_mod.open(str(path), "w") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(pcm.tobytes())
+
+        broken = types.ModuleType("soundfile")
+        broken.read = lambda *a, **kw: (_ for _ in ()).throw(
+            RuntimeError("libsndfile: unsupported format")
+        )
+        monkeypatch.setitem(sys.modules, "soundfile", broken)
+        data, got_sr = a2vid_two_stage.load_audio_file(str(path), target_sr=sr)
+        assert got_sr == sr
+        assert data.shape[0] == 1 and data.shape[1] == n
+        np.testing.assert_allclose(data[0], pcm.astype(np.float32) / 32768.0,
+                                   atol=1e-6)
+
 
 class TestA2Vid:
     def test_waveform_passthrough(self):
@@ -300,11 +330,15 @@ class TestA2Vid:
         )
         waveform = np.random.default_rng(0).normal(size=(2, 1600)).astype(np.float32)
         pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
-        latent, audio = pipeline(
+        latent, audio, sr = pipeline(
             pos, None, config, source_waveform=waveform, skip_decode=True
         )
         assert latent.shape == (1, 8, 2, 2, 2)
         np.testing.assert_allclose(np.asarray(audio)[0], waveform)
+        # The passthrough must carry its TRUE rate (reference 3-tuple,
+        # a2vid_two_stage.py:464): muxing 16 kHz source audio at the
+        # vocoder's 24/48 kHz played it 1.5-3x too fast (review r4).
+        assert sr == config.audio_sample_rate
 
 
 class TestA2VidFrozenEncode:
@@ -401,11 +435,12 @@ class TestA2VidFrozenEncode:
         )
         waveform = np.random.default_rng(0).normal(size=(2, 1600)).astype(np.float32)
         pos = jax.random.normal(jax.random.PRNGKey(0), (1, 5, dit_cfg.caption_channels))
-        latent, audio = pipeline(
+        latent, audio, sr = pipeline(
             pos, None, config, source_waveform=waveform, skip_decode=True
         )
         assert bool(jnp.all(jnp.isfinite(latent)))
         np.testing.assert_allclose(np.asarray(audio)[0], waveform)
+        assert sr == config.audio_sample_rate
 
 
 class TestICLora:
