@@ -45,7 +45,12 @@ def save_generation_state(
         )
     payload["sigmas"] = np.asarray(sigmas, np.float32)
     payload["step"] = np.int32(step)
-    np.savez(path, **payload)
+    # np.savez(path_string) appends '.npz' to extension-less paths while
+    # load opens the literal path — write through a file handle so save
+    # and load always agree on the exact path (review r4: a resume with
+    # the same path string otherwise died with FileNotFoundError).
+    with open(path, "wb") as fh:
+        np.savez(fh, **payload)
 
 
 def load_generation_state(

@@ -117,7 +117,6 @@ def video_decoder_flops(cfg, latent_f: int, latent_h: int, latent_w: int) -> int
             w *= stride[2]
             if stride[0] > 1:
                 f -= 1  # causal first-frame trim
-            c = in_ch // multiplier
 
     # conv_out: final_channels -> 3 * patch^2
     total += 2 * f * h * w * cfg.final_channels * (3 * cfg.patch_size**2) * k3

@@ -265,7 +265,15 @@ class ModelLedger:
         self._cache.clear()
 
     def with_loras(self, loras: List[LoRAConfig]) -> "ModelLedger":
-        """A view with a different LoRA set (fresh transformer cache)."""
+        """A view with a different LoRA set: fresh transformer cache, every
+        serving flag carried over (review r4: int8/transformer_device_put
+        were silently dropped, so the LoRA view of an int8-serving ledger
+        loaded full bf16), and the LoRA-independent components (VAEs,
+        vocoder, Gemma, upscalers) SHARED — switching LoRA sets must not
+        re-load multi-GB components that don't depend on the LoRA list."""
+        shared_cache = {
+            k: v for k, v in self._cache.items() if k != "transformer"
+        }
         return ModelLedger(
             checkpoint_path=self.checkpoint_path,
             gemma_path=self.gemma_path,
@@ -275,7 +283,10 @@ class ModelLedger:
             target_dtype=self.target_dtype,
             include_audio=self.include_audio,
             keep_fp8=self.keep_fp8,
+            int8=self.int8,
             gemma_fp8=self.gemma_fp8,
+            transformer_device_put=self.transformer_device_put,
+            _cache=shared_cache,
         )
 
 

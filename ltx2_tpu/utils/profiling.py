@@ -30,22 +30,43 @@ if not log.handlers:
 _PHASE_TIMES: "OrderedDict[str, float]" = OrderedDict()
 
 
+_SYNC_TOKEN_FN = None
+
+
+def _device_barrier() -> None:
+    """Best-effort drain of dispatched device work on the DEFAULT device:
+    enqueue a trivial program and block on it — PjRt executes each device's
+    compute stream in order, so a later-enqueued program completes only
+    after all previously dispatched work. `jax.effects_barrier()` alone
+    only waits on effect tokens (io_callback/debug), NOT pure dispatched
+    computations (review r4: the old sync did nothing for compute). Work
+    dispatched to OTHER devices of a mesh is not covered; phases wrapping
+    sharded work should materialize their outputs (np.asarray /
+    block_until_ready), which every pipeline already does."""
+    global _SYNC_TOKEN_FN
+    try:
+        if _SYNC_TOKEN_FN is None:
+            _SYNC_TOKEN_FN = jax.jit(lambda x: x + 1)
+        jax.effects_barrier()
+        jax.block_until_ready(_SYNC_TOKEN_FN(0))
+    except Exception:
+        pass
+
+
 @contextlib.contextmanager
 def phase(name: str, sync: bool = True) -> Iterator[None]:
     """Time a pipeline phase; accumulates into the process-wide report.
 
-    sync=True drains outstanding device work before stopping the clock so
-    the number reflects execution, not dispatch.
+    sync=True drains outstanding default-device work before stopping the
+    clock so the number reflects execution, not dispatch (see
+    _device_barrier for scope).
     """
     start = time.perf_counter()
     try:
         yield
     finally:
         if sync:
-            try:
-                jax.effects_barrier()
-            except Exception:
-                pass
+            _device_barrier()
         elapsed = time.perf_counter() - start
         _PHASE_TIMES[name] = _PHASE_TIMES.get(name, 0.0) + elapsed
         log.info("phase %-24s %8.2f s", name, elapsed)

@@ -92,8 +92,13 @@ def create_i2v_chat_prompt(user_prompt: str, system_prompt: str = None) -> str:
     conversation carries an `[Image provided]` marker instead — the image
     itself conditions generation through the VAE path, not the LLM."""
     system_prompt = system_prompt or I2V_SYSTEM_PROMPT
+    # Deliberate divergence (review r4, rule of docs/PARITY.md): the
+    # reference hardcodes '<bos>' here AND tokenizes with the default
+    # add_special_tokens=True (prompt_enhancement.py:107,209), feeding
+    # Gemma a double BOS the model never saw in training — its own T2V
+    # builder has no literal '<bos>'. The tokenizer adds the single BOS.
     return (
-        f"<bos><start_of_turn>user\n"
+        f"<start_of_turn>user\n"
         f"{system_prompt}\n\n"
         f"[Image provided]\n"
         f"User prompt: {user_prompt}<end_of_turn>\n"

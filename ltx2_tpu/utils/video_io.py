@@ -193,9 +193,23 @@ def read_avi_mjpeg(
 
     with open(path, "rb") as fh:
         data = fh.read()
+    # Decode ONE video stream, not every 'dc' chunk: a multi-stream AVI
+    # (main video + preview/thumbnail stream) would otherwise interleave
+    # frames from all streams into one garbled sequence (review r4).
+    # read_avi_audio already filters by stream index the same way.
+    video_cc = None
+    try:
+        for idx, fcc_type, _strf in _avi_stream_headers(data):
+            if fcc_type == b"vids":
+                video_cc = b"%02d" % idx
+                break
+    except ValueError:
+        pass  # unparseable hdrl: fall back to accepting any dc chunk
     frames = []
     for fourcc, off, size in _avi_chunks(data):
-        if fourcc[2:] == b"dc" and size > 0:
+        if fourcc[2:] == b"dc" and size > 0 and (
+            video_cc is None or fourcc[:2] == video_cc
+        ):
             payload = data[off : off + size]
             if not payload.startswith(b"\xff\xd8"):
                 raise ValueError(
@@ -960,6 +974,51 @@ def _mov_find(data: bytes, start: int, end: int, *path: bytes):
     return None
 
 
+def _read_moov_bytes(path: str) -> bytes:
+    """Read ONLY the moov box (header included) by seeking over top-level
+    boxes — codec/geometry probes must not slurp a multi-GB mdat into RAM
+    just to inspect a few-KB header (review r4: the corpus-ingestion path
+    probed every .mp4 by reading the whole file)."""
+    import struct as _struct
+
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        file_end = fh.tell()
+        pos = 0
+        while pos + 8 <= file_end:
+            fh.seek(pos)
+            hdr = fh.read(16)
+            if len(hdr) < 8:
+                break
+            (size,) = _struct.unpack_from(">I", hdr, 0)
+            typ = hdr[4:8]
+            if size == 1:
+                if len(hdr) < 16:
+                    break
+                (size,) = _struct.unpack_from(">Q", hdr, 8)
+            elif size == 0:
+                size = file_end - pos
+            if size < 8 or pos + size > file_end:
+                break
+            if typ == b"moov":
+                fh.seek(pos)
+                return fh.read(size)
+            pos += size
+    raise ValueError(f"{path}: not an ISO-BMFF (mov/mp4) file: no moov box")
+
+
+def _mdhd_timescale(mdhd: bytes) -> int:
+    """Media timescale honoring the mdhd version byte: version 1 uses
+    64-bit creation/modification times, shifting the timescale from
+    offset 12 to 20 (review r4: the fixed-12 read returned the low half
+    of a timestamp for version-1 files)."""
+    import struct as _struct
+
+    offset = 20 if mdhd[0] == 1 else 12
+    (timescale,) = _struct.unpack_from(">I", mdhd, offset)
+    return timescale
+
+
 def _mov_tracks(data: bytes):
     """Yield (handler, stbl_span, mdhd_payload) per trak in the moov."""
     moov = _mov_find(data, 0, len(data), b"moov")
@@ -1112,8 +1171,7 @@ def _entry_is_mjpeg(fourcc: bytes, entry_payload: bytes) -> bool:
 def mov_video_codec(path: str) -> bytes | None:
     """The video track's sample-entry fourcc (b'jpeg', b'avc1', ...), or
     None if the file has no video track."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+    data = _read_moov_bytes(path)
     for handler, stbl, _mdhd in _mov_tracks(data):
         if handler == b"vide":
             stsd = _mov_find(data, *stbl, b"stsd")
@@ -1126,8 +1184,7 @@ def mov_video_codec(path: str) -> bytes | None:
 def mov_is_mjpeg(path: str) -> bool:
     """Dispatch probe: does this mov/mp4's video track decode as MJPEG
     (pure Python), or does it need a real codec (cv2/ffmpeg)?"""
-    with open(path, "rb") as fh:
-        data = fh.read()
+    data = _read_moov_bytes(path)
     for handler, stbl, _mdhd in _mov_tracks(data):
         if handler != b"vide":
             continue
@@ -1191,7 +1248,7 @@ def read_mov_audio(path: str):
         channels, bits = struct.unpack_from(">HH", entry, 16)
         if bits != 16 or channels == 0:
             return None
-        (timescale,) = struct.unpack_from(">I", mdhd, 12)
+        timescale = _mdhd_timescale(mdhd)
         raw = b"".join(data[o : o + s] for o, s in zip(offsets, sizes))
         dtype = "<i2" if fourcc == b"sowt" else ">i2"
         pcm = np.frombuffer(raw, dtype)
@@ -1209,13 +1266,12 @@ def probe_mov(path: str):
     sample tables are codec-independent)."""
     import struct
 
-    with open(path, "rb") as fh:
-        data = fh.read()
+    data = _read_moov_bytes(path)
     for handler, stbl, mdhd in _mov_tracks(data):
         if handler != b"vide":
             continue
         _fourcc, entry, offsets, _sizes, stts = _mov_sample_table(data, stbl)
-        (timescale,) = struct.unpack_from(">I", mdhd, 12)
+        timescale = _mdhd_timescale(mdhd)
         w, h = struct.unpack_from(">HH", entry, 24)
         fps = 24.0
         if stts and stts[0][1]:

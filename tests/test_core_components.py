@@ -509,3 +509,43 @@ class TestFlopsAccounting:
         # the plan's relative FLOP mix).
         ceil2 = video_decoder_ceiling_tflops(cfg, 8, 32, 32)
         assert abs(ceil2 - ceil) / ceil < 0.1
+
+
+class TestModelLedgerViews:
+    def test_with_loras_carries_serving_flags_and_shares_components(self):
+        """review r4: with_loras() dropped int8/transformer_device_put (the
+        LoRA view of an int8-serving ledger silently loaded full bf16) and
+        rebuilt every cached component. The view must carry every serving
+        flag and SHARE the LoRA-independent cache entries, dropping only
+        the transformer."""
+        from ltx2_tpu.loader.lora import LoRAConfig
+        from ltx2_tpu.utils.model_ledger import ModelLedger
+
+        put = lambda path, arr: arr  # noqa: E731 — identity placement hook
+        ledger = ModelLedger(
+            checkpoint_path="ckpt.safetensors",
+            gemma_path="gemma",
+            target_dtype="bfloat16",
+            include_audio=True,
+            keep_fp8=False,
+            int8=True,
+            gemma_fp8=True,
+            transformer_device_put=put,
+        )
+        vae_sentinel = object()
+        dit_sentinel = object()
+        ledger._cache["video_decoder"] = vae_sentinel
+        ledger._cache["transformer"] = dit_sentinel
+
+        lora = LoRAConfig(path="a.safetensors", strength=0.5)
+        view = ledger.with_loras([lora])
+        assert view.loras == [lora]
+        assert view.int8 is True
+        assert view.gemma_fp8 is True
+        assert view.include_audio is True
+        assert view.transformer_device_put is put
+        # Non-transformer components shared; transformer cache fresh.
+        assert view._cache["video_decoder"] is vae_sentinel
+        assert "transformer" not in view._cache
+        # The original ledger is untouched.
+        assert ledger._cache["transformer"] is dit_sentinel

@@ -642,3 +642,16 @@ class TestGenerationCheckpointing:
         np.testing.assert_allclose(np.asarray(remaining), np.asarray(sigmas[2:]))
         resumed = np.asarray(loop(params, video, remaining, ctx, ctx).latent)
         np.testing.assert_allclose(resumed, full, atol=1e-5)
+
+        # Extension-less path round-trip (review r4): np.savez(path_str)
+        # appends '.npz' while load opens the literal path — save writes
+        # through a handle so the SAME string always works.
+        bare = tmp_path / "gen_state"
+        save_generation_state(str(bare), mid, sigmas, step=2)
+        assert bare.exists()
+        v2, _, rem2, st2 = load_generation_state(str(bare))
+        assert st2 == 2
+        np.testing.assert_allclose(np.asarray(rem2), np.asarray(sigmas[2:]))
+        np.testing.assert_array_equal(
+            np.asarray(v2.latent), np.asarray(video.latent)
+        )

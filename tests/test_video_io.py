@@ -229,6 +229,39 @@ class TestWriters:
         write_avi_mjpeg(path, _gradient_frames(2, 8, 8), fps=24.0)
         assert read_avi_audio(path) is None
 
+    def test_avi_reader_ignores_second_stream_dc_chunks(self, tmp_path):
+        """A multi-stream AVI (main video + preview/second stream) must
+        decode only the declared video stream's chunks — interleaving every
+        'dc' chunk garbles the sequence (review r4). Inject a non-JPEG
+        '01dc' chunk into the movi LIST: the reader must skip it, not
+        raise 'not MJPEG' or splice it in."""
+        import struct
+
+        from ltx2_tpu.utils.video_io import read_avi_mjpeg, write_avi_mjpeg
+
+        frames = _gradient_frames(3, 16, 24)
+        path = tmp_path / "multi.avi"
+        write_avi_mjpeg(str(path), frames, fps=12.0)
+        baseline = read_avi_mjpeg(str(path), 16, 24, 3)
+
+        raw = bytearray(path.read_bytes())
+        mi = raw.find(b"movi")
+        list_hdr = mi - 8
+        (movi_size,) = struct.unpack_from("<I", raw, list_hdr + 4)
+        # Insert FIRST in the movi body — an interleaved second stream puts
+        # its chunks before/between the video frames, and the old
+        # accept-any-'dc' reader tripped on the very first one.
+        chunk = b"01dc" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        insert_at = mi + 4
+        raw[insert_at:insert_at] = chunk
+        struct.pack_into("<I", raw, list_hdr + 4, movi_size + len(chunk))
+        (riff_size,) = struct.unpack_from("<I", raw, 4)
+        struct.pack_into("<I", raw, 4, riff_size + len(chunk))
+        path.write_bytes(bytes(raw))
+
+        video = read_avi_mjpeg(str(path), 16, 24, 3)
+        np.testing.assert_array_equal(video, baseline)
+
     def test_avi_dispatch_and_probe(self, tmp_path):
         from ltx2_tpu.pipelines.retake import get_video_metadata
         from ltx2_tpu.utils.video_io import probe_video, write_avi_mjpeg, write_y4m

@@ -128,6 +128,44 @@ class TestMovMuxer:
         with pytest.raises(ValueError, match="not MJPEG"):
             read_mov_mjpeg(path, 8, 8, 2)
 
+    def test_mdhd_version1_timescale(self, tmp_path):
+        """Pro-tool muxers write version-1 mdhd (64-bit timestamps): the
+        timescale moves from offset 12 to 20. probe_mov/read_mov_audio must
+        honor the version byte (review r4: the fixed-12 read returned the
+        low half of a timestamp)."""
+        import struct
+
+        from ltx2_tpu.utils.video_io import _mdhd_timescale, probe_mov
+
+        ts = 24000
+        v0 = struct.pack(">B3x II I I 2x 2x", 0, 1, 2, ts, 100)
+        assert _mdhd_timescale(v0) == ts
+        v1 = struct.pack(">B3x QQ I Q 2x 2x", 1, 1, 2, ts, 100)
+        assert _mdhd_timescale(v1) == ts
+
+        # Integration: upgrade a real file's video mdhd to version 1 and
+        # re-probe — fps must be unchanged.
+        path = tmp_path / "v1.mov"
+        write_mp4_mjpeg(str(path), _smooth_frames(2, 8, 8), fps=24.0)
+        fps0, n0, h0, w0 = probe_mov(str(path))
+        raw = bytearray(path.read_bytes())
+        at = raw.index(b"mdhd")
+        body = at + 4  # version byte offset
+        old = raw[body : body + 4 + 16]  # v0: ver/flags + 2xU32 + ts(U32) + dur(U32)
+        ver_flags = bytes([1]) + bytes(old[1:4])
+        create, modify, tscale, dur = struct.unpack_from(">IIII", old, 4)
+        new_body = ver_flags + struct.pack(">QQIQ", create, modify, tscale, dur)
+        grow = len(new_body) - len(old)
+        raw[body : body + len(old)] = new_body
+        # Patch the mdhd box size and every enclosing box size (moov path).
+        for marker in (b"mdhd", b"mdia", b"trak", b"moov"):
+            pos = raw.index(marker)
+            (sz,) = struct.unpack_from(">I", raw, pos - 4)
+            struct.pack_into(">I", raw, pos - 4, sz + grow)
+        path.write_bytes(bytes(raw))
+        fps1, n1, h1, w1 = probe_mov(str(path))
+        assert (fps1, n1, h1, w1) == (fps0, n0, h0, w0)
+
     def test_mp4v_without_jpeg_oti_not_mjpeg(self, tmp_path):
         """cv2's MPEG-4 Part 2 writer also uses the 'mp4v' sample entry —
         the fourcc alone must not claim MJPEG; the esds OTI decides."""
