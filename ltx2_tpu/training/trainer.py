@@ -320,12 +320,14 @@ def fsdp_param_shardings(params, param_shardings, mesh, data_axis: str = "data")
     `make_train_step(param_shardings=...)` so donation keeps the layout
     across steps.
     """
-    import re
-
     from ltx2_tpu.parallel.sharding import path_to_str
 
     def ext(path, p_shard, leaf):
-        stacked = "transformer_blocks/" in path or re.search(r"(^|/)layers/", path)
+        # Stacked scan leaves live under transformer_blocks/ in every tree
+        # this is used with (the DiT — see model.py:675). Trees with other
+        # stacked layouts (e.g. Gemma's layers/) need their own rule,
+        # added WITH a test when FSDP-training such a tree becomes real.
+        stacked = "transformer_blocks/" in path
         return _data_extended_sharding(
             leaf, p_shard, mesh, data_axis, start_dim=1 if stacked else 0
         )
@@ -474,6 +476,12 @@ def make_train_step(
     cross-'data' gradient sync to reduce-scatter (not all-reduce) and the
     grad + clip + Adam math runs on 1/D shards. With accum_steps > 1 the
     fp32 accumulator carries the same layout.
+
+    param_shardings (ZeRO-3/FSDP, see fsdp_param_shardings): pins the
+    UPDATED params to the same data-extended layout the params were
+    PLACED with, so donation keeps the 1/(D*TP) layout across steps. Must
+    be the identical tree used for placement — a mismatch silently
+    reshards every parameter every step.
 
     With `trainable_mask`, the returned step has the PARTITIONED signature
     `(trainable, opt_state, frozen, batch, key) -> (loss, trainable,

@@ -163,6 +163,17 @@ def _reject_fp8_trainable(params, mask):
         )
 
 
+def _fsdp_shardings(mesh, tree):
+    """The ONE derivation rule for the ZeRO-3/FSDP layout — used for both
+    the initial parameter placement and the train step's sharding
+    constraints (via the ZeRO helpers), so the two cannot drift into a
+    silent every-step reshard (review r4)."""
+    from ltx2_tpu.parallel.sharding import dit_param_shardings
+    from ltx2_tpu.training import fsdp_param_shardings
+
+    return fsdp_param_shardings(tree, dit_param_shardings(mesh, tree), mesh)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.grad_clip < 0:
@@ -249,6 +260,11 @@ def main(argv=None):
     mesh = None
     tp = max(args.tp_devices, 1)
     dp = max(args.dp_devices, 1)
+    if dp > 1 and args.batch_size % dp != 0:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by "
+            f"--dp-devices {dp} (each data shard takes batch/dp samples)"
+        )
     if tp > 1 or dp > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -257,14 +273,8 @@ def main(argv=None):
 
         mesh = create_mesh(data=dp, model=tp, devices=jax.devices()[: dp * tp])
         if args.fsdp:
-            from ltx2_tpu.parallel.sharding import dit_param_shardings
-            from ltx2_tpu.training import fsdp_param_shardings
-
-            fsdp_shardings = fsdp_param_shardings(
-                params, dit_param_shardings(mesh, params), mesh
-            )
             params = jax.tree_util.tree_map(
-                jax.device_put, params, fsdp_shardings
+                jax.device_put, params, _fsdp_shardings(mesh, params)
             )
         else:
             params = shard_dit_params(mesh, params)
@@ -410,7 +420,7 @@ def main(argv=None):
                              "to shard over)")
         from ltx2_tpu.parallel.sharding import dit_param_shardings
         from ltx2_tpu.training import (
-            fsdp_param_shardings, zero1_opt_state_shardings,
+            zero1_opt_state_shardings,
             zero2_grad_shardings,
         )
 
@@ -418,10 +428,9 @@ def main(argv=None):
         if args.fsdp:
             # ZeRO-3: moments/grads inherit the params' data-extended
             # layout (the zero helpers pass data-sharded specs through),
-            # and the step pins its returned params to keep it.
-            param_shardings = fsdp_param_shardings(
-                opt_target, param_shardings, mesh
-            )
+            # and the step pins its returned params to keep it. Same
+            # derivation rule as the placement above (_fsdp_shardings).
+            param_shardings = _fsdp_shardings(mesh, opt_target)
             step_param_shardings = param_shardings
         opt_shardings = zero1_opt_state_shardings(
             opt_state, opt_target, param_shardings, mesh
