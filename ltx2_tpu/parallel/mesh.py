@@ -41,9 +41,13 @@ def create_mesh(
     n = len(devices)
     if model is None:
         model = n // (data * seq * pipe)
-    assert data * model * seq * pipe == n, (
-        f"mesh {data}x{pipe}x{seq}x{model} != {n} devices"
-    )
+    if data * model * seq * pipe != n:
+        # ValueError, not assert: axis sizes are user input and python -O
+        # strips asserts into a raw numpy reshape error (review r4).
+        raise ValueError(
+            f"mesh data={data} x pipe={pipe} x seq={seq} x model={model} "
+            f"= {data * pipe * seq * model} does not match {n} devices"
+        )
     dev_array = np.asarray(devices).reshape(data, pipe, seq, model)
     axes = [(DATA_AXIS, data), (PIPE_AXIS, pipe), (SEQ_AXIS, seq), (MODEL_AXIS, model)]
     # Keep historical shapes: drop singleton pipe/seq axes (data/model always
@@ -74,7 +78,9 @@ def shard_params(params, mesh: Mesh, rules):
     '/'-joined key strings.
     """
     def place(path, leaf):
-        path_str = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        from ltx2_tpu.parallel.sharding import path_to_str
+
+        path_str = path_to_str(path)
         for pred, spec in rules:
             if pred(path_str, leaf):
                 return jax.device_put(leaf, NamedSharding(mesh, spec))

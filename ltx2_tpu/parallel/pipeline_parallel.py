@@ -195,7 +195,7 @@ def pipeline_block_stack(
     v_outs = jnp.zeros((m, *zeros_v.shape), zeros_v.dtype)
     a_outs = jnp.zeros((m, *zeros_a.shape), zeros_a.dtype)
 
-    def tick(carry, t):
+    def tick(carry, t, rotate=True):
         vx, ax, v_outs, a_outs = carry
         mb_id = jnp.clip(t - idx, 0, m - 1)
         v_in = _dyn(v_mb, mb_id) if run_video else None
@@ -222,8 +222,12 @@ def pipeline_block_stack(
             a_outs = jnp.where(record, a_upd, a_outs)
 
         # Rotate the activation one stage forward (single ICI hop).
-        vx = jax.lax.ppermute(vx, axis, perm)
-        ax = jax.lax.ppermute(ax, axis, perm)
+        # `rotate` is a trace-time Python bool (same on every device): the
+        # FINAL tick's rotation was computed and discarded — one wasted
+        # (mb, T, C) v+a transfer per forward (review r4).
+        if rotate:
+            vx = jax.lax.ppermute(vx, axis, perm)
+            ax = jax.lax.ppermute(ax, axis, perm)
         return (vx, ax, v_outs, a_outs), None
 
     ticks = jnp.arange(m + n_stages - 1)
@@ -241,7 +245,8 @@ def pipeline_block_stack(
         lambda a: jax.lax.pcast(a, vary_axes, to="varying"),
         (zeros_v, zeros_a, v_outs, a_outs),
     )
-    (_, _, v_outs, a_outs), _ = jax.lax.scan(tick, init, ticks)
+    carry, _ = jax.lax.scan(tick, init, ticks[:-1])
+    (_, _, v_outs, a_outs), _ = tick(carry, ticks[-1], rotate=False)
 
     # Outputs live on the last stage only; replicate for the output heads.
     # The psum runs in f32 under PP x TP: XLA:CPU's AllReducePromotion pass
@@ -432,7 +437,7 @@ def make_pipeline_parallel_forward(
             jax.tree_util.tree_structure((params, video, audio)),
             None if video is None else video.timesteps.ndim,
             None if audio is None else audio.timesteps.ndim,
-            video_pe is None,
+            None if video_pe is None else tuple(a.ndim for a in video_pe),
         )
         fn = jitted.get(key)
         if fn is None:
@@ -449,8 +454,23 @@ def make_pipeline_parallel_forward(
                     None if mod is None
                     else pp_sp_modality_specs(mod, b, seq_axis)
                 )
-                pe_spec = P(b, None, seq_axis, None)
-                pe_specs = None if video_pe is None else (pe_spec, pe_spec)
+                def pe_spec_for(arr):
+                    # SPLIT rope tables are 4-D with the token axis at dim
+                    # 2; INTERLEAVED tables are 3-D (B, T, D) with tokens
+                    # at dim 1 (review r4: a fixed 4-entry spec failed
+                    # shard_map's rank check for INTERLEAVED under PPxSP).
+                    if arr.ndim == 4:
+                        return P(b, None, seq_axis, None)
+                    if arr.ndim == 3:
+                        return P(b, seq_axis, None)
+                    raise ValueError(
+                        f"unsupported RoPE table rank {arr.ndim} under PPxSP"
+                    )
+
+                pe_specs = (
+                    None if video_pe is None
+                    else tuple(pe_spec_for(a) for a in video_pe)
+                )
                 out_specs = P(b, seq_axis, None)
             if video is not None and audio is not None:
                 out_specs = (out_specs, out_specs)

@@ -80,8 +80,7 @@ def ring_attention_local(
     else:
         block_attn = _dense_block_residuals
 
-    def body(_, carry):
-        k_blk, v_blk, m, l, o = carry
+    def accumulate(k_blk, v_blk, m, l, o):
         # Per-block attention -> (normalized out, normalizer l, running max m)
         o_b, l_b, m_b = block_attn(q, k_blk, v_blk, scale)
         m_new = jnp.maximum(m, m_b)
@@ -89,11 +88,20 @@ def ring_attention_local(
         beta = jnp.exp(m_b - m_new)
         l = l * alpha + l_b * beta
         o = o * alpha[..., None] + o_b.astype(jnp.float32) * (l_b * beta)[..., None]
+        return m_new, l, o
+
+    def body(_, carry):
+        k_blk, v_blk, m, l, o = carry
+        m, l, o = accumulate(k_blk, v_blk, m, l, o)
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        return k_blk, v_blk, m_new, l, o
+        return k_blk, v_blk, m, l, o
 
-    _, _, _, l, o = jax.lax.fori_loop(0, n, body, (k, v, m0, l0, o0))
+    # n-1 rotations, not n: the last block needs no exchange after it —
+    # the trailing ppermute's K/V were computed and discarded, 1/n extra
+    # ICI traffic on the hottest path (review r4).
+    k_blk, v_blk, m, l, o = jax.lax.fori_loop(0, n - 1, body, (k, v, m0, l0, o0))
+    _, l, o = accumulate(k_blk, v_blk, m, l, o)
     return (o / l[..., None]).astype(q.dtype)
 
 

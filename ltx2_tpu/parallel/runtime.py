@@ -44,7 +44,12 @@ def initialize_distributed(
         # degrades a pod job into a silent single-host run that hangs in
         # the first cross-host collective.
         msg = str(e).lower()
-        explicit = coordinator_address is not None or process_id is not None
+        explicit = (
+            coordinator_address is not None
+            or process_id is not None
+            or num_processes is not None  # review r4: was omitted — a
+            # num_processes-only misconfiguration swallowed silently
+        )
         if "already" in msg and "initial" in msg:
             return
         if not explicit:

@@ -13,11 +13,18 @@ and run the standard `ltx_model_apply` inside shard_map with
 cfg.sequence_axis set. Per-device HBM and FLOPs scale ~1/n_seq; the ring
 ppermute traffic rides ICI.
 
-This composes with data parallelism (batch axis on 'data') on the same
-mesh, and with tensor parallelism (`model_axis=`): block weights arrive
-feature-sharded over 'model' (sharding.py rules, shard_dit_params), the
-model axis stays out of the manual axis_names, and ring attention runs
+This composes with tensor parallelism (`model_axis=`): block weights
+arrive feature-sharded over 'model' (sharding.py rules, shard_dit_params),
+the model axis stays out of the manual axis_names, and ring attention runs
 head-sharded with the row-parallel projections psum'd via auto_axes.
+
+Batch/DP note (review r4): inside the SP shard_map the batch axis
+REPLICATES over any 'data' mesh axis — per-row STG perturbation configs
+are static Python closed over uniformly, so rows cannot shard across
+data groups without mis-indexing the perturbed row. A 'data' axis on an
+SP mesh therefore buys redundancy, not speedup, for the rows inside ONE
+generation; scale throughput across 'data' at the clip level (one
+generation per data group) instead.
 """
 
 from __future__ import annotations

@@ -45,7 +45,8 @@ DIT_SHARDING_RULES: List[Tuple[str, P]] = [
     # column-parallel targets shard B's out-features (A replicated),
     # row-parallel targets shard A's in-features (B replicated). Scales
     # replicate. Stacked (L, ...) layout => leading None.
-    (r"transformer_blocks/.*(to_q|to_k|to_v|project_in/proj)/lora_B$",
+    (r"transformer_blocks/.*(to_q|to_k|to_v|project_in/proj|w_up|w_gate)"
+     r"/lora_B$",
      P(None, MODEL_AXIS, None)),
     (r"transformer_blocks/.*(to_out|project_out|w_down)/lora_A$",
      P(None, None, MODEL_AXIS)),

@@ -131,10 +131,11 @@ def sp_ring_bytes(cfg, rows, n_tokens, sp, dtype_bytes):
 
 def pp_permute_bytes(cfg, rows, n_tokens, stages, microbatches, dtype_bytes):
     """GPipe (parallel/pipeline_parallel.py): activation (rows/m, N, D)
-    ppermutes one hop per tick; ticks = m + P - 1."""
+    ppermutes one hop per tick EXCEPT the final tick (its rotation was
+    computed-and-discarded; removed in review r4) -> m + P - 2 hops."""
     inner = cfg.num_attention_heads * cfg.attention_head_dim
     act = (rows // microbatches or 1) * n_tokens * inner * dtype_bytes
-    return (microbatches + stages - 1) * act
+    return (microbatches + stages - 2) * act
 
 
 def ring_allreduce_wire_bytes(payload, n):

@@ -610,7 +610,7 @@ class TestSequenceParallelDenoiseLoop:
         loop = make_video_denoise_loop(
             cfg, DenoiseLoopConfig(guider=CFGGuider(2.0)), mesh=mesh
         )
-        with pytest.raises(ValueError, match="divide"):
+        with pytest.raises(ValueError, match="divisible"):
             loop(params, state, sigmas, ctx, ctx)
 
     def test_multimodal_loop_matches_unsharded(self):
