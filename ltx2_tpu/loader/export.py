@@ -56,6 +56,19 @@ def iter_checkpoint_specs(params, dtype=np.float32):
     stacked DiT param tree, without materializing any tensor data."""
     dtype = np.dtype(dtype)
     flat = flatten_params(params)
+    quantized = sorted(
+        k for k in flat
+        if k.endswith("weight_scale") or k.endswith("weight_cscale")
+    )
+    if quantized:
+        # Exporting raw fp8/int8 codes as f32 plus stale scale tensors
+        # produces a checkpoint that reloads CORRUPTED (review r4): the
+        # scale would 're-dequantize' already-wrong values. Refuse loudly.
+        raise ValueError(
+            "cannot export a quantized (fp8-kept / int8) param tree as a "
+            f"reference checkpoint — found scale leaves like {quantized[0]}; "
+            "load with keep_fp8=False / without --int8 before exporting"
+        )
     for key, leaf in flat.items():
         shape = tuple(int(s) for s in jnp.shape(leaf))
         if key.startswith("transformer_blocks."):

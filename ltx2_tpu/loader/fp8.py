@@ -45,6 +45,14 @@ def quantize_tensor_fp8(
 def quantize_params_fp8(params: Params, path: str = "") -> Params:
     """Walk a param tree quantizing eligible `weight` leaves in place-style
     (returns a new tree). Adds `weight_scale` next to each quantized leaf."""
+    # Guards mirroring int8.quantize_params_int8 (review r4: missing here):
+    # re-quantizing an already-quantized tree treats raw codes as values.
+    if "weight_scale" in params or "weight_cscale" in params:
+        raise ValueError(
+            "fp8 quantization of an already-quantized tree "
+            f"(weight_scale/weight_cscale present) at '{path}': load "
+            "dequantized first"
+        )
     out: Params = {}
     for key, value in params.items():
         sub_path = f"{path}/{key}" if path else key
@@ -59,6 +67,7 @@ def quantize_params_fp8(params: Params, path: str = "") -> Params:
             key == _QUANT_LEAF
             and hasattr(value, "ndim")
             and value.ndim >= 2
+            and jnp.issubdtype(value.dtype, jnp.floating)
             and not any(m in sub_path for m in _SKIP_MARKERS)
         ):
             # In transformer param trees a >=3-dim `weight` is a LAYER-STACKED

@@ -122,6 +122,11 @@ def fuse_lora_into_params(
     applied: Dict[str, Tuple[Optional[int], np.ndarray]] = {}
     deltas = collect_lora_deltas(lora_configs)
 
+    # Pass 1 — resolve and VALIDATE every target before touching the tree:
+    # raising mid-mutation would leave the caller's shared params partially
+    # fused with no deltas to restore (review r4: two_stage's finally-block
+    # never unfuses when the fuse itself raised).
+    plan = []
     for lora_key, delta in deltas.items():
         tree_key = _canonical_tree_key(lora_key)
         if tree_key is None:
@@ -162,6 +167,12 @@ def fuse_lora_into_params(
         expected = leaf.shape[1:] if block_idx is not None else leaf.shape
         if tuple(expected) != tuple(delta.shape):
             continue
+        plan.append((node, leaf_name, path, block_idx, delta))
+
+    # Pass 2 — mutate. Re-read each leaf: alias entries can target the
+    # same leaf and must see the previous entry's update.
+    for node, leaf_name, path, block_idx, delta in plan:
+        leaf = node[leaf_name]
         d = jnp.asarray(delta, dtype=jnp.float32)
         if block_idx is not None:
             new = (leaf.at[block_idx].add(d.astype(leaf.dtype))

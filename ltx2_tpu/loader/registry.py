@@ -54,6 +54,9 @@ class StateDictRegistry:
         return m.hexdigest()
 
     def add(self, paths: List[str], op_name: Optional[str], state_dict: StateDict) -> str:
+        """Raises on duplicates — reference parity (registry.py:167-178).
+        The documented get()-then-add() pattern is racy under concurrency;
+        concurrent loaders should use add_or_get instead (review r4)."""
         sd_id = self._generate_id(paths, op_name)
         with self._lock:
             if sd_id in self._state_dicts:
@@ -63,6 +66,16 @@ class StateDictRegistry:
                 )
             self._state_dicts[sd_id] = state_dict
         return sd_id
+
+    def add_or_get(
+        self, paths: List[str], op_name: Optional[str], state_dict: StateDict
+    ) -> StateDict:
+        """Idempotent add (beyond reference): atomically registers
+        `state_dict` unless one exists, returning whichever won — the
+        race-free form of the get()/add() pattern for concurrent loads."""
+        sd_id = self._generate_id(paths, op_name)
+        with self._lock:
+            return self._state_dicts.setdefault(sd_id, state_dict)
 
     def pop(self, paths: List[str], op_name: Optional[str]) -> Optional[StateDict]:
         with self._lock:

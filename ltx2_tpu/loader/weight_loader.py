@@ -87,8 +87,17 @@ def _dequantize(
     if key in fp8_scales:
         from ltx2_tpu.loader.native import fp8_e4m3_dequant
 
-        scale = float(np.asarray(f.get(fp8_scales[key])).reshape(-1)[0])
-        return fp8_e4m3_dequant(arr, scale, target="float32")
+        scale_arr = np.asarray(f.get(fp8_scales[key]))
+        if scale_arr.size != 1:
+            # Per-tensor scales only (reference fp8_loader.py layout). A
+            # multi-element scale silently dequantized by element 0 would
+            # corrupt every other channel (review r4) — refuse loudly,
+            # consistent with the keep_fp8 path's reshape(()).
+            raise ValueError(
+                f"{key}: weight_scale has {scale_arr.size} elements; only "
+                "per-tensor fp8 scales are supported (reference layout)"
+            )
+        return fp8_e4m3_dequant(arr, float(scale_arr.reshape(())), target="float32")
     return arr
 
 
@@ -203,9 +212,19 @@ def structure_diffusion_weights(
 
     if per_block:
         n = num_layers if num_layers is not None else max(per_block) + 1
-        sub_keys = sorted(per_block[0].keys())
+        # Union over ALL blocks, not block 0 (review r4: a leaf absent from
+        # block 0 but present later silently vanished from the tree); a
+        # leaf missing from SOME block cannot stack — fail loudly.
+        sub_keys = sorted({k for d in per_block.values() for k in d})
         blocks: Params = {}
         for sub in sub_keys:
+            missing = [i for i in range(n) if sub not in per_block.get(i, {})]
+            if missing:
+                raise ValueError(
+                    f"transformer_blocks.*.{sub} is missing from block(s) "
+                    f"{missing[:4]}{'...' if len(missing) > 4 else ''} — "
+                    "stacked loading needs the leaf in every block"
+                )
             stacked = np.stack([per_block[i][sub] for i in range(n)], axis=0)
             _set_nested(
                 blocks, sub.split("."), device_put(f"transformer_blocks.{sub}", stacked)
@@ -317,6 +336,13 @@ def load_transformer_params_streamed(
         blocks: Params = {}
         for sub in sorted(per_block):
             idx_map = per_block[sub]
+            missing = [i for i in range(n) if i not in idx_map]
+            if missing:
+                raise ValueError(
+                    f"transformer_blocks.*.{sub} is missing from block(s) "
+                    f"{missing[:4]}{'...' if len(missing) > 4 else ''} — "
+                    "stacked loading needs the leaf in every block"
+                )
             # Convert each block exactly once and fill every suffix stack
             # from that one dict: a two-suffix leaf (int8 "_cscale", fp8
             # "_scale") must not re-run the dequant+convert+quantize
@@ -331,6 +357,17 @@ def load_transformer_params_streamed(
                 stacks[suffix][0] = proto
             for i in range(1, n):
                 block = convert_one(idx_map[i], f"transformer_blocks.{i}.{sub}")
+                if set(block) != set(stacks):
+                    # keep_fp8 with mixed per-block quantization (review
+                    # r4): stacking raw fp8 codes into a bf16 stack (or
+                    # dropping a scale) would be silent corruption.
+                    raise ValueError(
+                        f"transformer_blocks.{i}.{sub}: quantization layout "
+                        f"{sorted(set(block))} differs from block 0's "
+                        f"{sorted(set(stacks))} — keep_fp8 stacking needs a "
+                        "uniform per-block layout (load with keep_fp8=False "
+                        "to dequantize instead)"
+                    )
                 for suffix in stacks:
                     stacks[suffix][i] = block[suffix]
             for suffix in list(stacks):

@@ -371,10 +371,19 @@ def _process_output(
 def _stacked_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Apply a layer-stacked linear: x (B,S,C) x weight (L,O,C) -> (L,B,S,O).
 
-    Handles fp8-serving weight_scale leaves like ops.common.linear."""
+    Handles fp8-serving weight_scale AND int8 weight_cscale leaves like
+    ops.common.linear (review r4: int8 codes were cast to x.dtype unscaled,
+    making --int8 + --cache-text-kv cache garbage K/V)."""
     w = p["weight"]
     scale = p.get("weight_scale")
-    if scale is not None or w.dtype != x.dtype:
+    cscale = p.get("weight_cscale")
+    if cscale is not None:
+        # int8 W8A8 (loader/int8.py): per-out-channel dequantize for this
+        # once-per-generation precompute; cscale is (L, O).
+        w = (
+            w.astype(jnp.float32) * cscale[:, :, None].astype(jnp.float32)
+        ).astype(x.dtype)
+    elif scale is not None or w.dtype != x.dtype:
         w = w.astype(x.dtype)
         if scale is not None:
             w = w * scale.reshape(scale.shape[0], 1, 1).astype(x.dtype)

@@ -207,6 +207,11 @@ def _flash_attention_masked(block_q: int, block_kv: int):
 
 
 def _use_flash_masked(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
+    # CONTRACT (see sdpa docstring): additive masks are binary — 0 =
+    # attend, <= -1e30 = masked. A key-only (B,1,1,S) mask routed here is
+    # binarized into flash segment ids at that threshold; a finite SOFT
+    # bias would be silently dropped on this path (and applied on the
+    # einsum path), so never pass one (review r4: made explicit).
     if mask is None or not _flash_backend_ok():
         return False
     if mask.ndim != 4 or mask.shape[2] != 1 or mask.shape[1] != 1:

@@ -333,3 +333,106 @@ class TestCLI:
         }
         with pytest.raises(ValueError, match="int8"):
             fuse_lora_into_params(params, [lora])
+
+
+class TestTextKVWithInt8:
+    def test_precompute_text_kv_dequantizes_cscale(self):
+        """--int8 + --cache-text-kv (review r4): _stacked_linear must apply
+        weight_cscale — raw int8 codes cast to bf16 made every cached
+        cross-attention K/V wrong by the per-channel scale."""
+        from ltx2_tpu.models.transformer.model import precompute_text_kv
+
+        cfg = LTXModelConfig(
+            model_type=LTXModelType.VideoOnly,
+            num_attention_heads=2,
+            attention_head_dim=8,
+            in_channels=8,
+            out_channels=8,
+            num_layers=2,
+            cross_attention_dim=16,
+            caption_channels=12,
+            compute_dtype="float32",
+            remat=False,
+        )
+        params = jax.jit(lambda k: init_ltx_model(k, cfg))(jax.random.PRNGKey(5))
+        ctx = jax.random.normal(jax.random.PRNGKey(6), (1, 7, 12))
+        ref = precompute_text_kv(params, cfg, video_context=ctx)
+        q = jax.jit(quantize_params_int8)(params)
+        got = precompute_text_kv(q, cfg, video_context=ctx)
+        for name in ref:
+            for r, g in zip(ref[name], got[name]):
+                assert corr(r, g) > 0.999, name
+                # The unscaled-codes bug was off by up to ~127x, so a
+                # magnitude check catches it even where corr survives.
+                assert 0.5 < float(
+                    jnp.linalg.norm(g) / jnp.linalg.norm(r)
+                ) < 2.0, name
+
+
+class TestQuantizeGuards:
+    def test_fp8_refuses_already_quantized_trees(self):
+        from ltx2_tpu.loader.fp8 import quantize_params_fp8
+
+        w = jnp.ones((1, 4, 4))
+        q, cscale = quantize_tensor_int8(w)
+        tree = {"attn1": {"to_q": {"weight": q, "weight_cscale": cscale}}}
+        with pytest.raises(ValueError, match="already-quantized"):
+            quantize_params_fp8(tree)
+        # int8 codes without the scale leaf are non-floating: skipped, not
+        # silently re-quantized.
+        out = quantize_params_fp8({"attn1": {"to_q": {"weight": q}}})
+        assert out["attn1"]["to_q"]["weight"].dtype == jnp.int8
+        assert "weight_scale" not in out["attn1"]["to_q"]
+
+    def test_export_refuses_quantized_trees(self, tmp_path):
+        from ltx2_tpu.loader.export import export_transformer_checkpoint
+
+        w = jnp.ones((2, 4, 4), jnp.bfloat16)
+        q, cscale = quantize_tensor_int8(w)
+        tree = {"transformer_blocks": {"attn1": {"to_q": {
+            "weight": q, "weight_cscale": cscale,
+        }}}}
+        with pytest.raises(ValueError, match="quantized"):
+            export_transformer_checkpoint(str(tmp_path / "out.safetensors"), tree)
+
+
+class TestPartialFuseAtomicity:
+    def test_failed_fuse_leaves_tree_untouched(self, tmp_path):
+        """review r4: the int8/fp8 refusal fired mid-loop AFTER mutating
+        earlier leaves in place — a failed fuse must leave the caller's
+        shared tree bit-identical (two_stage's finally never unfuses when
+        the fuse itself raised)."""
+        from ltx2_tpu.loader.lora import LoRAConfig, fuse_lora_into_params
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+
+        rank, out_f, in_f = 2, 8, 4
+        rng = np.random.default_rng(0)
+        path = str(tmp_path / "lora.safetensors")
+        write_safetensors(path, {
+            # Alphabetically BEFORE to_q so the bf16 leaf fuses first in
+            # iteration order under the old single-pass code.
+            "diffusion_model.transformer_blocks.0.attn1.to_k.lora_A.weight":
+                rng.normal(size=(rank, in_f)).astype(np.float32),
+            "diffusion_model.transformer_blocks.0.attn1.to_k.lora_B.weight":
+                rng.normal(size=(out_f, rank)).astype(np.float32),
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_A.weight":
+                rng.normal(size=(rank, in_f)).astype(np.float32),
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_B.weight":
+                rng.normal(size=(out_f, rank)).astype(np.float32),
+        })
+        wk = jnp.asarray(rng.normal(size=(1, out_f, in_f)), jnp.float32)
+        q8, cscale = quantize_tensor_int8(
+            jnp.asarray(rng.normal(size=(1, out_f, in_f)), jnp.float32)
+        )
+        params = {"transformer_blocks": {"attn1": {
+            "to_k": {"weight": wk},
+            "to_q": {"weight": q8, "weight_cscale": cscale},
+        }}}
+        before = np.asarray(wk).copy()
+        with pytest.raises(ValueError, match="int8"):
+            fuse_lora_into_params(params, [LoRAConfig(path=path, strength=1.0)])
+        np.testing.assert_array_equal(
+            np.asarray(params["transformer_blocks"]["attn1"]["to_k"]["weight"]),
+            before,
+            err_msg="failed fuse mutated an earlier leaf",
+        )
