@@ -135,7 +135,8 @@ def av_text_encoder_config_v2_from_checkpoint(path: str) -> TextEncoderConfig:
     (create_av_text_encoder_v2_from_checkpoint, encoder.py:811-871)."""
     from ltx2_tpu.loader.weight_loader import read_checkpoint_config
 
-    tcfg = read_checkpoint_config(path).get("transformer", {}) or read_checkpoint_config(path)
+    full_cfg = read_checkpoint_config(path)  # parse the header once
+    tcfg = full_cfg.get("transformer", {}) or full_cfg
 
     video_heads = int(tcfg.get("connector_num_attention_heads", 32))
     video_head_dim = int(tcfg.get("connector_attention_head_dim", 128))

@@ -315,6 +315,26 @@ def gemma3_greedy_generate(
     )
 
 
+def resolve_end_of_turn_id(tokenizer) -> int:
+    """The stop token for chat-format generation is <end_of_turn>, NOT
+    <eos> (review r4): prompts end with '<start_of_turn>model\\n' and
+    Gemma-3 closes its reply with <end_of_turn> — it essentially never
+    emits <eos> mid-conversation, so latching on eos_token_id (1) decoded
+    the full max_new_tokens budget and concatenated hallucinated follow-on
+    turns into the enhanced prompt. The reference hardcodes 107 ('Gemma
+    end-of-turn token', prompt_enhancement.py:244); resolve from the
+    tokenizer when possible and fall back to that constant."""
+    if hasattr(tokenizer, "convert_tokens_to_ids"):
+        try:
+            cand = tokenizer.convert_tokens_to_ids("<end_of_turn>")
+            unk = getattr(tokenizer, "unk_token_id", None)
+            if isinstance(cand, int) and cand >= 0 and cand != unk:
+                return cand
+        except Exception:
+            pass
+    return 107  # reference prompt_enhancement.py:244
+
+
 def generate_text(
     params: Params,
     cfg: Gemma3Config,
@@ -343,7 +363,7 @@ def generate_text(
     input_ids = np.pad(input_ids, ((0, 0), (pad, 0)))
     mask = np.pad(np.ones((1, s), np.int32), ((0, 0), (pad, 0)))
 
-    eos_id = int(getattr(tokenizer, "eos_token_id", 1) or 1)
+    eos_id = resolve_end_of_turn_id(tokenizer)
     tokens = gemma3_generate(
         params,
         cfg,

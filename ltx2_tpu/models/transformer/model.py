@@ -213,9 +213,12 @@ def _prepare_stream(
     heads: int,
     max_pos: Tuple[int, ...],
     pe: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    use_middle_grid: Optional[bool] = None,
 ) -> StreamArgs:
     """Shared stream preprocessing (TransformerArgsPreprocessor.prepare,
-    model.py:231-281)."""
+    model.py:231-281). use_middle_grid: the AUDIO preprocessor hardcodes
+    middle-of-interval RoPE positions in the reference (model.py:683)
+    regardless of the config flag; None = follow cfg (the video stream)."""
     proj_key = f"{prefix}patchify_proj"
     adaln_key = f"{prefix}adaln_single"
     caption_key = f"{prefix}caption_projection"
@@ -256,7 +259,10 @@ def _prepare_stream(
             out_dtype=jnp.float32,
             theta=cfg.positional_embedding_theta,
             max_pos=list(max_pos),
-            use_middle_indices_grid=cfg.use_middle_indices_grid,
+            use_middle_indices_grid=(
+                cfg.use_middle_indices_grid
+                if use_middle_grid is None else use_middle_grid
+            ),
             num_attention_heads=heads,
             rope_type=cfg.rope_type,
             use_double_precision=cfg.use_rope_double_precision,
@@ -374,6 +380,15 @@ def _stacked_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     Handles fp8-serving weight_scale AND int8 weight_cscale leaves like
     ops.common.linear (review r4: int8 codes were cast to x.dtype unscaled,
     making --int8 + --cache-text-kv cache garbage K/V)."""
+    if "lora_A" in p or "lora_B" in p:
+        # ops.common.linear applies unfused runtime adapters; this cached
+        # path would silently drop the LoRA delta (review r4) — the cached
+        # and uncached steps must not disagree. Fuse before caching.
+        raise ValueError(
+            "cache_text_kv is unsupported with unfused runtime LoRA "
+            "adapters on the K/V projections — fuse the LoRA first "
+            "(loader/lora.py) or disable --cache-text-kv"
+        )
     w = p["weight"]
     scale = p.get("weight_scale")
     cscale = p.get("weight_cscale")
@@ -488,6 +503,7 @@ def prepare_stream_args(
             heads=cfg.audio_heads,
             max_pos=(cfg.audio_cross_pe_max_pos,),
             pe=audio_pe,
+            use_middle_grid=True,  # reference hardcodes it for audio
         )
         if run_video:
             audio_args = _prepare_cross_modal(
@@ -615,9 +631,17 @@ def x0_model_apply(
         if audio is None:
             return video_x0
         return video_x0, denoise(audio, output[1])
-    if video is not None:
+    # Single-stream output: pick the modality the MODEL ran, not whichever
+    # argument happens to be present (review r4: an AudioOnly model called
+    # with both modalities denoised the audio velocity against the VIDEO
+    # latents — shape-compatible garbage; the reference X0Model shares the
+    # argument-presence bug, so this is a documented divergence).
+    if cfg.model_type == LTXModelType.AudioOnly:
+        if audio is not None:
+            return denoise(audio, output)
+    elif video is not None:
         return denoise(video, output)
-    if audio is not None:
+    elif audio is not None:
         return denoise(audio, output)
     return output
 

@@ -274,3 +274,38 @@ class TestGenerateUnderTP:
             )
         )
         np.testing.assert_array_equal(got, expected)
+
+
+class TestEndOfTurnResolution:
+    """review r4: stopping on eos_token_id (1) never fires for chat-format
+    Gemma-3 — the stop token is <end_of_turn> (reference hardcodes 107)."""
+
+    def test_resolves_from_tokenizer(self):
+        from ltx2_tpu.models.text_encoder.generation import resolve_end_of_turn_id
+
+        class Tok:
+            unk_token_id = 0
+
+            def convert_tokens_to_ids(self, t):
+                return 106 if t == "<end_of_turn>" else 0
+
+        assert resolve_end_of_turn_id(Tok()) == 106
+
+    def test_falls_back_to_reference_constant(self):
+        from ltx2_tpu.models.text_encoder.generation import resolve_end_of_turn_id
+
+        class NoConvert:
+            eos_token_id = 1
+
+        class ReturnsUnk:
+            unk_token_id = 3
+
+            def convert_tokens_to_ids(self, t):
+                return 3  # unknown token
+
+        class Raises:
+            def convert_tokens_to_ids(self, t):
+                raise KeyError(t)
+
+        for tok in (NoConvert(), ReturnsUnk(), Raises()):
+            assert resolve_end_of_turn_id(tok) == 107

@@ -285,3 +285,32 @@ class TestGemmaShardLoading:
         assert loaded["embed_tokens"]["weight"].dtype == jnp.bfloat16
         # Norm weights stay in the loading dtype (not quantized).
         assert loaded["norm"]["weight"].dtype == jnp.float32
+
+
+class TestMaskNoneIsCausal:
+    def test_no_mask_equals_all_ones_mask(self):
+        """attention_mask=None means 'no padding', not 'no mask' (review
+        r4): the decoder-only causal + sliding-window structure must apply
+        regardless — omitting the mask previously ran Gemma fully
+        bidirectionally."""
+        from ltx2_tpu.models.text_encoder.gemma3 import (
+            Gemma3Config,
+            gemma3_apply,
+            init_gemma3,
+        )
+
+        cfg = Gemma3Config(
+            vocab_size=64, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, head_dim=8, sliding_window=4,
+            layer_types=("sliding_attention", "full_attention"),
+        )
+        params = jax.jit(lambda k: init_gemma3(k, cfg))(jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, 64)
+        with_mask = gemma3_apply(params, cfg, ids, jnp.ones((1, 12), jnp.int32))
+        without = gemma3_apply(params, cfg, ids, None)
+        for a, b in zip(with_mask, without):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-6,
+            )
