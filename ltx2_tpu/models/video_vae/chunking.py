@@ -67,6 +67,20 @@ def decode_latent(
     """
     if latent.ndim == 4:
         latent = latent[None]
+    if latent.shape[0] != 1:
+        # _to_uint8_frames returns batch 0's frames; silently paying the
+        # full-batch decode and discarding the rest would be a trap
+        # (review r4). Batched decode rides --vae-dp-devices instead.
+        raise ValueError(
+            f"decode_latent decodes ONE clip (got batch {latent.shape[0]}); "
+            "loop per clip or use tile/data-parallel decode"
+        )
+    if 0 < temporal_chunk_size <= temporal_overlap:
+        raise ValueError(
+            f"temporal_chunk_size ({temporal_chunk_size}) must exceed "
+            f"temporal_overlap ({temporal_overlap}) — a non-positive stride "
+            "never advances the chunk loop"
+        )
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -84,10 +98,10 @@ def decode_latent(
         chunks = []
         t = 0
         while t < t_latent:
+            # With stride = chunk - overlap > 0 (validated above), every
+            # chunk after the first has end - t > overlap: either a full
+            # chunk, or the tail t_latent - t > chunk - stride = overlap.
             end = min(t + temporal_chunk_size, t_latent)
-            if end - t < temporal_overlap + 1 and t > 0:
-                t = max(0, end - temporal_chunk_size)
-                end = min(t + temporal_chunk_size, t_latent)
             key, sub = jax.random.split(key)
             chunks.append((t, end, decode(params, latent[:, :, t:end], sub)))
             if end >= t_latent:

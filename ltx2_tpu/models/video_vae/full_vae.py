@@ -326,6 +326,10 @@ def full_video_decoder_apply(
         k_decode, k_blocks = jax.random.split(noise_key)
 
     if cfg.timestep_conditioning and k_decode is not None:
+        # Noise BEFORE un_normalize — the reference's FULL decoder order
+        # (decoder.py:233-241), which deliberately differs from the simple
+        # decoder (simple_decoder.py:491-498 denormalizes first, as does
+        # our decoder.py). Parity is per-decoder, not cross-decoder.
         noise = jax.random.normal(k_decode, sample.shape, sample.dtype)
         sample = noise * cfg.decode_noise_scale + (1.0 - cfg.decode_noise_scale) * sample
 

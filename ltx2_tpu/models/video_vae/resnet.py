@@ -298,8 +298,20 @@ def init_resnet_block_3d(key, cfg: ResnetBlock3DConfig, dtype=jnp.float32) -> Pa
         p["norm1"] = {"weight": jnp.ones((cfg.in_channels,), dtype), "bias": jnp.zeros((cfg.in_channels,), dtype)}
         p["norm2"] = {"weight": jnp.ones((cfg.out_ch,), dtype), "bias": jnp.zeros((cfg.out_ch,), dtype)}
     if cfg.timestep_conditioning:
-        p["scale_shift_table"] = jnp.zeros((4, cfg.out_ch), jnp.float32)
+        if cfg.in_channels != cfg.out_ch:
+            # One (4, C) table conditions BOTH the pre-conv1 (in_channels)
+            # and post-norm2 (out_ch) tensors — undefined when they differ
+            # (the reference's (4, in_channels) table breaks its own
+            # scale2 the same way). No real decoder block hits this.
+            raise ValueError(
+                "timestep_conditioning requires in_channels == out_channels "
+                f"(got {cfg.in_channels} != {cfg.out_ch})"
+            )
+        p["scale_shift_table"] = jnp.zeros((4, cfg.in_channels), jnp.float32)
     if cfg.inject_noise:
+        # out_ch, the shape the APPLY needs (noise is added post-conv1/2);
+        # the reference inits these (in_channels, 1, 1) — broken for its
+        # own in != out apply — but only ever uses in == out blocks.
         p["per_channel_scale1"] = jnp.zeros((cfg.out_ch,), jnp.float32)
         p["per_channel_scale2"] = jnp.zeros((cfg.out_ch,), jnp.float32)
     if cfg.in_channels != cfg.out_ch:
