@@ -21,7 +21,11 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ltx2_tpu.models.audio_vae.vocoder import MelSTFTConfig, mel_spectrogram
+from ltx2_tpu.models.audio_vae.vocoder import (
+    MelSTFTConfig,
+    make_stft_basis,
+    mel_spectrogram,
+)
 
 
 @dataclass(frozen=True)
@@ -44,23 +48,9 @@ class AudioAnalysisConfig:
         )
 
 
-def make_stft_basis(filter_length: int, win_length: int) -> np.ndarray:
-    """(2*n_freqs, 1, filter_length) windowed DFT rows: [real; imag].
-
-    Matches the layout of the checkpoint's `forward_basis` consumed by
-    `stft_magnitude_phase` (vocoder.py _STFTFn semantics).
-    """
-    n_freqs = filter_length // 2 + 1
-    k = np.arange(filter_length)
-    freqs = np.arange(n_freqs)[:, None] * k[None, :] / filter_length
-    real = np.cos(2 * np.pi * freqs)
-    imag = -np.sin(2 * np.pi * freqs)
-    window = np.hanning(win_length + 1)[:-1].astype(np.float64)
-    if win_length < filter_length:
-        pad = (filter_length - win_length) // 2
-        window = np.pad(window, (pad, filter_length - win_length - pad))
-    basis = np.concatenate([real, imag], axis=0) * window[None, :]
-    return basis.astype(np.float32)[:, None, :]
+# One canonical windowed-DFT basis implementation (vocoder.py) serves both
+# the vocoder's BWE re-analysis and this VAE-side analysis; re-exported here
+# for the existing `analysis.make_stft_basis` callers.
 
 
 def _hz_to_mel(f):

@@ -21,6 +21,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ltx2_tpu.models.video_vae.ops import pixel_norm
+
 Params = Dict[str, object]
 
 LATENT_DOWNSAMPLE_FACTOR = 4
@@ -48,10 +50,12 @@ class AudioDecoderConfig:
 
 
 def pixel_norm_nhwc(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """RMS normalization over the channel (last) axis (decoder.py:27-53)."""
-    xf = x.astype(jnp.float32)
-    rms = jnp.sqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    return (xf / rms).astype(x.dtype)
+    """RMS normalization over the channel (last) axis (decoder.py:27-53).
+
+    Same fp32-accumulated norm as the video VAE's — one implementation so
+    the audio/video norm semantics can't silently diverge.
+    """
+    return pixel_norm(x, axis=-1, eps=eps)
 
 
 def causal_conv2d(

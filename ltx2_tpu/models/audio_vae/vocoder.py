@@ -457,6 +457,12 @@ def vocoder_with_bwe_config_from_checkpoint(vocoder_cfg: dict) -> VocoderWithBWE
         activation=bwe_cfg.get("activation", "snakebeta"),
         apply_final_activation=False,
         use_tanh_at_final=bwe_cfg.get("use_tanh_at_final", True),
+        # The BWE generator consumes the (n_ch, num_mels) re-analysis mel
+        # stacked on channels — set it here so the derived config stands
+        # alone (init_vocoder(cfg.bwe) builds the right conv_pre without
+        # relying on init_vocoder_with_bwe's late patch-up).
+        in_channels_override=(2 if inner.stereo else 1)
+        * bwe_cfg.get("num_mels", 128),
     )
     mel = MelSTFTConfig(
         filter_length=bwe_cfg.get("n_fft", 2048),
@@ -635,16 +641,32 @@ def load_vocoder_params(path: str, cfg: VocoderConfig) -> Optional[Params]:
     return _load_vocoder_inner(f, get, "vocoder", cfg)
 
 
-def default_forward_basis(filter_length: int, win_length: int) -> jnp.ndarray:
-    """The standard torch-stft DFT forward basis the checkpoint holds
-    (real rows then imag rows of fft(I), hann-windowed) — used when no
-    checkpoint basis is available (placeholder/tests)."""
+def make_stft_basis(filter_length: int, win_length: int) -> np.ndarray:
+    """(2*n_freqs, 1, filter_length) windowed DFT rows: [real; imag].
+
+    The standard torch-stft forward basis the checkpoint holds (real rows
+    then imag rows of fft(I), periodic-hann-windowed), matching the layout
+    `stft_magnitude_phase` consumes. A win_length < filter_length window is
+    center-padded to filter_length (torch.stft semantics). Single canonical
+    implementation — analysis.py's VAE-side basis builds on this too.
+    """
+    if win_length > filter_length:
+        raise ValueError(f"win_length ({win_length}) > filter_length ({filter_length})")
     fourier = np.fft.fft(np.eye(filter_length))
     cutoff = filter_length // 2 + 1
     basis = np.vstack([np.real(fourier[:cutoff]), np.imag(fourier[:cutoff])])
     n = np.arange(win_length)
     hann = 0.5 - 0.5 * np.cos(2 * math.pi * n / win_length)  # periodic hann
-    return jnp.asarray((basis * hann)[:, None, :].astype(np.float32))
+    if win_length < filter_length:
+        pad = (filter_length - win_length) // 2
+        hann = np.pad(hann, (pad, filter_length - win_length - pad))
+    return (basis * hann)[:, None, :].astype(np.float32)
+
+
+def default_forward_basis(filter_length: int, win_length: int) -> jnp.ndarray:
+    """`make_stft_basis` as a jax array — used when no checkpoint basis is
+    available (placeholder/tests)."""
+    return jnp.asarray(make_stft_basis(filter_length, win_length))
 
 
 def init_vocoder_with_bwe(key, cfg: VocoderWithBWEConfig, dtype=jnp.float32) -> Params:

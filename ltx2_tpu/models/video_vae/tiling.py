@@ -344,7 +344,11 @@ def decode_w_sharded(
     stream). None disables noise injection (bit-comparable to the
     unsharded decoder).
 
-    Returns the full (replicated-out) decoded video as a jax array.
+    Returns the decoded video as a GLOBAL jax array whose pixel W axis is
+    still sharded over `axis` (out_specs P(..., axis)); indexing it
+    device-locally yields 1/n of the width per chip, and consumers that
+    need replication (host transfer, full-frame ops) trigger the
+    all-gather at that point rather than here.
     """
     if latent.ndim == 4:
         latent = latent[None]

@@ -35,6 +35,27 @@ def _conv(f: SafetensorsFile, prefix: str) -> Optional[Params]:
     return {"weight": w, "bias": _get(f, f"{prefix}.conv.bias")}
 
 
+def _require(missing: list, val, key: str):
+    """Track required-but-absent checkpoint keys so the load fails loudly
+    at load time, not as a NoneType crash deep inside the jitted decoder
+    (e.g. when decoder_blocks metadata disagrees with the stored
+    up_blocks)."""
+    if val is None:
+        missing.append(key)
+    return val
+
+
+def _raise_if_missing(missing: list, path: str, which: str) -> None:
+    if missing:
+        shown = ", ".join(missing[:8]) + (" ..." if len(missing) > 8 else "")
+        raise ValueError(
+            f"checkpoint {path} is missing {len(missing)} required video "
+            f"{which} key(s) — stored weights disagree with the derived "
+            f"architecture config (wrong decoder_blocks metadata / wrong "
+            f"file?): {shown}"
+        )
+
+
 def _embedder(f: SafetensorsFile, prefix: str) -> Optional[Params]:
     w1 = _get(f, f"{prefix}.linear_1.weight")
     if w1 is None:
@@ -73,10 +94,11 @@ def decoder_config_from_checkpoint(path: str) -> VideoDecoderConfig:
 
 def load_video_decoder_params(path: str, cfg: VideoDecoderConfig) -> Params:
     f = SafetensorsFile(path)
+    missing: list = []
     p: Params = {
         "per_channel_statistics": _stats(f),
-        "conv_in": _conv(f, "vae.decoder.conv_in"),
-        "conv_out": _conv(f, "vae.decoder.conv_out"),
+        "conv_in": _require(missing, _conv(f, "vae.decoder.conv_in"), "vae.decoder.conv_in.conv.weight"),
+        "conv_out": _require(missing, _conv(f, "vae.decoder.conv_out"), "vae.decoder.conv_out.conv.weight"),
         "last_scale_shift_table": _get(f, "vae.decoder.last_scale_shift_table"),
     }
     mult = _get(f, "vae.decoder.timestep_scale_multiplier")
@@ -95,8 +117,16 @@ def load_video_decoder_params(path: str, cfg: VideoDecoderConfig) -> Params:
             for j in range(num_layers):
                 block["res_blocks"].append(
                     {
-                        "conv1": _conv(f, f"{prefix}.res_blocks.{j}.conv1"),
-                        "conv2": _conv(f, f"{prefix}.res_blocks.{j}.conv2"),
+                        "conv1": _require(
+                            missing,
+                            _conv(f, f"{prefix}.res_blocks.{j}.conv1"),
+                            f"{prefix}.res_blocks.{j}.conv1.conv.weight",
+                        ),
+                        "conv2": _require(
+                            missing,
+                            _conv(f, f"{prefix}.res_blocks.{j}.conv2"),
+                            f"{prefix}.res_blocks.{j}.conv2.conv.weight",
+                        ),
                         "scale_shift_table": _get(
                             f, f"{prefix}.res_blocks.{j}.scale_shift_table"
                         ),
@@ -107,17 +137,27 @@ def load_video_decoder_params(path: str, cfg: VideoDecoderConfig) -> Params:
                 block["time_embedder"] = emb
             up_blocks.append(block)
         else:
-            up_blocks.append({"conv": _conv(f, f"{prefix}.conv")})
+            up_blocks.append(
+                {
+                    "conv": _require(
+                        missing,
+                        _conv(f, f"{prefix}.conv"),
+                        f"{prefix}.conv.conv.weight",
+                    )
+                }
+            )
     p["up_blocks"] = up_blocks
+    _raise_if_missing(missing, path, "decoder")
     return p
 
 
 def load_video_encoder_params(path: str, cfg: VideoEncoderConfig) -> Params:
     f = SafetensorsFile(path)
+    missing: list = []
     p: Params = {
         "per_channel_statistics": _stats(f),
-        "conv_in": _conv(f, "vae.encoder.conv_in"),
-        "conv_out": _conv(f, "vae.encoder.conv_out"),
+        "conv_in": _require(missing, _conv(f, "vae.encoder.conv_in"), "vae.encoder.conv_in.conv.weight"),
+        "conv_out": _require(missing, _conv(f, "vae.encoder.conv_out"), "vae.encoder.conv_out.conv.weight"),
     }
     down_blocks = []
     for idx, (kind, _c_in, arg, _stride) in enumerate(cfg.plan):
@@ -127,14 +167,31 @@ def load_video_encoder_params(path: str, cfg: VideoEncoderConfig) -> Params:
                 {
                     "res_blocks": [
                         {
-                            "conv1": _conv(f, f"{prefix}.res_blocks.{j}.conv1"),
-                            "conv2": _conv(f, f"{prefix}.res_blocks.{j}.conv2"),
+                            "conv1": _require(
+                                missing,
+                                _conv(f, f"{prefix}.res_blocks.{j}.conv1"),
+                                f"{prefix}.res_blocks.{j}.conv1.conv.weight",
+                            ),
+                            "conv2": _require(
+                                missing,
+                                _conv(f, f"{prefix}.res_blocks.{j}.conv2"),
+                                f"{prefix}.res_blocks.{j}.conv2.conv.weight",
+                            ),
                         }
                         for j in range(arg)
                     ]
                 }
             )
         else:
-            down_blocks.append({"conv": _conv(f, f"{prefix}.conv")})
+            down_blocks.append(
+                {
+                    "conv": _require(
+                        missing,
+                        _conv(f, f"{prefix}.conv"),
+                        f"{prefix}.conv.conv.weight",
+                    )
+                }
+            )
     p["down_blocks"] = down_blocks
+    _raise_if_missing(missing, path, "encoder")
     return p

@@ -272,6 +272,10 @@ class TestBWEConfigFromCheckpoint:
         assert cfg.mel_stft.filter_length == 1024
         assert cfg.mel_stft.n_mel_channels == 64
         assert cfg.hop_length == 240
+        # The derived config stands alone: the BWE generator's conv_pre
+        # width is the (stereo x num_mels) re-analysis mel, not the
+        # stereo-mel default of the plain vocoder.
+        assert cfg.bwe.in_channels == 2 * 64
         # Consistent: residual covers the whole skip.
         import math
         assert math.prod(cfg.bwe.upsample_rates) == 2 * cfg.hop_length
@@ -285,3 +289,50 @@ class TestBWEConfigFromCheckpoint:
         assert cfg.bwe.upsample_rates == (2,)
         assert cfg.vocoder.upsample_rates == (6, 5, 2, 2, 2)
         assert cfg.input_sampling_rate == 24000
+        assert cfg.bwe.in_channels == 2 * 128
+
+    def test_bwe_generator_buildable_from_derived_config_alone(self):
+        """init_vocoder(cfg.bwe) directly (no init_vocoder_with_bwe
+        patch-up) must build a conv_pre that accepts the re-analysis mel."""
+        import jax
+
+        from ltx2_tpu.models.audio_vae import (
+            init_vocoder,
+            vocoder_with_bwe_config_from_checkpoint,
+        )
+
+        cfg = vocoder_with_bwe_config_from_checkpoint(
+            {"bwe": {"num_mels": 16, "upsample_rates": [2], "n_fft": 64,
+                     "upsample_kernel_sizes": [4],
+                     "upsample_initial_channel": 8}}
+        )
+        p = init_vocoder(jax.random.PRNGKey(0), cfg.bwe)
+        assert p["conv_pre"]["weight"].shape[1] == 2 * 16
+
+
+class TestSTFTBasis:
+    def test_short_window_is_center_padded(self):
+        """win_length < filter_length center-pads the hann window
+        (torch.stft semantics) instead of crashing on a broadcast error."""
+        import numpy as np
+
+        from ltx2_tpu.models.audio_vae.vocoder import make_stft_basis
+
+        basis = make_stft_basis(64, 32)
+        assert basis.shape == (2 * (64 // 2 + 1), 1, 64)
+        flat = np.asarray(basis)[0, 0]  # DC row: the window itself
+        assert np.allclose(flat[:16], 0) and np.allclose(flat[48:], 0)
+        assert flat[16:48].max() > 0.9
+
+    def test_analysis_reexport_is_same_function(self):
+        from ltx2_tpu.models.audio_vae import analysis, vocoder
+
+        assert analysis.make_stft_basis is vocoder.make_stft_basis
+
+    def test_win_longer_than_filter_rejected(self):
+        import pytest
+
+        from ltx2_tpu.models.audio_vae.vocoder import make_stft_basis
+
+        with pytest.raises(ValueError, match="win_length"):
+            make_stft_basis(32, 64)

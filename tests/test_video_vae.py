@@ -279,6 +279,25 @@ class TestWeightsLoading:
             np.asarray(fn(params, latent)), np.asarray(fn(loaded, latent)), atol=1e-6
         )
 
+    def test_missing_required_keys_fail_at_load_time(self, tmp_path):
+        """A checkpoint whose stored up_blocks disagree with the derived
+        plan (e.g. wrong decoder_blocks metadata) must fail loudly at load
+        time with the missing key names — not materialize None leaves that
+        crash as NoneType inside the jitted decoder."""
+        from ltx2_tpu.loader.safetensors_io import write_safetensors
+        from ltx2_tpu.models.video_vae.weights import load_video_decoder_params
+
+        path = str(tmp_path / "incomplete.safetensors")
+        write_safetensors(
+            path,
+            {
+                "vae.decoder.conv_in.conv.weight": np.zeros((4, 8, 1, 1, 1), np.float32),
+                "vae.decoder.conv_in.conv.bias": np.zeros((4,), np.float32),
+            },
+        )
+        with pytest.raises(ValueError, match=r"missing .*conv_out"):
+            load_video_decoder_params(path, TINY_DECODER)
+
     def test_config_from_metadata(self, tmp_path):
         import json
 
