@@ -3,10 +3,16 @@
 Capability parity with reference LTX_2_MLX/components/diffusion_steps.py
 (Euler / EulerAncestral / Heun / Res2s), re-expressed as pure jit-safe
 functions: sigmas may be traced arrays (the step math runs inside the scanned
-denoise loop), and stochastic steps take an explicit PRNG key.
+denoise loop), and stochastic steps take an explicit PRNG key. The one
+exception is Res2s, whose SDE/RK coefficients are host float math over the
+static sigma schedule — it requires CONCRETE sigmas (the ti2vid_hq pipeline
+drives it from a host loop).
 
 All step math runs in fp32 regardless of the sample dtype (fp32 island,
-reference diffusion_steps.py:61-65).
+reference diffusion_steps.py:61-65): the velocity is formed in fp32 directly
+(not round-tripped through the public core.to_velocity, which casts back to
+the sample dtype for API parity and would quantize bf16 samples to 8
+mantissa bits before the integration).
 """
 
 from __future__ import annotations
@@ -16,9 +22,16 @@ from typing import Optional, Protocol, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from ltx2_tpu.core import to_velocity
-
 Scalar = Union[float, jnp.ndarray]
+
+
+def _velocity_f32(
+    sample: jnp.ndarray, sigma: Scalar, denoised_sample: jnp.ndarray
+) -> jnp.ndarray:
+    """(x - x0) / sigma fully in fp32 — the steppers' internal fp32 island."""
+    return (
+        sample.astype(jnp.float32) - denoised_sample.astype(jnp.float32)
+    ) / jnp.asarray(sigma, jnp.float32)
 
 
 class DiffusionStepProtocol(Protocol):
@@ -43,7 +56,7 @@ class EulerDiffusionStep:
         sigma_next: Scalar,
         **_kwargs,
     ) -> jnp.ndarray:
-        velocity = to_velocity(sample, sigma, denoised_sample).astype(jnp.float32)
+        velocity = _velocity_f32(sample, sigma, denoised_sample)
         dt = jnp.asarray(sigma_next, jnp.float32) - jnp.asarray(sigma, jnp.float32)
         result = sample.astype(jnp.float32) + velocity * dt
         return result.astype(sample.dtype)
@@ -70,7 +83,14 @@ def get_ancestral_step(
 
 class EulerAncestralDiffusionStep:
     """Euler-ancestral: deterministic step to sigma_down + noise*sigma_up
-    (diffusion_steps.py:70-129; improves audio diversity)."""
+    (diffusion_steps.py:70-129; improves audio diversity).
+
+    `key` is REQUIRED for correct ancestral sampling: without the
+    noise*sigma_up injection the sample lands at sigma_down < sigma_next
+    and the trajectory is systematically under-noised. key=None runs only
+    the deterministic sub-step — a testing affordance (oracle comparison
+    of the deterministic component), never a sampler configuration.
+    """
 
     def step(
         self,
@@ -85,7 +105,7 @@ class EulerAncestralDiffusionStep:
         sigma_next = jnp.asarray(sigma_next, jnp.float32)
         sigma_up, sigma_down = get_ancestral_step(sigma, sigma_next)
 
-        velocity = to_velocity(sample, sigma, denoised_sample).astype(jnp.float32)
+        velocity = _velocity_f32(sample, sigma, denoised_sample)
         result = sample.astype(jnp.float32) + velocity * (sigma_down - sigma)
 
         if key is not None:
@@ -111,17 +131,23 @@ class HeunDiffusionStep:
         sigma_next = jnp.asarray(sigma_next, jnp.float32)
         dt = sigma_next - sigma
 
-        velocity = to_velocity(sample, sigma, denoised_sample).astype(jnp.float32)
+        velocity = _velocity_f32(sample, sigma, denoised_sample)
         sample_f32 = sample.astype(jnp.float32)
         predicted = sample_f32 + velocity * dt
 
         if denoised_at_predicted is None:
             return predicted.astype(sample.dtype)
 
-        velocity_at_predicted = to_velocity(
-            predicted.astype(sample.dtype), sigma_next, denoised_at_predicted
-        ).astype(jnp.float32)
-        result = sample_f32 + 0.5 * (velocity + velocity_at_predicted) * dt
+        # Final step (sigma_next == 0): the corrector velocity
+        # (predicted - x0)/0 is undefined — the reference raises there; in
+        # jit we take the scanned loop's policy (denoise.py) and return the
+        # Euler predictor, which at sigma_next=0 IS the denoised sample.
+        sn_safe = jnp.where(sigma_next == 0.0, 1.0, sigma_next)
+        velocity_at_predicted = _velocity_f32(
+            predicted, sn_safe, denoised_at_predicted
+        )
+        heun = sample_f32 + 0.5 * (velocity + velocity_at_predicted) * dt
+        result = jnp.where(sigma_next == 0.0, predicted, heun)
         return result.astype(sample.dtype)
 
     def predict(
@@ -137,7 +163,13 @@ class HeunDiffusionStep:
 
 class Res2sDiffusionStep:
     """2nd-order exponential-integrator step with SDE noise mixing
-    (diffusion_steps.py:193-296). Used by the ti2vid_hq pipeline."""
+    (diffusion_steps.py:193-296). Used by the ti2vid_hq pipeline.
+
+    HOST-DRIVEN: sigma/sigma_next must be concrete Python floats (the SDE
+    coefficients are host float math over the static schedule) — calling
+    this inside jit/scan with traced sigmas raises ConcretizationTypeError
+    by design; ti2vid_hq drives it from a host loop around jitted evals.
+    """
 
     @staticmethod
     def get_sde_coeff(

@@ -247,8 +247,12 @@ class MultiModalGuider:
             pred = pred + (self.params.modality_scale - 1) * (cond - uncond_modality)
 
         if self.params.rescale_scale != 0:
-            cond_std = jnp.sqrt(jnp.var(cond) + 1e-8)
-            pred_std = jnp.sqrt(jnp.var(pred) + 1e-8)
+            # Per-sample statistics (all axes but batch): batched serving
+            # must not couple independent clips through a shared variance
+            # (identical to the reference for its B=1 case).
+            axes = tuple(range(1, pred.ndim))
+            cond_std = jnp.sqrt(jnp.var(cond, axis=axes, keepdims=True) + 1e-8)
+            pred_std = jnp.sqrt(jnp.var(pred, axis=axes, keepdims=True) + 1e-8)
             factor = cond_std / pred_std
             factor = self.params.rescale_scale * factor + (1 - self.params.rescale_scale)
             pred = pred * factor

@@ -68,8 +68,13 @@ class LTX2Scheduler:
         if stretch and steps > 0:
             one_minus = 1.0 - sigmas
             scale_factor = one_minus[steps - 1] / (1.0 - terminal)
-            stretched = 1.0 - one_minus / scale_factor
-            sigmas = np.where(sigmas != 0, stretched, sigmas)
+            # steps=1 leaves sigmas=[1, 0]: the last nonzero sigma is
+            # already 1.0, so scale_factor is 0 and the stretch is
+            # undefined (the reference's own division silently NaNs the
+            # whole schedule here) — skip it, [1, 0] is the right answer.
+            if scale_factor != 0.0:
+                stretched = 1.0 - one_minus / scale_factor
+                sigmas = np.where(sigmas != 0, stretched, sigmas)
 
         return sigmas.astype(np.float32)
 

@@ -4,9 +4,9 @@ Capability parity with reference LTX_2_MLX/conditioning/latent.py
 (VideoConditionByLatentIndex): REPLACE tokens at a latent-frame index with
 encoded content and set denoise strength there to 1 - strength.
 
-TPU note: replacement uses jax.lax.dynamic_update_slice on static token
-ranges — the token offsets are host-computed (shapes are static), so the
-update compiles to an in-place fusion.
+TPU note: the token offsets are host-computed (shapes are static), so the
+replacement is plain static slicing + concatenate, which XLA fuses the same
+as an in-place dynamic_update_slice would.
 """
 
 from __future__ import annotations

@@ -126,7 +126,13 @@ class AudioLatentTools:
             initial_latent = jnp.zeros(self.target_shape.to_tuple(), dtype)
 
         denoise_mask = jnp.ones(self.target_shape.mask_shape().to_tuple(), jnp.float32)
-        positions = self.patchifier.get_patch_grid_bounds(self.target_shape).astype(dtype)
+        # Positions are (start, end) TIMESTAMPS in seconds — always fp32,
+        # like the video path above: at the 0.04 s audio-latent spacing,
+        # bf16 collapses adjacent timestamps past ~8 s into identical RoPE
+        # positions (duplicated/jittered audio tokens on longer clips).
+        positions = self.patchifier.get_patch_grid_bounds(self.target_shape).astype(
+            jnp.float32
+        )
 
         return self.patchify(
             LatentState(

@@ -80,6 +80,14 @@ class TestScheduler:
         sigmas = LinearQuadraticScheduler().execute(steps=1)
         assert list(sigmas) == [1.0, 0.0]
 
+    def test_ltx2_single_step_finite(self):
+        """steps=1 leaves the last nonzero sigma at 1.0, where the terminal
+        stretch is undefined (0/0 — the reference's own division NaNs the
+        schedule); the stretch must be skipped, not NaN'd."""
+        sigmas = LTX2Scheduler().execute(steps=1)
+        assert np.all(np.isfinite(sigmas))
+        assert list(sigmas) == [1.0, 0.0]
+
 
 class TestVelocity:
     def test_roundtrip(self):
@@ -137,6 +145,28 @@ class TestDiffusionSteps:
         )
         assert out.shape == self.sample.shape
         assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_heun_corrector_final_step_is_denoised(self):
+        """sigma_next=0 makes the corrector velocity undefined (the
+        reference raises); the step must return the Euler predictor (== x0)
+        instead of silently NaN/Inf — including under jit with traced
+        sigmas, where raising is impossible."""
+        d2 = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 8))
+        out = HeunDiffusionStep().step(
+            self.sample, self.denoised, 0.5, 0.0, denoised_at_predicted=d2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self.denoised), atol=1e-5
+        )
+        jout = jax.jit(
+            lambda x, d, s, sn, dp: HeunDiffusionStep().step(
+                x, d, s, sn, denoised_at_predicted=dp
+            )
+        )(self.sample, self.denoised, jnp.asarray(0.5), jnp.asarray(0.0), d2)
+        assert bool(jnp.all(jnp.isfinite(jout)))
+        np.testing.assert_allclose(
+            np.asarray(jout), np.asarray(self.denoised), atol=1e-5
+        )
 
     def test_steps_jittable(self):
         step = jax.jit(
@@ -196,6 +226,29 @@ class TestGuiders:
                 guider.delta(cond[i : i + 1], self.uncond[i : i + 1])
             )
             np.testing.assert_allclose(batched[i : i + 1], solo, atol=1e-5)
+
+    def test_multimodal_rescale_is_per_sample(self):
+        """MultiModalGuider's std-ratio rescale must use per-sample
+        variance: one clip's statistics must not rescale another's
+        prediction under batched serving (identical to the reference's
+        global var at its B=1)."""
+        from ltx2_tpu.components.guiders import (
+            MultiModalGuider,
+            MultiModalGuiderParams,
+        )
+
+        guider = MultiModalGuider(
+            MultiModalGuiderParams(cfg_scale=4.0, rescale_scale=0.7)
+        )
+        cond = self.cond.at[0].multiply(50.0)
+        batched = np.asarray(guider.calculate(cond, self.uncond, None, None))
+        for i in range(2):
+            solo = np.asarray(
+                guider.calculate(
+                    cond[i : i + 1], self.uncond[i : i + 1], None, None
+                )
+            )
+            np.testing.assert_allclose(batched[i : i + 1], solo, atol=1e-4)
 
     def test_rescaled_cfg_matches_reference_formula(self):
         """RescaledCFGGuider = CFG then arXiv-2305.08891 mean/std matching

@@ -175,6 +175,25 @@ class TestDenoiseLoop:
             np.asarray(out.latent[:, :4]), np.asarray(clean_vals[:, :4]), atol=1e-4
         )
 
+    def test_audio_positions_stay_fp32_under_bf16(self):
+        """Audio RoPE positions are timestamps in seconds; bf16 collapses
+        adjacent 0.04 s-spaced timestamps past ~8 s, so create_initial_state
+        must keep them fp32 regardless of the latent dtype (like the video
+        path)."""
+        from ltx2_tpu.components import AudioPatchifier
+        from ltx2_tpu.conditioning.tools import AudioLatentTools
+        from ltx2_tpu.types import AudioLatentShape
+
+        a_shape = AudioLatentShape(batch=1, channels=2, frames=640, mel_bins=4)
+        a_tools = AudioLatentTools(
+            patchifier=AudioPatchifier(patch_size=4), target_shape=a_shape
+        )
+        state = a_tools.create_initial_state(dtype=jnp.bfloat16)
+        assert state.latent.dtype == jnp.bfloat16
+        assert state.positions.dtype == jnp.float32
+        starts = np.asarray(state.positions)[0, 0, :, 0]
+        assert np.all(np.diff(starts) > 0), "timestamps must stay distinct"
+
     def test_av_loop(self):
         from tests.test_dit import make_audio_modality
 
