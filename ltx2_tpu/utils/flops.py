@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 V5E_BF16_PEAK_TFLOPS = 197.0
+V5E_INT8_PEAK_TFLOPS = 394.0  # v5e int8 MXU path is 2x bf16 (public spec)
 V5E_MEASURED_ROOFLINE_TFLOPS = 165.0
 
 
@@ -193,17 +194,21 @@ def mfu_report(
     peak_tflops: float = V5E_BF16_PEAK_TFLOPS,
     roofline_tflops: Optional[float] = V5E_MEASURED_ROOFLINE_TFLOPS,
     shape_ceiling_tflops: Optional[float] = None,
+    roofline_name: str = "pct_of_measured_matmul_roofline",
 ) -> dict:
+    """roofline_name labels WHICH roofline the percentage is against —
+    int8 phases must pass their own measured int8 matmul roofline (and a
+    matching name) instead of the default bf16/fp8 number, otherwise the
+    percentage reads >100% and misleads (advisor r4)."""
     achieved = flops / seconds / 1e12
     out = {
         "tflops": round(flops / 1e12, 2),
         "achieved_tflops_per_s": round(achieved, 2),
+        "peak_tflops_denominator": peak_tflops,
         "pct_of_peak": round(100 * achieved / peak_tflops, 1),
     }
     if roofline_tflops:
-        out["pct_of_measured_matmul_roofline"] = round(
-            100 * achieved / roofline_tflops, 1
-        )
+        out[roofline_name] = round(100 * achieved / roofline_tflops, 1)
     if shape_ceiling_tflops:
         out["measured_shape_ceiling_tflops"] = round(shape_ceiling_tflops, 1)
         out["pct_of_measured_shape_ceiling"] = round(

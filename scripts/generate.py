@@ -219,6 +219,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode VAE tiles data-parallel over this many "
                    "devices (same-shape tiles batch one per chip; requires "
                    "tiling, composes with any DiT parallelism); 0 = off")
+    p.add_argument("--auto-shard", type=int, default=0,
+                   help="pick the best (tp, sp, pp) layout for this many "
+                   "devices from the SCALING.md comm/compute model "
+                   "(parallel/advisor.py) at this request's token count; "
+                   "explicit --tp-devices/--sp-devices/--pp-stages always "
+                   "win; 0 = off")
     p.add_argument("--gemma-fp8", action="store_true",
                    help="quantize Gemma matmul weights to fp8 at load "
                         "(12B text encoder fits a 16GB chip)")
@@ -651,6 +657,51 @@ def _mesh_model_axis(mesh):
     return "model" if dict(mesh.shape).get("model", 1) > 1 else None
 
 
+def apply_auto_shard(args):
+    """--auto-shard N: fill --tp-devices/--sp-devices/--pp-stages with the
+    best modeled layout for N chips at this request's token count
+    (parallel/advisor.py — the SAME comm/compute model SCALING.md prints).
+    Explicit layout flags always win; the choice is logged with its
+    one-line justification. Returns the LayoutEstimate or None."""
+    n = getattr(args, "auto_shard", 0) or 0
+    if n <= 1:
+        return None
+    from ltx2_tpu.utils.profiling import log
+
+    if args.sp_devices or args.pp_stages or args.tp_devices:
+        log.info(
+            "--auto-shard %d ignored: explicit layout flags win "
+            "(--tp-devices/--sp-devices/--pp-stages)", n,
+        )
+        return None
+    from ltx2_tpu.parallel.advisor import (
+        choose,
+        flagship_serving_config,
+        video_token_count,
+    )
+
+    if args.placeholder or args.checkpoint is None:
+        # placeholder models are 4-head/4-layer (build_models below); the
+        # chooser must respect THEIR divisibility constraints.
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            flagship_serving_config(),
+            num_attention_heads=4, attention_head_dim=32,
+            num_layers=4, cross_attention_dim=128,
+        )
+    else:
+        cfg = flagship_serving_config()
+    n_tokens = video_token_count(args.num_frames, args.height, args.width)
+    rows = 1 + int(args.cfg_scale > 1.0) + int(args.stg_scale != 0.0)
+    best, _table = choose(cfg, n, n_tokens, rows=rows)
+    args.tp_devices = best.tp if best.tp > 1 else 0
+    args.sp_devices = best.sp if best.sp > 1 else 0
+    args.pp_stages = best.pp if best.pp > 1 else 0
+    log.info("%s", best.justification(n_tokens))
+    return best
+
+
 def build_meshes(args):
     """Multi-chip flags -> meshes, built BEFORE weight loading so checkpoint
     leaves can stream directly onto their shards (no single-chip staging).
@@ -1000,11 +1051,10 @@ def setup(args):
     scripts/serve.py (weights stay resident; lru-cached denoise loops are
     reused whenever a request repeats a (config, mesh) combination)."""
     if getattr(args, "compile_cache", None):
-        import jax
+        from ltx2_tpu.utils.compile_cache import enable_persistent_cache
 
-        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        enable_persistent_cache(args.compile_cache, min_compile_time_secs=1.0)
+    apply_auto_shard(args)
     meshes = build_meshes(args)
     models, ledger = build_models(args, meshes)
     for key in ("sequence_mesh", "pipeline_mesh", "vae_mesh", "vae_w_mesh"):

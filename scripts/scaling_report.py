@@ -1,29 +1,38 @@
 #!/usr/bin/env python
 """Generate SCALING.md: an auditable multi-chip comm/compute report.
 
-VERDICT r3 #5: multi-chip correctness is equality-tested on the virtual
-8-CPU mesh, but no artifact made the SCALING claims auditable. This script
-derives, per parallel mode, the per-step communication volume and the
-compute:comm ratio against v5e ICI bandwidth — NOT from hand math, but by:
+VERDICT r3 #5 / r4 #3-#5: multi-chip correctness is equality-tested on the
+virtual 8-CPU mesh, but the SCALING claims need auditable artifacts — and
+something must ACT on them. This script derives, per parallel mode, the
+per-step communication volume and the compute:comm ratio against v5e ICI
+bandwidth — NOT from hand math, but by:
 
 1. walking the ACTUAL sharding rules (parallel/sharding.py
-   DIT_SHARDING_RULES) over the ACTUAL flagship param tree
-   (jax.eval_shape of init_ltx_model at the 48-block 19B config — real
-   shapes, zero memory): every row-parallel weight contributes one
-   all-reduce of its output activation; ring/pipeline traffic is computed
-   from the same config numbers the kernels use;
+   DIT_SHARDING_RULES / GEMMA_SHARDING_RULES, training/trainer.py ZeRO
+   helpers) over the ACTUAL flagship param trees (jax.eval_shape — real
+   shapes, zero memory). The analytic model lives in
+   ltx2_tpu/parallel/advisor.py and is SHARED with the `--auto-shard`
+   chooser, so the report and the chooser cannot drift;
 2. compiling each mode's real program at tiny shapes on the virtual
    8-device CPU mesh and parsing the optimized HLO for collective
    instructions (op kind + payload shape) — ground truth that the
    analytic model is reconciled against;
-3. timing one executed step per mode on the same mesh (functional
-   evidence, not a perf claim — CPU timings say nothing about TPU).
+3. (r4 #5) AOT-compiling the same programs for a REAL v5e 2x4 TPU
+   topology (jax.experimental.topologies — no 8 physical chips needed)
+   and parsing the SCHEDULED module for async collective-start/done
+   separation: >0 instructions between start and done means XLA's
+   latency-hiding scheduler overlapped the collective with compute.
+   Findings land in SCALING_OVERLAP.json; the advisor's
+   OVERLAPPABLE_COLLECTIVES table must match (tests/test_advisor.py).
 
 Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python scripts/scaling_report.py [--output SCALING.md]
+      (the overlap pass internally targets the TPU topology regardless of
+      the CPU platform setting; --skip-overlap drops it.)
 """
 
 import argparse
+import json
 import os
 import re
 import sys
@@ -46,14 +55,20 @@ except Exception:
 import jax.numpy as jnp
 
 # ---------------------------------------------------------------------------
-# Hardware model (documented assumptions, single place).
+# Analytic model: single source of truth shared with the --auto-shard
+# chooser (ltx2_tpu/parallel/advisor.py). Re-exported here so existing
+# consumers/tests keep their import surface.
 # ---------------------------------------------------------------------------
-V5E_BF16_TFLOPS = 197.0  # public spec peak (utils/flops.py)
-# v5e public spec: 1600 Gbps ICI per chip (4 links). A 1D ring collective
-# drives 2 opposite links concurrently at ~45 GB/s one-way each (scaling-book
-# numbers) => ~90 GB/s effective per-chip collective bandwidth. Conservative;
-# 2D-torus-aware collectives can do better.
-V5E_ICI_BYTES_PER_S = 90e9
+from ltx2_tpu.parallel.advisor import (  # noqa: E402
+    V5E_BF16_TFLOPS,
+    V5E_ICI_BYTES_PER_S,
+    choose,
+    estimate_layout,
+    pp_permute_bytes,
+    ring_allreduce_wire_bytes,
+    sp_ring_bytes,
+    tp_allreduce_bytes,
+)
 
 # Flagship serving step (BENCH headline): 768x512x121f -> 6144 video tokens,
 # 1024 text tokens, CFG pair = 2 rows, 48 blocks, inner 4096, bf16 acts.
@@ -61,25 +76,9 @@ FLAGSHIP = dict(rows=2, n_tokens=6144, text_tokens=1024, dtype_bytes=2)
 
 
 def flagship_cfg():
-    from ltx2_tpu.models.transformer.model import LTXModelConfig, LTXModelType
+    from ltx2_tpu.parallel.advisor import flagship_serving_config
 
-    return LTXModelConfig(
-        model_type=LTXModelType.VideoOnly,
-        num_attention_heads=32,
-        attention_head_dim=128,
-        in_channels=128,
-        out_channels=128,
-        num_layers=48,
-        cross_attention_dim=4096,
-        caption_channels=None,
-        compute_dtype="bfloat16",
-        remat=False,
-    )
-
-
-# ---------------------------------------------------------------------------
-# 1) Analytic comm from the ACTUAL shardings over the ACTUAL param shapes.
-# ---------------------------------------------------------------------------
+    return flagship_serving_config()
 
 
 def flagship_param_shapes():
@@ -92,59 +91,8 @@ def flagship_param_shapes():
     )
 
 
-def tp_allreduce_bytes(params_shapes, rows, n_tokens, dtype_bytes):
-    """Walk DIT_SHARDING_RULES over the param tree: every row-parallel
-    weight (in-features sharded over 'model') forces one all-reduce of its
-    OUTPUT activation (rows, n_tokens, out_features) per use. Returns
-    (total payload bytes per step, [(path, L, out, bytes), ...])."""
-    from ltx2_tpu.parallel.mesh import MODEL_AXIS
-    from ltx2_tpu.parallel.sharding import path_to_str, spec_for_path
-
-    total = 0
-    entries = []
-    for path, leaf in jax.tree_util.tree_leaves_with_path(params_shapes):
-        ps = path_to_str(path)
-        if not ps.endswith("/weight"):
-            continue
-        spec = spec_for_path(ps)
-        # Row-parallel = a stacked (L, out, in) MATMUL weight with the
-        # in-features (last) axis sharded. Norm weights (L, dim) also shard
-        # their last axis but are elementwise — no all-reduce.
-        if leaf.ndim != 3 or len(spec) != 3 or spec[-1] != MODEL_AXIS:
-            continue
-        layers = leaf.shape[0] if leaf.ndim == 3 else 1
-        out_features = leaf.shape[-2]
-        payload = rows * n_tokens * out_features * dtype_bytes * layers
-        total += payload
-        entries.append((ps, layers, out_features, payload))
-    return total, entries
-
-
-def sp_ring_bytes(cfg, rows, n_tokens, sp, dtype_bytes):
-    """Ring self-attention (parallel/ring_attention.py): each device holds
-    K,V for n_tokens/sp tokens and ppermutes them (sp-1) rounds per
-    self-attention, per block. Text cross-attn replicates context: 0 comm."""
-    inner = cfg.num_attention_heads * cfg.attention_head_dim
-    kv_chunk = 2 * rows * inner * (n_tokens // sp) * dtype_bytes
-    return cfg.num_layers * (sp - 1) * kv_chunk
-
-
-def pp_permute_bytes(cfg, rows, n_tokens, stages, microbatches, dtype_bytes):
-    """GPipe (parallel/pipeline_parallel.py): activation (rows/m, N, D)
-    ppermutes one hop per tick EXCEPT the final tick (its rotation was
-    computed-and-discarded; removed in review r4) -> m + P - 2 hops."""
-    inner = cfg.num_attention_heads * cfg.attention_head_dim
-    act = (rows // microbatches or 1) * n_tokens * inner * dtype_bytes
-    return (microbatches + stages - 2) * act
-
-
-def ring_allreduce_wire_bytes(payload, n):
-    """Per-device wire traffic of a ring all-reduce: 2*X*(n-1)/n."""
-    return 2 * payload * (n - 1) / n
-
-
 def analytic_modes():
-    """Per-mode analytic table at the flagship step."""
+    """Per-mode analytic table at the flagship step (serving/denoise)."""
     from ltx2_tpu.utils.flops import dit_step_flops
 
     cfg, shapes = flagship_param_shapes()
@@ -156,42 +104,25 @@ def analytic_modes():
     ar_payload, ar_entries = tp_allreduce_bytes(shapes, rows, n_tok, dtb)
 
     modes = []
-    for name, tp, sp, pp, mb in (
-        ("TP4", 4, 1, 1, 1),
-        ("TP8", 8, 1, 1, 1),
-        ("SP4", 1, 4, 1, 1),
-        ("SP8", 1, 8, 1, 1),
-        ("SP4 x TP2", 2, 4, 1, 1),
-        ("PP4 x TP2 (2 mb)", 2, 1, 4, 2),
-        ("PP4 (2 mb)", 1, 1, 4, 2),
+    for name, tp, sp, pp in (
+        ("TP4", 4, 1, 1),
+        ("TP8", 8, 1, 1),
+        ("SP4", 1, 4, 1),
+        ("SP8", 1, 8, 1),
+        ("SP4 x TP2", 2, 4, 1),
+        ("PP4 x TP2 (2 mb)", 2, 1, 4),
+        ("PP4 (2 mb)", 1, 1, 4),
     ):
-        devices = tp * sp * pp
-        wire = 0.0
-        detail = []
-        if tp > 1:
-            # SP shards the token axis, so each TP group's all-reduce
-            # payload shrinks by the SP factor.
-            payload = ar_payload / sp
-            wire_tp = ring_allreduce_wire_bytes(payload, tp)
-            wire += wire_tp
-            detail.append(f"all-reduce {payload/1e6:.0f} MB payload -> "
-                          f"{wire_tp/1e6:.0f} MB wire (ring, {tp} devices)")
-        if sp > 1:
-            wire_sp = sp_ring_bytes(cfg, rows, n_tok, sp, dtb)
-            wire += wire_sp
-            detail.append(f"ring-attention ppermute {wire_sp/1e6:.0f} MB wire")
-        if pp > 1:
-            wire_pp = pp_permute_bytes(cfg, rows, n_tok, pp, mb, dtb)
-            wire += wire_pp
-            detail.append(f"GPipe ppermute {wire_pp/1e6:.0f} MB wire")
-        flops_per_chip = step_flops / devices
-        compute_s = flops_per_chip / (V5E_BF16_TFLOPS * 1e12)
-        comm_s = wire / V5E_ICI_BYTES_PER_S
+        est = estimate_layout(
+            cfg, n_tok, rows, tp, sp, pp,
+            dtype_bytes=dtb, step_flops=step_flops,
+        )
         modes.append(dict(
-            name=name, devices=devices, wire_bytes=wire,
-            flops_per_chip=flops_per_chip, compute_s=compute_s, comm_s=comm_s,
-            ratio=(compute_s / comm_s) if comm_s else float("inf"),
-            detail="; ".join(detail) or "none",
+            name=name, devices=est.devices, wire_bytes=est.wire_bytes,
+            flops_per_chip=step_flops / est.devices,
+            compute_s=est.compute_s, comm_s=est.comm_s,
+            ratio=(est.compute_s / est.comm_s) if est.comm_s else float("inf"),
+            detail=est.detail,
         ))
     return cfg, step_flops, ar_entries, modes
 
@@ -226,6 +157,51 @@ def parse_collectives(hlo_text):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Overlap evidence (r4 #5): async start/done separation in SCHEDULED HLO.
+# ---------------------------------------------------------------------------
+
+_INSTR_RE = re.compile(r"^\s+(?:ROOT\s+)?%([\w.\-]+)\s*=\s*.*?\b([\w\-]+)\(")
+_ASYNC_KINDS = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+)
+
+
+def parse_async_gaps(hlo_text):
+    """Scheduled-module analysis: for every async collective pair
+    `%x = <kind>-start(...)` ... `%y = <kind>-done(%x)`, count the
+    instruction definitions BETWEEN them in program order (TPU executables
+    print computations in schedule order). gap > 0 = the latency-hiding
+    scheduler put real work inside the collective's flight time.
+
+    Returns {kind: [gap, ...]} aggregated over all computations."""
+    gaps = {}
+    # computations are separated by non-indented header lines ending in '{'
+    for block in re.split(r"\n(?=\S.*\{)", hlo_text):
+        starts = {}  # name -> (kind, index)
+        index = 0
+        for line in block.splitlines():
+            m = _INSTR_RE.match(line)
+            if not m:
+                continue
+            index += 1
+            name, op = m.group(1), m.group(2)
+            for kind in _ASYNC_KINDS:
+                if op == f"{kind}-start":
+                    starts[name] = (kind, index)
+                elif op == f"{kind}-done":
+                    oper = re.search(r"\(\s*%([\w.\-]+)", line)
+                    if oper and oper.group(1) in starts:
+                        k, start_idx = starts.pop(oper.group(1))
+                        gaps.setdefault(k, []).append(index - start_idx - 1)
+    return gaps
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2] if xs else 0
+
+
 def _tiny_cfg(heads, layers):
     from ltx2_tpu.models.transformer.model import LTXModelConfig
 
@@ -242,7 +218,7 @@ def _tiny_cfg(heads, layers):
     )
 
 
-def _tiny_modality(cfg, width):
+def _tiny_modality(cfg, width, dtype=None):
     from ltx2_tpu.models.transformer.model import Modality
     from ltx2_tpu.ops.rope import create_position_grid
 
@@ -250,14 +226,79 @@ def _tiny_modality(cfg, width):
     n = f * h * width
     grid = create_position_grid(1, f, h, width).astype(jnp.float32)
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    dt = dtype or cfg.dtype
     return Modality(
-        latent=jax.random.normal(k1, (1, n, cfg.in_channels), cfg.dtype),
-        context=jax.random.normal(k2, (1, 5, cfg.caption_channels), cfg.dtype),
+        latent=jax.random.normal(k1, (1, n, cfg.in_channels), dt),
+        context=jax.random.normal(k2, (1, 5, cfg.caption_channels), dt),
         context_mask=None,
         timesteps=jnp.full((1,), 0.7, jnp.float32),
         positions=jnp.stack([grid, grid + 1], axis=-1),
         sigma=jnp.full((1,), 0.7, jnp.float32),
     )
+
+
+def _mode_programs(n_devices, device_source):
+    """[(mode, family, lowered)] for TP / SP / SP x TP / PP tiny programs.
+    `device_source(shape_dict) -> mesh` supplies either live CPU devices or
+    abstract TPU-topology devices (AOT)."""
+    from ltx2_tpu.models.transformer.model import init_ltx_model, x0_model_apply
+    from ltx2_tpu.parallel.sequence_parallel import make_sequence_parallel_forward
+    from ltx2_tpu.parallel.sharding import dit_param_shardings
+
+    programs = []
+
+    # --- TP (GSPMD Megatron) over ('data','model') -------------------------
+    tp = n_devices // 2
+    mesh = device_source(dict(data=2, model=tp))
+    cfg = _tiny_cfg(heads=tp, layers=2)
+    shapes = jax.eval_shape(lambda k: init_ltx_model(k, cfg), jax.random.PRNGKey(0))
+    shardings = dit_param_shardings(mesh, shapes)
+    arg_structs = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        shapes, shardings,
+    )
+    modality = _tiny_modality(cfg, width=4)
+    fn = jax.jit(lambda p, m: x0_model_apply(p, cfg, video=m))
+    programs.append((
+        f"TP{tp} (DP2)", "tp_allreduce", fn.lower(arg_structs, modality)
+    ))
+
+    # --- SP ring attention over 'seq' ---------------------------------------
+    sp_mesh = device_source(dict(data=1, model=1, seq=n_devices))
+    sp_cfg = _tiny_cfg(heads=2, layers=2)
+    sp_shapes = jax.eval_shape(
+        lambda k: init_ltx_model(k, sp_cfg), jax.random.PRNGKey(0)
+    )
+    sp_modality = _tiny_modality(sp_cfg, width=n_devices)
+    sp_fn = make_sequence_parallel_forward(sp_mesh, sp_cfg)
+    try:
+        sp_lowered = sp_fn.lower(sp_shapes, sp_modality, None)
+    except (AttributeError, TypeError):
+        sp_lowered = jax.jit(lambda p, m: sp_fn(p, m)).lower(sp_shapes, sp_modality)
+    programs.append((f"SP{n_devices}", "sp_ppermute", sp_lowered))
+
+    # --- SP x TP composed ----------------------------------------------------
+    sptp_mesh = device_source(dict(data=1, model=2, seq=n_devices // 2))
+    sptp_cfg = _tiny_cfg(heads=2, layers=2)
+    sptp_shapes = jax.eval_shape(
+        lambda k: init_ltx_model(k, sptp_cfg), jax.random.PRNGKey(0)
+    )
+    sptp_shardings = dit_param_shardings(sptp_mesh, sptp_shapes)
+    sptp_structs = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        sptp_shapes, sptp_shardings,
+    )
+    sptp_modality = _tiny_modality(sptp_cfg, width=n_devices)
+    sptp_fn = make_sequence_parallel_forward(sptp_mesh, sptp_cfg, model_axis="model")
+    try:
+        sptp_lowered = sptp_fn.lower(sptp_structs, sptp_modality, None)
+    except (AttributeError, TypeError):
+        sptp_lowered = jax.jit(lambda p, m: sptp_fn(p, m)).lower(
+            sptp_structs, sptp_modality
+        )
+    programs.append((f"SP{n_devices // 2} x TP2", "sp_ppermute", sptp_lowered))
+
+    return programs
 
 
 def compiled_modes(n_devices=8):
@@ -336,6 +377,276 @@ def compiled_modes(n_devices=8):
     return results
 
 
+def measure_overlap(n_devices=8, topology="v5e:2x4"):
+    """AOT-compile the real parallel programs for a REAL v5e topology and
+    read the latency-hiding scheduler's verdict out of the scheduled HLO.
+
+    Returns (per_mode, per_family): per_mode = [(mode, {kind: gaps})];
+    per_family = {advisor family: {"overlapped": bool, "pairs": n,
+    "median_gap": g, "modes": {...}}}. Honest by construction: a family is
+    overlapped only if the compiled schedule separates start from done."""
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    topo = topologies.get_topology_desc(platform="tpu", topology_name=topology)
+    devs = np.array(topo.devices)
+
+    def device_source(shape):
+        names = tuple(shape.keys())
+        dims = tuple(shape.values())
+        return Mesh(devs[: int(np.prod(dims))].reshape(dims), names)
+
+    per_mode = []
+    per_family = {}
+    for mode, family, lowered in _mode_programs(n_devices, device_source):
+        txt = lowered.compile().as_text()
+        gaps = parse_async_gaps(txt)
+        per_mode.append((mode, gaps))
+        # attribute the family's defining collective kind
+        kind = "all-reduce" if family == "tp_allreduce" else "collective-permute"
+        fam = per_family.setdefault(
+            family, {"pairs": 0, "gaps": [], "modes": {}}
+        )
+        fam["pairs"] += len(gaps.get(kind, []))
+        fam["gaps"].extend(gaps.get(kind, []))
+        fam["modes"][mode] = {
+            k: {"pairs": len(v), "median_gap": _median(v), "max_gap": max(v)}
+            for k, v in gaps.items()
+        }
+    # pp family: the GPipe boundary permute is a hard dependency between
+    # stages (each microbatch's next-stage compute NEEDS the permuted
+    # activation); record it from the same analysis if a PP program is
+    # added — until then, explicitly not-overlapped.
+    for family, rec in per_family.items():
+        rec["median_gap"] = _median(rec["gaps"])
+        rec["overlapped"] = bool(rec["gaps"]) and rec["median_gap"] > 0
+        del rec["gaps"]
+    per_family.setdefault(
+        "pp_ppermute",
+        {
+            "pairs": 0, "median_gap": 0, "overlapped": False,
+            "modes": {"note": "stage-boundary permute is a dependency"},
+        },
+    )
+    return per_mode, per_family
+
+
+# ---------------------------------------------------------------------------
+# Training comm budgets (r4 #4): ZeRO-1/2/3 walked from the real shardings.
+# ---------------------------------------------------------------------------
+
+
+def training_modes(devices=8):
+    """Analytic per-chip wire volumes for one train step of the flagship
+    48-block DiT under the trainer's real modes (training/trainer.py):
+
+    - DP (replicated): backprop all-reduces the grads: 2*G*(D-1)/D.
+    - ZeRO-1 (zero1_opt_state_shardings): grads all-reduce as DP; moments
+      live 1/D; the param UPDATE all-gathers once: + P*(D-1)/D.
+    - ZeRO-2 (+zero2_grad_shardings): the grad sync lowers to
+      reduce-scatter (G*(D-1)/D) + the same update all-gather.
+    - ZeRO-3/FSDP (fsdp_param_shardings): params live 1/D; forward AND
+      backward all-gather each block's weights (2*P*(D-1)/D) and the grad
+      reduce-scatters (G*(D-1)/D); no separate update gather (params stay
+      sharded).
+
+    P/G walked from the real param tree (bf16 params, grads cast to param
+    dtype at the accumulation boundary — trainer.py). Compute: fwd+bwd
+    ~= 3x the forward FLOPs, one sample per chip at 6144 tokens."""
+    from ltx2_tpu.utils.flops import dit_step_flops
+
+    cfg, shapes = flagship_param_shapes()
+    p_bytes = sum(
+        int(np.prod(leaf.shape)) * 2
+        for leaf in jax.tree_util.tree_leaves(shapes)
+    )
+    g_bytes = p_bytes  # grads cast to param dtype (bf16) after accumulation
+    d = devices
+    fwd = dit_step_flops(cfg, FLAGSHIP["n_tokens"], FLAGSHIP["text_tokens"], rows=1)
+    compute_s = 3 * fwd / (V5E_BF16_TFLOPS * 1e12)  # per chip, 1 sample/chip
+
+    rows = []
+    for name, wire, collectives in (
+        (f"DP{d} (replicated)",
+         ring_allreduce_wire_bytes(g_bytes, d),
+         "all-reduce(grads)"),
+        (f"DP{d} + ZeRO-1",
+         ring_allreduce_wire_bytes(g_bytes, d) + p_bytes * (d - 1) / d,
+         "all-reduce(grads) + all-gather(updates)"),
+        (f"DP{d} + ZeRO-2",
+         g_bytes * (d - 1) / d + p_bytes * (d - 1) / d,
+         "reduce-scatter(grads) + all-gather(updates)"),
+        (f"FSDP{d} (ZeRO-3)",
+         2 * p_bytes * (d - 1) / d + g_bytes * (d - 1) / d,
+         "2x all-gather(block params) + reduce-scatter(grads)"),
+    ):
+        comm_s = wire / V5E_ICI_BYTES_PER_S
+        rows.append(dict(
+            name=name, wire_bytes=wire, compute_s=compute_s, comm_s=comm_s,
+            ratio=compute_s / comm_s if comm_s else float("inf"),
+            collectives=collectives,
+        ))
+    return cfg, p_bytes, rows
+
+
+import numpy as np  # noqa: E402  (used by training_modes/measure_overlap)
+
+
+def training_hlo(n_devices=8):
+    """Compile the REAL train step (make_train_step + the ZeRO sharding
+    helpers, exactly as __graft_entry__.py's dryrun builds it) at a tiny
+    config on the virtual CPU mesh per mode, and parse the collectives —
+    the reconciliation that the analytic table above describes the real
+    lowering. Returns [(mode, {kind: (count, bytes)})]."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ltx2_tpu.models.transformer.model import init_ltx_model
+    from ltx2_tpu.ops.rope import create_position_grid
+    from ltx2_tpu.parallel.mesh import create_mesh
+    from ltx2_tpu.parallel.sharding import dit_param_shardings
+    from ltx2_tpu.training import (
+        TrainBatch,
+        TrainConfig,
+        fsdp_param_shardings,
+        make_optimizer,
+        make_train_step,
+        zero1_opt_state_shardings,
+        zero2_grad_shardings,
+    )
+
+    mesh = create_mesh(data=n_devices, model=1)
+    cfg = _tiny_cfg(heads=2, layers=2)
+    params = jax.jit(lambda k: init_ltx_model(k, cfg))(jax.random.PRNGKey(0))
+
+    tb, tf, th, tw = n_devices, 2, 2, 2
+    grid = create_position_grid(tb, tf, th, tw).astype(jnp.float32)
+    dp_put = lambda a: jax.device_put(  # noqa: E731
+        a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+    )
+    batch = TrainBatch(
+        x0=dp_put(jax.random.normal(
+            jax.random.PRNGKey(11), (tb, tf * th * tw, cfg.in_channels), jnp.float32
+        )),
+        positions=dp_put(jnp.stack([grid, grid + 1], axis=-1)),
+        context=dp_put(jax.random.normal(
+            jax.random.PRNGKey(12), (tb, 5, cfg.caption_channels), jnp.float32
+        )),
+    )
+    tc = TrainConfig(logit_normal_loc=None)
+    opt = make_optimizer(tc)
+
+    results = []
+    base_shardings = dit_param_shardings(mesh, params)
+
+    def compile_mode(name, t_params, opt_shardings, grad_shardings,
+                     param_shardings):
+        opt_state = opt.init(t_params)
+        if opt_shardings is not None:
+            opt_state = jax.tree_util.tree_map(
+                jax.device_put, opt_state, opt_shardings
+            )
+        step = make_train_step(
+            cfg, opt, tc,
+            opt_state_shardings=opt_shardings,
+            grad_shardings=grad_shardings,
+            param_shardings=param_shardings,
+        )
+        hlo = (
+            step.lower(t_params, opt_state, batch, jax.random.PRNGKey(13))
+            .compile()
+            .as_text()
+        )
+        results.append((name, parse_collectives(hlo)))
+
+    # DP replicated
+    repl = jax.device_put(params, NamedSharding(mesh, P()))
+    compile_mode(f"DP{n_devices}", repl, None, None, None)
+
+    # ZeRO-1: moments sharded
+    opt_state0 = opt.init(repl)
+    z1 = zero1_opt_state_shardings(opt_state0, repl, base_shardings, mesh)
+    compile_mode(f"DP{n_devices} + ZeRO-1", repl, z1, None, None)
+
+    # ZeRO-2: + grads pinned
+    z2 = zero2_grad_shardings(repl, base_shardings, mesh)
+    compile_mode(f"DP{n_devices} + ZeRO-2", repl, z1, z2, None)
+
+    # FSDP / ZeRO-3: params data-sharded
+    fsdp = fsdp_param_shardings(params, base_shardings, mesh)
+    fs_params = jax.tree_util.tree_map(jax.device_put, params, fsdp)
+    fs_opt = zero1_opt_state_shardings(opt.init(fs_params), fs_params, fsdp, mesh)
+    fs_grads = zero2_grad_shardings(fs_params, fsdp, mesh)
+    compile_mode(f"FSDP{n_devices} (ZeRO-3)", fs_params, fs_opt, fs_grads, fsdp)
+
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Gemma-3 TP encode budget (r4 #4).
+# ---------------------------------------------------------------------------
+
+
+def gemma_tp_modes(seq_len=1024):
+    """Walk GEMMA_SHARDING_RULES over the 12B tree: row-parallel o_proj /
+    down_proj force one hidden-size all-reduce each per layer. Returns
+    (cfg, payload_bytes, [(mode dict)])."""
+    from ltx2_tpu.models.text_encoder.gemma3 import Gemma3Config, init_gemma3
+    from ltx2_tpu.parallel.mesh import MODEL_AXIS
+    from ltx2_tpu.parallel.sharding import gemma_spec_for_path, path_to_str
+    from ltx2_tpu.utils.flops import gemma_encode_flops
+
+    gcfg = Gemma3Config()
+    shapes = jax.eval_shape(
+        lambda k: init_gemma3(k, gcfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    payload = 0
+    entries = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(shapes):
+        ps = path_to_str(path)
+        spec = gemma_spec_for_path(ps)
+        if len(spec) != 3 or spec[-1] != MODEL_AXIS:
+            continue  # row-parallel only (in-features sharded)
+        layers, out_features = leaf.shape[0], leaf.shape[1]
+        b = 1 * seq_len * out_features * 2 * layers  # bf16 activations
+        payload += b
+        entries.append((ps, layers, out_features, b))
+    flops = gemma_encode_flops(gcfg, seq_len)
+    modes = []
+    for tp in (2, 4, 8):
+        wire = ring_allreduce_wire_bytes(payload, tp)
+        compute_s = flops / tp / (V5E_BF16_TFLOPS * 1e12)
+        comm_s = wire / V5E_ICI_BYTES_PER_S
+        modes.append(dict(
+            name=f"Gemma TP{tp}", wire_bytes=wire, compute_s=compute_s,
+            comm_s=comm_s, ratio=compute_s / comm_s if comm_s else float("inf"),
+        ))
+    return gcfg, payload, entries, modes
+
+
+def gemma_tp_hlo(n_devices=8):
+    """Compile the real Gemma forward TP-sharded at a tiny config on the
+    CPU mesh and parse its collectives (reconciliation)."""
+    from ltx2_tpu.models.text_encoder.gemma3 import (
+        Gemma3Config,
+        gemma3_apply,
+        init_gemma3,
+    )
+    from ltx2_tpu.parallel.mesh import create_mesh
+    from ltx2_tpu.parallel.sharding import shard_gemma_params
+
+    mesh = create_mesh(data=1, model=min(4, n_devices))
+    gcfg = Gemma3Config.tiny()
+    params = jax.jit(lambda k: init_gemma3(k, gcfg, dtype=jnp.float32))(
+        jax.random.PRNGKey(0)
+    )
+    sharded = shard_gemma_params(mesh, params)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    fn = jax.jit(lambda p, i: gemma3_apply(p, gcfg, i)[0])
+    hlo = fn.lower(sharded, ids).compile().as_text()
+    return parse_collectives(hlo)
+
+
 # ---------------------------------------------------------------------------
 # 3) Report.
 # ---------------------------------------------------------------------------
@@ -351,12 +662,20 @@ def fmt_bytes(b):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--output", default=str(
-        Path(__file__).resolve().parent.parent / "SCALING.md"
-    ))
+    repo = Path(__file__).resolve().parent.parent
+    ap.add_argument("--output", default=str(repo / "SCALING.md"))
+    ap.add_argument("--overlap-output", default=str(repo / "SCALING_OVERLAP.json"))
     ap.add_argument("--skip-compile", action="store_true",
                     help="analytic tables only (no tiny-program HLO pass)")
+    ap.add_argument("--skip-overlap", action="store_true",
+                    help="skip the TPU-topology AOT overlap analysis")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="skip the train-step HLO reconciliation pass")
     args = ap.parse_args(argv)
+    if args.skip_compile:
+        # analytic-only mode (tests, hosts without the TPU AOT plugin)
+        args.skip_overlap = True
+        args.skip_train = True
 
     cfg, step_flops, ar_entries, modes = analytic_modes()
 
@@ -364,13 +683,15 @@ def main(argv=None):
     w = lines.append
     w("# SCALING — multi-chip comm/compute report (generated)")
     w("")
-    w(f"Generated by `python scripts/scaling_report.py` (do not hand-edit).")
+    w("Generated by `python scripts/scaling_report.py` (do not hand-edit).")
     w("")
     w("Comm volumes are derived by walking the ACTUAL sharding rules")
-    w("(`parallel/sharding.py DIT_SHARDING_RULES`) over the ACTUAL flagship")
-    w("param tree (`jax.eval_shape(init_ltx_model)` at the 48-block config),")
+    w("(`parallel/sharding.py`, `training/trainer.py`) over the ACTUAL")
+    w("flagship param trees (`jax.eval_shape` — real shapes, zero memory),")
     w("then reconciled against collectives parsed from the compiled HLO of")
-    w("each mode's real program on the virtual 8-device CPU mesh.")
+    w("each mode's real program. The analytic model is")
+    w("`ltx2_tpu/parallel/advisor.py` — the SAME code `--auto-shard` uses,")
+    w("so this report and the chooser cannot drift.")
     w("")
     w("## Hardware model")
     w("")
@@ -396,7 +717,7 @@ def main(argv=None):
     for ps, layers, out, payload in ar_entries:
         w(f"| `{ps}` | {layers} | {out} | {fmt_bytes(payload)} |")
     w("")
-    w("### Per-mode budget")
+    w("### Per-mode budget (serving denoise step)")
     w("")
     w("| mode | devices | wire bytes/step/chip | compute s/chip | comm s | compute:comm | notes |")
     w("|---|---|---|---|---|---|---|")
@@ -406,8 +727,23 @@ def main(argv=None):
           f"{m['ratio']:.1f}x | {m['detail']} |")
     w("")
     w("compute:comm > 1 means the mode stays compute-bound even with ZERO")
-    w("overlap; XLA overlaps ring ppermutes with the next block's matmuls")
-    w("(latency-hiding), so effective comm cost is lower than the column.")
+    w("overlap. Whether XLA actually overlaps each collective family is")
+    w("MEASURED below (overlap evidence), not assumed.")
+    w("")
+
+    # Chooser table: what --auto-shard acts on.
+    best, table = choose(cfg, 8, FLAGSHIP["n_tokens"], rows=FLAGSHIP["rows"])
+    w("### --auto-shard ranking (8 chips, 6144 tokens, CFG pair)")
+    w("")
+    w("`generate.py/serve.py --auto-shard 8` picks the first row")
+    w("(`parallel/advisor.choose`, conservative no-overlap step model until")
+    w("the overlap table below proves otherwise):")
+    w("")
+    w("| rank | layout | modeled step | compute | comm |")
+    w("|---|---|---|---|---|")
+    for i, e in enumerate(table[:6], 1):
+        w(f"| {i} | {e.name} | {e.step_s * 1e3:.0f} ms "
+          f"| {e.compute_s * 1e3:.0f} ms | {e.comm_s * 1e3:.0f} ms |")
     w("")
 
     if not args.skip_compile:
@@ -432,6 +768,118 @@ def main(argv=None):
         w("attention K/V rotation), SP x TP both. The numeric equality of")
         w("every mode against the single-device forward is separately")
         w("asserted by tests/test_parallel.py on the same mesh.")
+        w("")
+
+    if not args.skip_overlap:
+        w("## Overlap evidence (AOT-compiled REAL v5e 2x4 schedules)")
+        w("")
+        w("The same tiny programs AOT-compiled for a real `v5e:2x4` TPU")
+        w("topology (`jax.experimental.topologies` — the actual production")
+        w("compiler + latency-hiding scheduler, no physical chips needed).")
+        w("The SCHEDULED module is parsed for async collective pairs: the")
+        w("number of instruction definitions between `<kind>-start` and")
+        w("`<kind>-done` is the work XLA scheduled inside the collective's")
+        w("flight time. median gap = 0 means the collective sits on the")
+        w("critical path — the advisor must model step = compute + comm.")
+        w("")
+        try:
+            per_mode, per_family = measure_overlap()
+            w("| mode | async pairs (kind: n, median gap, max gap) |")
+            w("|---|---|")
+            for mode, gaps in per_mode:
+                desc = "; ".join(
+                    f"{k}: {len(v)} pairs, med {_median(v)}, max {max(v)}"
+                    for k, v in sorted(gaps.items())
+                ) or "no async pairs"
+                w(f"| {mode} | {desc} |")
+            w("")
+            w("| advisor family | overlapped | pairs | median gap |")
+            w("|---|---|---|---|")
+            for family, rec in sorted(per_family.items()):
+                w(f"| {family} | **{'yes' if rec['overlapped'] else 'no'}** "
+                  f"| {rec['pairs']} | {rec['median_gap']} |")
+            w("")
+            w("`parallel/advisor.OVERLAPPABLE_COLLECTIVES` must match this")
+            w("table (pinned by tests/test_advisor.py via")
+            w("SCALING_OVERLAP.json).")
+            with open(args.overlap_output, "w") as fh:
+                json.dump(per_family, fh, indent=1)
+            print(f"wrote {args.overlap_output}")
+        except Exception as exc:  # noqa: BLE001 — no TPU plugin available
+            w(f"(overlap pass unavailable on this host: "
+              f"{type(exc).__name__}: {exc})")
+        w("")
+
+    # Training budgets (r4 #4).
+    tcfg, p_bytes, trows = training_modes()
+    w("## Training comm budgets (one train step, flagship 48-block DiT)")
+    w("")
+    w(f"Trainable params: {fmt_bytes(p_bytes)} (bf16, walked from the real")
+    w("tree); grads cast to param dtype at the accumulation boundary")
+    w("(`training/trainer.py`); one 6144-token sample per chip; fwd+bwd =")
+    w("~3x forward FLOPs. Volumes follow from the trainer's REAL sharding")
+    w("helpers (`zero1_opt_state_shardings` / `zero2_grad_shardings` /")
+    w("`fsdp_param_shardings`) — the dryrun executes these exact modes")
+    w("(`__graft_entry__.py`).")
+    w("")
+    w("| mode | wire bytes/step/chip | compute s/chip | comm s | compute:comm | collectives |")
+    w("|---|---|---|---|---|---|")
+    for r in trows:
+        w(f"| {r['name']} | {fmt_bytes(r['wire_bytes'])} | "
+          f"{r['compute_s']:.2f} | {r['comm_s']:.2f} | {r['ratio']:.1f}x | "
+          f"{r['collectives']} |")
+    w("")
+    w("Reading: every ZeRO tier stays compute-bound at the flagship size —")
+    w("the memory savings (moments 1/D, grads 1/D, params 1/(D*TP)) are")
+    w("close to free in step time on ICI-connected slices.")
+    w("")
+    if not args.skip_train:
+        w("### Train-step HLO reconciliation (8-CPU mesh, tiny config)")
+        w("")
+        w("The REAL `make_train_step` compiled per mode; collective kinds")
+        w("must match the table above (all-reduce for DP; reduce-scatter")
+        w("appearing when ZeRO-2 pins grads; all-gather for ZeRO-1/2")
+        w("updates and FSDP block params).")
+        w("")
+        w("| mode | collectives (static count, payload) |")
+        w("|---|---|")
+        for name, coll in training_hlo():
+            desc = "; ".join(
+                f"{kind}: {cnt}x {fmt_bytes(tot)}"
+                for kind, (cnt, tot) in sorted(coll.items())
+            ) or "none found"
+            w(f"| {name} | {desc} |")
+        w("")
+
+    # Gemma TP (r4 #4).
+    gcfg, gpayload, gentries, gmodes = gemma_tp_modes()
+    w("## Gemma-3 12B TP encode budget (1024 tokens)")
+    w("")
+    w("Row-parallel weights walked from GEMMA_SHARDING_RULES "
+      "(`parallel/sharding.py`):")
+    w("")
+    w("| weight (tree path) | layers | out-features | payload/encode |")
+    w("|---|---|---|---|")
+    for ps, layers, out, payload in gentries:
+        w(f"| `{ps}` | {layers} | {out} | {fmt_bytes(payload)} |")
+    w("")
+    w("| mode | wire bytes/encode/chip | compute s/chip | comm s | compute:comm |")
+    w("|---|---|---|---|---|")
+    for m in gmodes:
+        w(f"| {m['name']} | {fmt_bytes(m['wire_bytes'])} | "
+          f"{m['compute_s']:.4f} | {m['comm_s']:.4f} | {m['ratio']:.1f}x |")
+    w("")
+    w("Encoding is a one-shot 0.16 s phase (BENCH_DETAIL.json), so TP here")
+    w("buys HBM headroom (12.8 GB fp8 tree / TP) more than latency.")
+    w("")
+    if not args.skip_compile:
+        gcoll = gemma_tp_hlo()
+        desc = "; ".join(
+            f"{kind}: {cnt}x {fmt_bytes(tot)}"
+            for kind, (cnt, tot) in sorted(gcoll.items())
+        ) or "none found"
+        w(f"Gemma TP4 tiny-program HLO reconciliation: {desc} (all-reduce =")
+        w("the o_proj/down_proj row-parallel outputs above).")
         w("")
 
     Path(args.output).write_text("\n".join(lines) + "\n")

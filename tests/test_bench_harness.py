@@ -1,17 +1,22 @@
-"""bench.py orchestration tests (VERDICT r3 #1).
+"""bench.py orchestration tests (VERDICT r3 #1, r4 #1/#2).
 
 Round 3 lost its headline perf artifact to a transient `ABORTED: TPU
 backend error`: the old bench.py swallowed each tier's exception with a
 bare `except: pass`, never retried, and recorded nothing. These tests
 drive the rebuilt subprocess-per-tier harness end-to-end in smoke mode
 (LTX2_BENCH_SMOKE=1: CPU, tiny shapes) with injected ABORTED faults
-(LTX2_BENCH_FAULT) and assert the three failure-discipline guarantees:
+(LTX2_BENCH_FAULT) and assert the failure-discipline guarantees:
 
 1. a transient failure is retried and can succeed on a later attempt;
 2. a tier that keeps failing is recorded (error tail + outcome) and the
    harness falls back to the next tier — the round still gets a number;
 3. even total failure produces a parseable JSON line plus a
-   BENCH_DETAIL.json explaining every attempt — never a bare stack trace.
+   BENCH_DETAIL.json explaining every attempt — never a bare stack trace;
+4. (r4) the EXTRA measured tiers (int8_e2e / two_stage / av_e2e) always
+   run, record p50/min/max phase stats, and their failures never change
+   the exit code or the headline metric;
+5. (r4) every tier subprocess enables the persistent compile cache with
+   atomic entry writes, so consecutive runs skip recompilation.
 
 Real-TPU timing behavior is unchanged: the driver still runs plain
 `python bench.py` which executes the same tier functions at full shapes.
@@ -26,25 +31,27 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
+SMOKE_CACHE = "/tmp/jax_cache_bench_smoke"
 
 
-def run_bench(tmp_path, fault: str):
+def run_bench(tmp_path, fault: str, extras: bool = False, timeout: int = 900):
     detail_out = tmp_path / "detail.json"
     env = os.environ.copy()
     env.update(
         LTX2_BENCH_SMOKE="1",
         LTX2_BENCH_FAULT=fault,
         LTX2_BENCH_DETAIL_OUT=str(detail_out),
-        # Children are fresh processes; share a compile cache so repeated
-        # tiny-shape tiers don't each pay cold XLA compiles.
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_bench_smoke",
-        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1.0",
+        # Children are fresh processes; the shared smoke compile cache
+        # keeps repeated tiny-shape tiers from paying cold XLA compiles.
+        LTX2_BENCH_CACHE_DIR=SMOKE_CACHE,
     )
+    if not extras:
+        env["LTX2_BENCH_SKIP_EXTRAS"] = "1"
     proc = subprocess.run(
         [sys.executable, BENCH],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=timeout,
         env=env,
         cwd=REPO,
     )
@@ -53,8 +60,10 @@ def run_bench(tmp_path, fault: str):
     return proc.returncode, result, detail
 
 
-def tier_record(detail, name):
-    return next(t for t in detail["tiers"] if t["tier"] == name)
+def tier_record(detail, name, extra=False):
+    return next(
+        t for t in detail["extra_tiers" if extra else "tiers"] if t["tier"] == name
+    )
 
 
 def test_transient_fault_is_retried_then_succeeds(tmp_path):
@@ -68,7 +77,15 @@ def test_transient_fault_is_retried_then_succeeds(tmp_path):
     assert e2e["status"] == "ok"
     assert [a["outcome"] for a in e2e["attempts"]] == ["transient", "ok"]
     assert "injected fault" in e2e["attempts"][0]["error_tail"]
-    assert detail["phases"]["vae_decode"]["seconds"] >= 0
+    # p50 discipline (r4): every timed phase carries >=3 samples + min/max
+    for phase in ("text_encode", "denoise_loop_8step", "vae_decode"):
+        rec = detail["phases"][phase]
+        assert rec["n_samples"] >= 3
+        assert rec["seconds_min"] <= rec["seconds"] <= rec["seconds_max"]
+    # the child enabled the persistent compile cache with atomic writes
+    assert detail["compile_cache"]["atomic_writes"] == "ok"
+    assert detail["compile_cache"]["dir"] == SMOKE_CACHE
+    assert os.listdir(SMOKE_CACHE), "cache must be populated after a run"
 
 
 def test_persistent_fault_falls_back_to_next_tier(tmp_path):
@@ -83,22 +100,6 @@ def test_persistent_fault_falls_back_to_next_tier(tmp_path):
     assert tier_record(detail, "dit_bf16_extrap")["status"] == "skipped"
 
 
-def test_int8_phase_failure_never_kills_the_e2e_tier(tmp_path):
-    """The optional --int8 extra phase is failure-isolated: a fault AFTER
-    the int8 tree is allocated must (a) record the error in the phase,
-    (b) free the tree so the VAE decode that follows doesn't OOM, and
-    (c) leave the e2e tier ok with the fp8 headline (review r4: the old
-    handler leaked the multi-GB int8 params into the decode)."""
-    rc, result, detail = run_bench(tmp_path, fault="int8")
-    assert rc == 0
-    assert result["metric"].startswith("e2e_sec_prompt_to_pixels")
-    assert result["value"] > 0
-    assert tier_record(detail, "e2e")["status"] == "ok"
-    int8_phase = detail["phases"]["denoise_loop_8step_int8"]
-    assert "injected fault" in int8_phase["error"]
-    assert detail["phases"]["vae_decode"]["seconds"] >= 0  # decode still ran
-
-
 def test_total_failure_still_emits_artifact(tmp_path):
     rc, result, detail = run_bench(tmp_path, fault="e2e,dit_fp8,dit_bf16_extrap")
     assert rc == 1
@@ -107,6 +108,62 @@ def test_total_failure_still_emits_artifact(tmp_path):
         rec = tier_record(detail, name)
         assert rec["status"] == "failed"
         assert all(a["error_tail"] for a in rec["attempts"])
+
+
+@pytest.mark.slow
+def test_extra_tiers_run_and_failures_stay_isolated(tmp_path):
+    """VERDICT r4 #1: the int8/two-stage/AV configs are measured tiers.
+    Inject a persistent fault into int8_e2e only: the headline stays ok
+    (rc=0, fp8 metric), the failed extra is recorded with attempts, and
+    the OTHER extras still produce results + phase stats."""
+    rc, result, detail = run_bench(
+        tmp_path, fault="int8_e2e", extras=True, timeout=1800
+    )
+    assert rc == 0
+    assert result["metric"].startswith("e2e_sec_prompt_to_pixels")
+
+    int8 = tier_record(detail, "int8_e2e", extra=True)
+    assert int8["status"] == "failed"
+    assert all("injected fault" in a["error_tail"] for a in int8["attempts"])
+    assert "result" not in int8
+
+    two_stage = tier_record(detail, "two_stage", extra=True)
+    assert two_stage["status"] == "ok"
+    assert two_stage["result"]["metric"].startswith("two_stage_e2e_sec")
+    assert two_stage["result"]["value"] > 0
+    for phase in (
+        "text_encode",
+        "two_stage_latents",
+        "two_stage_latents_cfg_interval2",
+        "vae_decode_97f",
+    ):
+        rec = two_stage["phases"][phase]
+        assert rec["n_samples"] >= 3
+        assert rec["seconds_min"] <= rec["seconds"] <= rec["seconds_max"]
+    assert "two_stage_e2e_sec_cfg_interval2" in two_stage
+
+    av = tier_record(detail, "av_e2e", extra=True)
+    assert av["status"] == "ok"
+    assert av["result"]["metric"].startswith("av_e2e_sec")
+    for phase in (
+        "av_denoise_loop_8step_int8",
+        "vae_decode",
+        "audio_decode_vocode",
+    ):
+        assert av["phases"][phase]["n_samples"] >= 3
+    # the int8 roofline is measured, and the int8 MFU percentage is named
+    # against it — not the fp8/bf16 roofline (advisor r4)
+    assert av["int8_matmul_roofline_tflops"] > 0
+    loop_phase = av["phases"]["av_denoise_loop_8step_int8"]
+    assert "pct_of_measured_int8_matmul_roofline" in loop_phase
+    assert "pct_of_measured_matmul_roofline" not in loop_phase
+
+    # summary block for the judge: one value per measured extra metric
+    assert set(detail["extra_metrics"]) >= {
+        two_stage["result"]["metric"],
+        av["result"]["metric"],
+        "two_stage_e2e_sec_cfg_interval2",
+    }
 
 
 @pytest.mark.parametrize(
