@@ -160,17 +160,21 @@ class LayoutEstimate:
 
 
 # Which collective families XLA provably overlaps with block compute on
-# this build, from parsing optimized-HLO schedules for async
-# collective-start/done separation (scripts/scaling_report.py;
-# recorded in SCALING.md "overlap evidence"). Conservative: a mode
-# overlaps only if EVERY collective family it relies on does, and a
-# family is only marked True once the HLO schedule proves it
-# (instructions between async start and done > 0) — until then the
-# chooser assumes compute+comm in sequence. test_advisor pins this table
-# against scaling_report's measured findings.
+# this build, from parsing REAL v5e AOT-compiled schedules for async
+# collective-start/done separation (scripts/scaling_report.py writes the
+# measurement to SCALING_OVERLAP.json; tests/test_advisor.py pins this
+# table against it). Measured on the v5e 2x4 topology: the TP program's
+# collectives (the Megatron all-reduce, decomposed by the backend into a
+# collective-permute ring) and the SP ring K/V permutes both schedule
+# with ~21-95 instruction definitions between start and done — the
+# latency-hiding scheduler puts real block compute in their flight time.
+# GPipe's stage-boundary permute is a hard dependency (each microbatch's
+# next stage NEEDS the permuted activation) — never overlapped.
+# `overlapped` makes the chooser model step = max(compute, comm), an
+# optimistic bound; non-overlapped modes pay compute + comm in sequence.
 OVERLAPPABLE_COLLECTIVES = {
-    "tp_allreduce": False,
-    "sp_ppermute": False,
+    "tp_allreduce": True,
+    "sp_ppermute": True,
     "pp_ppermute": False,
 }
 

@@ -159,7 +159,136 @@ def bench_dit_step(fp8: bool, int8: bool):
     }
 
 
+def snr_walk(cfg, block_bf16, block_int8, video_args, blocks: int):
+    """Jitted lockstep walk: two hidden-state chains through `blocks`
+    applications of the SAME transformer block — one with the bf16 weights,
+    one with their int8-quantized twins — emitting the per-block activation
+    SNR (dB) of the quantized chain against the reference chain. Measures
+    ACCUMULATED quantization error through depth, not per-layer error in
+    isolation (the thing that decides whether --int8 damages pixels)."""
+    from ltx2_tpu.models.transformer.blocks import av_block_apply
+
+    vcfg = cfg.video_stream_config()
+
+    @jax.jit
+    def walk(bp, qp, va):
+        def body(carry, _):
+            ref, q = carry
+            r_out, _ = av_block_apply(
+                bp, va.replace(x=ref), None, vcfg, None,
+                rope_type=cfg.rope_type, norm_eps=cfg.norm_eps,
+            )
+            q_out, _ = av_block_apply(
+                qp, va.replace(x=q), None, vcfg, None,
+                rope_type=cfg.rope_type, norm_eps=cfg.norm_eps,
+            )
+            num = jnp.sum(r_out.x.astype(jnp.float32) ** 2)
+            den = jnp.sum((r_out.x - q_out.x).astype(jnp.float32) ** 2)
+            snr_db = 10.0 * jnp.log10(num / jnp.maximum(den, 1e-30))
+            return (r_out.x, q_out.x), snr_db
+
+        _, snrs = jax.lax.scan(body, (va.x, va.x), None, length=blocks)
+        return snrs
+
+    return walk(block_bf16, block_int8, video_args)
+
+
+def snr_report(blocks: int = 48, tokens: int = TOKENS, heads: int = 32,
+               head_dim: int = 128):
+    """int8-vs-bf16 activation-SNR budget through the DiT depth
+    (VERDICT r4 #6): the quality gate that real weights will need. With
+    the bench's tiled random weights every block IS one block, so a single
+    bf16 block + its int8 twin walk the full depth; on a real checkpoint
+    the same walk streams per-block weight pairs (weights-gated — see
+    STATUS.md). Reference quality bar for comparison: the reference ships
+    fp8 (per-stage Pearson 0.954-0.997, its docs/PARITY.md:61-91); int8
+    promotion additionally needs this SNR profile to stay high through
+    all 48 blocks AND a real-weight visual check."""
+    import dataclasses
+
+    from ltx2_tpu.loader.int8 import quantize_params_int8
+    from ltx2_tpu.models.transformer.model import (
+        LTXModelConfig,
+        LTXModelType,
+        Modality,
+        init_ltx_model,
+        prepare_stream_args,
+    )
+    from ltx2_tpu.ops.rope import create_position_grid
+
+    cfg = LTXModelConfig(
+        model_type=LTXModelType.VideoOnly,
+        num_attention_heads=heads,
+        attention_head_dim=head_dim,
+        in_channels=128,
+        out_channels=128,
+        num_layers=blocks,
+        cross_attention_dim=heads * head_dim,
+        caption_channels=None,
+        compute_dtype="bfloat16",
+        remat=False,
+    )
+    one_cfg = dataclasses.replace(cfg, num_layers=1)
+    one = jax.jit(lambda k: init_ltx_model(k, one_cfg))(jax.random.PRNGKey(0))
+    one_q = jax.jit(quantize_params_int8)(one)
+    jax.block_until_ready((one, one_q))
+    unstack = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)  # noqa: E731
+    block_bf16 = unstack(one["transformer_blocks"])
+    block_int8 = unstack(one_q["transformer_blocks"])
+
+    f, h = 2, 2
+    w = max(1, tokens // (f * h))
+    n = f * h * w
+    grid = create_position_grid(1, f, h, w).astype(jnp.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    modality = Modality(
+        latent=jax.random.normal(k1, (1, n, 128), jnp.bfloat16),
+        context=jax.random.normal(
+            k2, (1, 64, cfg.cross_attention_dim), jnp.bfloat16
+        ),
+        context_mask=None,
+        timesteps=jnp.full((1,), 0.7, jnp.float32),
+        positions=jnp.stack([grid, grid + 1], axis=-1),
+        sigma=jnp.full((1,), 0.7, jnp.float32),
+    )
+    video_args, _, _, _ = prepare_stream_args(one, one_cfg, video=modality)
+
+    snrs = np.asarray(snr_walk(cfg, block_bf16, block_int8, video_args, blocks))
+    return {
+        "per_block_activation_snr_db": [round(float(s), 2) for s in snrs],
+        "first_block_snr_db": round(float(snrs[0]), 2),
+        "final_block_snr_db": round(float(snrs[-1]), 2),
+        "min_snr_db": round(float(snrs.min()), 2),
+        "blocks": blocks,
+        "tokens": n,
+        "note": (
+            "accumulated int8-vs-bf16 error through depth on random "
+            "weights; real-weight SNR + visual check remain the gate for "
+            "promoting --int8 past opt-in"
+        ),
+    }
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--snr-report", action="store_true",
+                    help="per-block int8-vs-bf16 activation SNR through "
+                         "the DiT depth (quality budget artifact)")
+    ap.add_argument("--blocks", type=int, default=48)
+    ap.add_argument("--tokens", type=int, default=TOKENS)
+    ap.add_argument("--heads", type=int, default=32)
+    ap.add_argument("--head-dim", type=int, default=128)
+    args = ap.parse_args()
+
+    if args.snr_report:
+        print(json.dumps(snr_report(
+            blocks=args.blocks, tokens=args.tokens,
+            heads=args.heads, head_dim=args.head_dim,
+        )))
+        return
+
     out = {"matmul_chain_6144x4096x4096": bench_matmul_chain()}
     out["dit_step_48blk_6144tok_fp8"] = bench_dit_step(fp8=True, int8=False)
     out["dit_step_48blk_6144tok_int8"] = bench_dit_step(fp8=False, int8=True)

@@ -131,11 +131,11 @@ def analytic_modes():
 # 2) HLO ground truth: compile tiny real programs, parse collectives.
 # ---------------------------------------------------------------------------
 
-_COLLECTIVE_RE = re.compile(
-    r"=\s+(\w+)\[([\d,]*)\][^=]*?\b"
-    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\("
+_COLLECTIVE_KINDS = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
 )
+_TYPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 _DTYPE_BYTES = {
     "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
     "pred": 1, "f64": 8, "s64": 8, "u64": 8,
@@ -144,16 +144,36 @@ _DTYPE_BYTES = {
 
 def parse_collectives(hlo_text):
     """-> {op_kind: (count, payload_bytes)} of STATIC instructions (ops in
-    a scan body appear once; multiply by trip count when comparing)."""
+    a scan body appear once; multiply by trip count when comparing).
+
+    Handles both scalar-typed results (`%x = f32[16] all-reduce(...)`) and
+    the TUPLE-typed results XLA's collective combiner emits in train steps
+    (`%x = (bf16[...], bf16[...]) all-reduce(...)`): payload = sum of the
+    result-type elements, read from the line segment before the op token."""
     out = {}
-    for m in _COLLECTIVE_RE.finditer(hlo_text):
-        dtype, dims, kind = m.group(1), m.group(2), m.group(3)
-        elems = 1
-        for d in filter(None, dims.split(",")):
-            elems *= int(d)
-        nbytes = elems * _DTYPE_BYTES.get(dtype, 4)
-        cnt, tot = out.get(kind, (0, 0))
-        out[kind] = (cnt + 1, tot + nbytes)
+    for line in hlo_text.splitlines():
+        stripped = line.lstrip()
+        if not (stripped.startswith("%") or stripped.startswith("ROOT")):
+            continue
+        for kind in _COLLECTIVE_KINDS:
+            for suffix in ("-start(", "("):
+                token = f" {kind}{suffix}"
+                idx = line.find(token)
+                if idx >= 0:
+                    break
+            if idx < 0:
+                continue
+            nbytes = 0
+            for dtype, dims in _TYPE_RE.findall(line[:idx]):
+                if dtype not in _DTYPE_BYTES:
+                    continue  # layout annotations etc.
+                elems = 1
+                for d in filter(None, dims.split(",")):
+                    elems *= int(d)
+                nbytes += elems * _DTYPE_BYTES[dtype]
+            cnt, tot = out.get(kind, (0, 0))
+            out[kind] = (cnt + 1, tot + nbytes)
+            break
     return out
 
 
@@ -161,7 +181,7 @@ def parse_collectives(hlo_text):
 # Overlap evidence (r4 #5): async start/done separation in SCHEDULED HLO.
 # ---------------------------------------------------------------------------
 
-_INSTR_RE = re.compile(r"^\s+(?:ROOT\s+)?%([\w.\-]+)\s*=\s*.*?\b([\w\-]+)\(")
+_DEF_RE = re.compile(r"^\s+(?:ROOT\s+)?%([\w.\-]+)\s*=")
 _ASYNC_KINDS = (
     "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
 )
@@ -174,6 +194,10 @@ def parse_async_gaps(hlo_text):
     print computations in schedule order). gap > 0 = the latency-hiding
     scheduler put real work inside the collective's flight time.
 
+    Detection is by the ` <kind>-start(` / ` <kind>-done(` op token, NOT a
+    general op regex: start ops are tuple-typed, and tuple layout strings
+    (e.g. `T(8,128)`) defeat any "first word before '('" parse.
+
     Returns {kind: [gap, ...]} aggregated over all computations."""
     gaps = {}
     # computations are separated by non-indented header lines ending in '{'
@@ -181,19 +205,21 @@ def parse_async_gaps(hlo_text):
         starts = {}  # name -> (kind, index)
         index = 0
         for line in block.splitlines():
-            m = _INSTR_RE.match(line)
+            m = _DEF_RE.match(line)
             if not m:
                 continue
             index += 1
-            name, op = m.group(1), m.group(2)
+            name = m.group(1)
             for kind in _ASYNC_KINDS:
-                if op == f"{kind}-start":
+                if f" {kind}-start(" in line:
                     starts[name] = (kind, index)
-                elif op == f"{kind}-done":
-                    oper = re.search(r"\(\s*%([\w.\-]+)", line)
+                    break
+                if f" {kind}-done(" in line:
+                    oper = re.search(rf"{kind}-done\(\s*%([\w.\-]+)", line)
                     if oper and oper.group(1) in starts:
                         k, start_idx = starts.pop(oper.group(1))
                         gaps.setdefault(k, []).append(index - start_idx - 1)
+                    break
     return gaps
 
 
@@ -403,13 +429,16 @@ def measure_overlap(n_devices=8, topology="v5e:2x4"):
         txt = lowered.compile().as_text()
         gaps = parse_async_gaps(txt)
         per_mode.append((mode, gaps))
-        # attribute the family's defining collective kind
-        kind = "all-reduce" if family == "tp_allreduce" else "collective-permute"
+        # Attribute ALL async collectives the mode's program emits to its
+        # family: the backend is free to decompose (e.g. a Megatron
+        # all-reduce lowers to a collective-permute ring on the v5e), so
+        # pinning one nominal kind would miss the real schedule.
         fam = per_family.setdefault(
             family, {"pairs": 0, "gaps": [], "modes": {}}
         )
-        fam["pairs"] += len(gaps.get(kind, []))
-        fam["gaps"].extend(gaps.get(kind, []))
+        all_gaps = [g for v in gaps.values() for g in v]
+        fam["pairs"] += len(all_gaps)
+        fam["gaps"].extend(all_gaps)
         fam["modes"][mode] = {
             k: {"pairs": len(v), "median_gap": _median(v), "max_gap": max(v)}
             for k, v in gaps.items()
@@ -635,7 +664,8 @@ def gemma_tp_hlo(n_devices=8):
     from ltx2_tpu.parallel.mesh import create_mesh
     from ltx2_tpu.parallel.sharding import shard_gemma_params
 
-    mesh = create_mesh(data=1, model=min(4, n_devices))
+    tp = min(4, n_devices)
+    mesh = create_mesh(data=1, model=tp, devices=jax.devices()[:tp])
     gcfg = Gemma3Config.tiny()
     params = jax.jit(lambda k: init_gemma3(k, gcfg, dtype=jnp.float32))(
         jax.random.PRNGKey(0)
@@ -836,10 +866,15 @@ def main(argv=None):
     if not args.skip_train:
         w("### Train-step HLO reconciliation (8-CPU mesh, tiny config)")
         w("")
-        w("The REAL `make_train_step` compiled per mode; collective kinds")
-        w("must match the table above (all-reduce for DP; reduce-scatter")
-        w("appearing when ZeRO-2 pins grads; all-gather for ZeRO-1/2")
-        w("updates and FSDP block params).")
+        w("The REAL `make_train_step` compiled per mode. Expected kinds:")
+        w("all-reduce for the DP grad sync; all-gather for FSDP block")
+        w("params. Caveat on ZeRO-1/2 at TINY shapes: the data-extended")
+        w("layouts only shard leaves with a data-divisible dim, so most")
+        w("tiny-config leaves degrade to replicated (all-reduce instead of")
+        w("reduce-scatter). The 1/D grad/moment engagement at REAL shapes")
+        w("is separately asserted by per-device buffer-shape counts in")
+        w("tests/test_training.py (r3) — this table pins kinds and counts,")
+        w("not the large-shape layout.")
         w("")
         w("| mode | collectives (static count, payload) |")
         w("|---|---|")

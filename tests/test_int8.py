@@ -436,3 +436,75 @@ class TestPartialFuseAtomicity:
             before,
             err_msg="failed fuse mutated an earlier leaf",
         )
+
+
+class TestSNRReport:
+    """scripts/bench_int8.py --snr-report (VERDICT r4 #6): the per-block
+    activation-SNR budget that gates --int8 promotion once real weights
+    exist."""
+
+    @pytest.fixture(scope="class")
+    def report(self):
+        scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+        sys.path.insert(0, scripts)
+        try:
+            import bench_int8
+        finally:
+            sys.path.pop(0)
+        return bench_int8.snr_report(blocks=6, tokens=48, heads=2, head_dim=16)
+
+    def test_profile_shape_and_finiteness(self, report):
+        snrs = report["per_block_activation_snr_db"]
+        assert len(snrs) == report["blocks"] == 6
+        assert all(np.isfinite(s) for s in snrs)
+        assert report["min_snr_db"] == min(snrs)
+        assert report["final_block_snr_db"] == snrs[-1]
+
+    def test_error_accumulates_but_stays_usable(self, report):
+        """Quantization error through depth can only accumulate (the SNR
+        is against an independently-evolving bf16 chain), and on random
+        weights the W8A8 recipe keeps >25 dB through every block — the
+        budget real weights must also clear."""
+        snrs = report["per_block_activation_snr_db"]
+        assert snrs[-1] <= snrs[0] + 1.0  # accumulation, modulo noise
+        assert report["min_snr_db"] > 25.0
+
+    def test_identical_weights_give_near_infinite_snr(self):
+        """Oracle-independence guard: the walk's two chains really are the
+        two precisions — feeding the SAME block twice must report (near)
+        lossless SNR, so a bug that compared a chain against itself would
+        be caught by the finite numbers the real report produces."""
+        scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+        sys.path.insert(0, scripts)
+        try:
+            import bench_int8
+        finally:
+            sys.path.pop(0)
+        import dataclasses
+
+        from ltx2_tpu.models.transformer.model import prepare_stream_args
+
+        cfg = LTXModelConfig(
+            model_type=LTXModelType.VideoOnly,
+            num_attention_heads=2, attention_head_dim=16,
+            in_channels=128, out_channels=128, num_layers=3,
+            cross_attention_dim=32, caption_channels=None,
+            compute_dtype="bfloat16", remat=False,
+        )
+        one_cfg = dataclasses.replace(cfg, num_layers=1)
+        one = jax.jit(lambda k: init_ltx_model(k, one_cfg))(jax.random.PRNGKey(0))
+        block = jax.tree_util.tree_map(lambda x: x[0], one["transformer_blocks"])
+        f, h, w = 2, 2, 6
+        grid = create_position_grid(1, f, h, w).astype(jnp.float32)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        modality = Modality(
+            latent=jax.random.normal(k1, (1, f * h * w, 128), jnp.bfloat16),
+            context=jax.random.normal(k2, (1, 8, 32), jnp.bfloat16),
+            context_mask=None,
+            timesteps=jnp.full((1,), 0.7, jnp.float32),
+            positions=jnp.stack([grid, grid + 1], axis=-1),
+            sigma=jnp.full((1,), 0.7, jnp.float32),
+        )
+        va, _, _, _ = prepare_stream_args(one, one_cfg, video=modality)
+        snrs = np.asarray(bench_int8.snr_walk(cfg, block, block, va, 3))
+        assert (snrs > 100.0).all(), snrs

@@ -73,3 +73,67 @@ def test_report_writes_analytic_sections(tmp_path):
     assert "Per-mode budget" in text
     assert "TP8" in text and "SP4 x TP2" in text
     assert "all-reduce" in text
+
+
+def test_parse_collectives_tuple_typed_results():
+    """XLA's collective combiner emits TUPLE-typed all-reduces in train
+    steps; the parser must count their full payload (r5 fix — these were
+    silently dropped and the DP train step read 'none found')."""
+    hlo = """
+  %fused = (bf16[2,64]{1,0}, f32[16]{0}) all-reduce(%a, %b), replica_groups={}
+  %cps = (bf16[8,8]{1,0:T(8,128)(2,1)}, bf16[8,8]{1,0}, u32[]{:S(2)}) collective-permute-start(%z)
+  %done = bf16[8,8]{1,0} collective-permute-done(%cps)
+"""
+    out = sr.parse_collectives(hlo)
+    assert out["all-reduce"] == (1, 2 * 64 * 2 + 16 * 4)
+    # -start counts once (the -done line is not a second collective)
+    assert out["collective-permute"][0] == 1
+
+
+def test_parse_async_gaps_counts_work_between_start_and_done():
+    hlo = """ENTRY %main (p: bf16[8]) -> bf16[8] {
+  %p = bf16[8]{0} parameter(0)
+  %cps = (bf16[8]{0}, bf16[8]{0}, u32[]{:S(2)}) collective-permute-start(%p), source_target_pairs={{0,1}}
+  %w1 = bf16[8]{0} add(%p, %p)
+  %w2 = bf16[8]{0} multiply(%w1, %w1)
+  %cpd = bf16[8]{0} collective-permute-done(%cps)
+  ROOT %out = bf16[8]{0} add(%cpd, %w2)
+}
+"""
+    gaps = sr.parse_async_gaps(hlo)
+    assert gaps == {"collective-permute": [2]}  # w1, w2 inside the flight
+
+
+def test_training_modes_formulas():
+    """ZeRO wire volumes follow the trainer's real exchanges: ZeRO-2's
+    reduce-scatter+gather never exceeds ZeRO-1's all-reduce+gather, and
+    FSDP pays the extra param all-gather. Every tier stays compute-bound
+    at the flagship size (the table's whole point)."""
+    cfg, p_bytes, rows = sr.training_modes(devices=8)
+    by = {r["name"].split(" ", 1)[1] if " " in r["name"] else r["name"]: r
+          for r in rows}
+    assert 20e9 < p_bytes < 35e9  # ~26 GB bf16 for the 48-block tree
+    z1 = next(r for r in rows if "ZeRO-1" in r["name"])
+    z2 = next(r for r in rows if "ZeRO-2" in r["name"])
+    dp = next(r for r in rows if "replicated" in r["name"])
+    fsdp = next(r for r in rows if "FSDP" in r["name"])
+    assert z2["wire_bytes"] <= z1["wire_bytes"]
+    assert fsdp["wire_bytes"] > dp["wire_bytes"]
+    for r in rows:
+        assert r["ratio"] > 1.0, (r["name"], r["ratio"])
+
+
+def test_gemma_tp_walk_finds_row_parallel_projections():
+    gcfg, payload, entries, modes = sr.gemma_tp_modes(seq_len=1024)
+    paths = sorted(p for p, *_ in entries)
+    assert len(entries) == 2, paths
+    assert any("o_proj" in p for p in paths)
+    assert any("down_proj" in p for p in paths)
+    expected = 2 * gcfg.num_hidden_layers * 1024 * gcfg.hidden_size * 2
+    assert payload == expected
+    by_name = {m["name"]: m for m in modes}
+    # TP2/TP4 stay compute-bound; TP8 sits at the break-even boundary
+    # (~1.0x) — the report's honest finding, pinned here.
+    assert by_name["Gemma TP2"]["ratio"] > 2.0
+    assert by_name["Gemma TP4"]["ratio"] > 1.5
+    assert 0.8 < by_name["Gemma TP8"]["ratio"] < 1.3
