@@ -48,7 +48,7 @@ def _atomic_put(self, key: str, val: bytes) -> None:
     from jax._src import lru_cache as _lru
 
     cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
-    if self.eviction_enabled:
+    if getattr(self, "eviction_enabled", False):
         # We never configure a max_size; if someone does, keep upstream
         # locked semantics (still non-atomic) rather than guessing.
         return _ORIG_PUT(self, key, val)
@@ -78,7 +78,6 @@ def _patch_atomic_writes() -> str:
             # Sanity-check the private surface we rely on before patching.
             assert hasattr(_lru, "_CACHE_SUFFIX")
             assert hasattr(_lru.LRUCache, "put")
-            assert hasattr(_lru.LRUCache, "eviction_enabled") or True
             _ORIG_PUT = _lru.LRUCache.put
             _lru.LRUCache.put = _atomic_put
             _lru.LRUCache._ltx2_atomic_put = True

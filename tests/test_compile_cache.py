@@ -77,5 +77,4 @@ def test_conftest_has_no_rmtree_guard():
     with open(conftest) as fh:
         text = fh.read()
     assert "rmtree" not in text
-    assert "clean-exit sentinel" not in text.split("entry-level")[-1] or True
     assert "enable_persistent_cache" in text
