@@ -90,6 +90,7 @@ if SMOKE:
     TEXT_TOKENS = 16
     PIXEL_FRAMES, PIXEL_H, PIXEL_W = 9, 64, 96
     STEP_ITERS = 1
+    AV_BLOCKS = 2
     TWO_STAGE = dict(frames=9, height=128, width=192, cfg_steps=3)
     # narrow smoke model: 8 heads x 32 = 256 inner (the production 4096
     # inner runs minutes per pass on a 1-core CPU host); V2 context width
@@ -102,6 +103,12 @@ else:
     TEXT_TOKENS = 1024
     PIXEL_FRAMES, PIXEL_H, PIXEL_W = 121, 512, 768
     STEP_ITERS = 5
+    # AV DiT blocks that fit one 16 GB v5e for the av_e2e tier: the 48-block
+    # AV tree is ~17.3 GiB of block weights + ~1.1 GiB non-block even at
+    # int8 (measured via init+quantize), so a single chip cannot host it at
+    # ANY 1-byte dtype; serving needs TP2 (SCALING.md). The tier measures a
+    # 24-block loop and extrapolates x2 (precedent: dit_bf16_extrap).
+    AV_BLOCKS = 24
     TWO_STAGE = dict(frames=97, height=512, width=768, cfg_steps=30)
     HEADS, HEAD_DIM = 32, 128
 CTX_DIM = HEADS * HEAD_DIM
@@ -245,6 +252,7 @@ def make_model(num_layers: int, fp8: bool, int8: bool = False, av: bool = False)
         one = jax.jit(lambda k: init_ltx_model(k, small_cfg))(jax.random.PRNGKey(0))
         one_q = jax.jit(quantize)(one)
         jax.block_until_ready(one_q)
+        del one  # free the bf16 block before tiling (AV blocks are wide)
         stacked = jax.jit(
             lambda b: jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, num_layers, axis=0), b
@@ -365,37 +373,46 @@ def bench_text_encode():
 
 
 def measure_int8_matmul_roofline():
-    """Measured int8 W8A8 matmul roofline on this chip: a serialized scan
-    chain of the SAME quantized-linear path the serving DiT uses
-    (ops/common.linear with a weight_cscale leaf), at a square 4096 shape
-    big enough to saturate the MXU. This is the honest MFU denominator for
-    the int8 phases (advisor r4: the fp8/bf16 roofline reads >100%)."""
+    """Measured int8 matmul roofline on this chip: a serialized scan chain
+    of PURE pre-quantized int8 dots (int8 x int8 -> int32) at the serving
+    DiT's dominant int8 shape — the MLP up-projection
+    (6144 tokens x 4096 -> 16384). This is the hardware ceiling the int8
+    MFU percentages divide by; the W8A8 quant/dequant chain around each
+    dot is model work and shows up as achieved-vs-roofline gap, not in
+    the denominator. (Advisor r4: an op-level W8A8 chain as denominator
+    read >100% because the full model amortizes activation quantization
+    across fused consumers — q/k/v share one quantized x under CSE —
+    which a standalone per-dot chain cannot.)"""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
 
-    from ltx2_tpu.loader.int8 import quantize_tensor_int8
-    from ltx2_tpu.ops.common import linear
-
-    m, k, steps = (64, 128, 2) if SMOKE else (8192, 4096, 16)
-    w = jax.random.normal(jax.random.PRNGKey(0), (k, k), jnp.bfloat16)
-    wq, cs = quantize_tensor_int8(w)
-    params = {"weight": wq, "weight_cscale": cs}
-    x = jax.random.normal(jax.random.PRNGKey(1), (m, k), jnp.bfloat16)
-    inv_sqrt_k = 1.0 / (float(k) ** 0.5)
+    m, k, n, steps = (64, 128, 256, 2) if SMOKE else (6144, 4096, 16384, 12)
+    ws = jax.random.randint(
+        jax.random.PRNGKey(0), (steps, n, k), -127, 128, jnp.int8
+    )
+    xq = jax.random.randint(jax.random.PRNGKey(1), (m, k), -127, 128, jnp.int8)
 
     @jax.jit
-    def chain(p, x0):
-        def body(c, _):
-            y = linear(p, c)
-            return (y * inv_sqrt_k).astype(jnp.bfloat16), 0.0
+    def chain(ws, x0):
+        def body(c, w):
+            y = lax.dot_general(
+                c,
+                w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # cheap data dependency so scan steps serialize without adding
+            # measurable non-matmul work
+            s = (jnp.sum(y[:1, :1]) & 1).astype(jnp.int8)
+            return jnp.bitwise_xor(c, s), 0.0
 
-        out, _ = lax.scan(body, x0, None, length=steps)
+        out, _ = lax.scan(body, x0, ws)
         return out
 
-    sync(chain(params, x))  # compile
-    samples = timed_samples(lambda: sync(chain(params, x)))
-    flops = 2 * m * k * k * steps
+    sync(chain(ws, xq))  # compile
+    samples = timed_samples(lambda: sync(chain(ws, xq)))
+    flops = 2 * m * k * n * steps
     return flops / p50(samples) / 1e12
 
 
@@ -658,14 +675,17 @@ def bench_two_stage():
 
 def bench_av_e2e():
     """Joint audio+video e2e: Gemma fp8 text encode -> 8-step distilled
-    AV denoise (audio and video streams through the full 48-block AV DiT)
+    AV denoise (audio and video streams through the dual-stream AV DiT)
     -> video VAE decode + audio VAE decode + BigVGAN-v2 vocode, sequential
     residency.
 
-    Precision note (recorded in the phase): the fp8 AV weight tree is
-    ~19.7 GB — over one v5e's 16 GB — so the single-chip AV denoise runs
-    int8 W8A8 (~10 GB resident). fp8 AV serving needs TP2 (SCALING.md);
-    the AV decode/vocode phases are precision-independent."""
+    Capacity note (recorded in the phase): the 48-block AV weight tree is
+    ~18.4 GiB even at int8 (measured: 17.3 GiB blocks + 1.1 GiB non-block)
+    — over one v5e's 16 GiB at ANY 1-byte dtype — so single-chip AV
+    serving needs TP2 (SCALING.md). The denoise loop here runs int8 W8A8
+    at AV_BLOCKS (24) blocks and extrapolates x2 over the identical
+    scanned blocks (same contract as dit_bf16_extrap); decode/vocode
+    phases are measured at full size."""
     import gc
 
     import jax
@@ -708,7 +728,11 @@ def bench_av_e2e():
     int8_roofline = measure_int8_matmul_roofline()
     _DETAIL["int8_matmul_roofline_tflops"] = round(int8_roofline, 3)
 
-    cfg, dit_params = make_model(FULL_BLOCKS, fp8=False, int8=True, av=True)
+    # AV_BLOCKS (24) of the 48: even int8 halving leaves the full AV tree at
+    # ~18.4 GiB > 16 GiB HBM (see AV_BLOCKS comment); the loop is one
+    # lax.scan over identical blocks, so per-block cost is constant and the
+    # x2 extrapolation is the same contract as the dit_bf16_extrap tier.
+    cfg, dit_params = make_model(AV_BLOCKS, fp8=False, int8=True, av=True)
     # Audio text context rides the audio stream's own width (the V2
     # connector emits both; random stands in for its tiny projections).
     actx = jax.random.normal(
@@ -746,6 +770,7 @@ def bench_av_e2e():
     run_loop()  # compile
     loop_samples = timed_samples(lambda: run_loop())
     loop_s = p50(loop_samples)
+    loop_s_48 = loop_s * (FULL_BLOCKS / AV_BLOCKS)
     v_out, a_out = run_loop()
     video_latent_5d = vtools.unpatchify(v_out).latent
     audio_latent = atools.unpatchify(a_out).latent.astype(jnp.float32)
@@ -755,7 +780,9 @@ def bench_av_e2e():
     loop_flops = 8 * dit_step_flops(
         cfg, n_tokens, TEXT_TOKENS, n_audio_tokens=n_audio, rows=1
     )
-    _DETAIL.setdefault("phases", {})["av_denoise_loop_8step_int8"] = {
+    _DETAIL.setdefault("phases", {})[
+        f"av_denoise_loop_8step_int8_{AV_BLOCKS}blk"
+    ] = {
         **phase_stats(loop_samples),
         **mfu_report(
             loop_flops, loop_s,
@@ -763,9 +790,15 @@ def bench_av_e2e():
             roofline_tflops=int8_roofline,
             roofline_name="pct_of_measured_int8_matmul_roofline",
         ),
+        "seconds_extrapolated_full": round(loop_s_48, 3),
+        "measured_blocks": AV_BLOCKS,
+        "extrapolated_to_blocks": FULL_BLOCKS,
         "note": (
-            "int8 weights: the fp8 AV tree (~19.7 GB) exceeds one v5e's "
-            "16 GB HBM; fp8 AV serving needs TP2 (SCALING.md)"
+            f"measured at {AV_BLOCKS} of {FULL_BLOCKS} AV blocks: the full "
+            "AV tree is ~18.4 GiB even at int8 (>16 GiB HBM), so one v5e "
+            "cannot host it at any 1-byte dtype; AV serving needs TP2 "
+            "(SCALING.md). Linear x2 extrapolation over the identical "
+            "scanned blocks, same contract as dit_bf16_extrap."
         ),
     }
 
@@ -833,7 +866,7 @@ def bench_av_e2e():
         "note": f"audio latent {tuple(audio_latent.shape)} -> waveform",
     }
 
-    return enc_s + loop_s + vdec_s + adec_s
+    return enc_s + loop_s_48 + vdec_s + adec_s
 
 
 def bench_dit_step(num_layers: int, fp8: bool):
@@ -926,7 +959,10 @@ def _tier_two_stage():
 def _tier_av_e2e():
     sec = bench_av_e2e()
     return {
-        "metric": "av_e2e_sec_prompt_to_pixels_plus_audio_768x512x121f_int8",
+        "metric": (
+            "av_e2e_sec_prompt_to_pixels_plus_audio_768x512x121f_int8"
+            "_dit_extrapolated_48blk"
+        ),
         "value": round(sec, 2),
         "unit": "s",
         # Conservative: the reference's 121f-scaled video-only number; its
