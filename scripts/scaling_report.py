@@ -33,6 +33,7 @@ Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
 
 import argparse
 import json
+import math
 import os
 import re
 import sys
@@ -89,6 +90,37 @@ def flagship_param_shapes():
     return cfg, jax.eval_shape(
         lambda k: init_ltx_model(k, cfg), jax.random.PRNGKey(0)
     )
+
+
+def av_capacity():
+    """Weight-residency budget for the dual-stream AV DiT (real shapes via
+    jax.eval_shape, zero memory): the capacity fact behind bench.py's
+    av_e2e extrapolation and the TP2 requirement for AV serving."""
+    import dataclasses
+
+    from ltx2_tpu.models.transformer.model import LTXModelType, init_ltx_model
+
+    rows = []
+    for label, av in (("video-only", False), ("audio+video", True)):
+        cfg = flagship_cfg()
+        if av:
+            cfg = dataclasses.replace(
+                cfg, model_type=LTXModelType.AudioVideo
+            )
+        shapes = jax.eval_shape(
+            lambda k, c=cfg: init_ltx_model(k, c), jax.random.PRNGKey(0)
+        )
+        n_elems = sum(
+            math.prod(s.shape) for s in jax.tree_util.tree_leaves(shapes)
+        )
+        bf16 = 2 * n_elems
+        # fp8/int8 halve the 2-byte tree; per-channel scales are noise
+        one_byte = n_elems
+        rows.append(dict(
+            label=label, params=n_elems, bf16_bytes=bf16,
+            one_byte_bytes=one_byte, tp2_bytes=one_byte / 2,
+        ))
+    return rows
 
 
 def analytic_modes():
@@ -759,6 +791,25 @@ def main(argv=None):
     w("compute:comm > 1 means the mode stays compute-bound even with ZERO")
     w("overlap. Whether XLA actually overlaps each collective family is")
     w("MEASURED below (overlap evidence), not assumed.")
+    w("")
+
+    # AV weight-residency capacity (the fact behind bench.py's av_e2e
+    # 24-block extrapolation and the TP2 requirement for AV serving).
+    w("### AV serving capacity (weight residency, real shapes)")
+    w("")
+    w("| model | params | bf16 tree | fp8/int8 tree | per chip at TP2 |")
+    w("|---|---|---|---|---|")
+    for r in av_capacity():
+        w(f"| {r['label']} | {r['params'] / 1e9:.2f} B "
+          f"| {fmt_bytes(r['bf16_bytes'])} "
+          f"| {fmt_bytes(r['one_byte_bytes'])} "
+          f"| {fmt_bytes(r['tp2_bytes'])} |")
+    w("")
+    w("The video-only tree fits one 16 GB v5e at any 1-byte dtype; the")
+    w("dual-stream audio+video tree does NOT (its 1-byte tree alone tops")
+    w("HBM before activations), so single-chip AV serving is impossible at")
+    w("48 blocks and AV requests need TP2+ (or PP2). bench.py's av_e2e")
+    w("tier measures a 24-block loop and extrapolates x2 for this reason.")
     w("")
 
     # Chooser table: what --auto-shard acts on.

@@ -73,6 +73,19 @@ def test_report_writes_analytic_sections(tmp_path):
     assert "Per-mode budget" in text
     assert "TP8" in text and "SP4 x TP2" in text
     assert "all-reduce" in text
+    assert "AV serving capacity" in text
+
+
+def test_av_capacity_single_chip_fact():
+    """The capacity fact behind bench.py's av_e2e 24-block extrapolation:
+    the video-only tree fits one 16 GB v5e at 1 byte/param, the
+    dual-stream AV tree does not."""
+    rows = {r["label"]: r for r in sr.av_capacity()}
+    hbm = 16 * 1024**3
+    assert rows["video-only"]["one_byte_bytes"] < hbm
+    assert rows["audio+video"]["one_byte_bytes"] > hbm
+    # TP2 restores comfortable headroom for AV
+    assert rows["audio+video"]["tp2_bytes"] < 0.7 * hbm
 
 
 def test_parse_collectives_tuple_typed_results():
