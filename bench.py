@@ -123,6 +123,15 @@ REFERENCE_SEC_E2E_121F = 225.0
 # (docs/USAGE.md:310-317); the AV comparison reuses the 121f e2e number
 # (conservative: the reference's audio branch only adds cost).
 REFERENCE_SEC_TWO_STAGE_97F = 180.0
+# BASELINE.json config 2 (t2v dev, 25 steps, CFG 5.0, 512x768x65f): the
+# reference publishes only the 8-step distilled number for this shape
+# (~120 s, docs/USAGE.md:313). Scale it by steps (25/8) and CFG rows (x2):
+# ~750 s — conservative (ignores the reference's fixed per-run overheads).
+REFERENCE_SEC_T2V_CFG_65F = 750.0
+# BASELINE.json config 4 (2x framerate temporal upscale + tiled re-decode):
+# the reference ships the upscaler but publishes no timing; its re-decode
+# alone is "~10-15 s" (docs/USAGE.md:318). Use the 15 s re-decode floor.
+REFERENCE_SEC_TEMPORAL_CHAIN = 15.0
 
 # Error substrings that mean "the backend/tunnel flaked, not the code" —
 # observed in BENCH_r03.json ("ABORTED: TPU backend error") and typical
@@ -145,11 +154,13 @@ TIER_TIMEOUT = (
         # first (cold-cache) smoke compile of the two-stage pipeline takes
         # several minutes on a 1-core CPU host; warm runs are seconds
         "int8_e2e": 600, "two_stage": 1200, "av_e2e": 900,
+        "t2v_cfg": 900, "temporal_upscale": 900,
     }
     if SMOKE
     else {
         "e2e": 3000, "dit_fp8": 2400, "dit_bf16_extrap": 1800,
         "int8_e2e": 2400, "two_stage": 3000, "av_e2e": 3000,
+        "t2v_cfg": 3000, "temporal_upscale": 1800,
     }
 )
 
@@ -869,6 +880,207 @@ def bench_av_e2e():
     return enc_s + loop_s_48 + vdec_s + adec_s
 
 
+def bench_t2v_cfg():
+    """BASELINE.json config 2 — the non-distilled dev recipe: Gemma fp8
+    text encode -> 25-step CFG-5.0 denoise (both guidance rows, fp8
+    48-block DiT, LTX2Scheduler token-shifted sigmas) -> single-pass VAE
+    decode, at 512x768x65f (3456 video tokens), sequential residency."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ltx2_tpu.components import (
+        CFGGuider,
+        GaussianNoiser,
+        LTX2Scheduler,
+        VideoLatentPatchifier,
+    )
+    from ltx2_tpu.conditioning.tools import VideoLatentTools
+    from ltx2_tpu.models.video_vae.chunking import decode_latent
+    from ltx2_tpu.models.video_vae.decoder import (
+        VideoDecoderConfig,
+        init_video_decoder,
+    )
+    from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
+    from ltx2_tpu.types import VideoLatentShape, VideoPixelShape
+    from ltx2_tpu.utils.flops import (
+        dit_step_flops,
+        mfu_report,
+        video_decoder_ceiling_tflops,
+        video_decoder_flops,
+    )
+
+    _maybe_inject_fault("t2v_cfg")
+    enc_s, ctx = bench_text_encode()
+    neg = jax.random.normal(jax.random.PRNGKey(13), ctx.shape, jnp.bfloat16)
+
+    cfg, dit_params = make_model(FULL_BLOCKS, fp8=True)
+
+    frames = 9 if SMOKE else 65
+    steps = 3 if SMOKE else 25
+    pixel = VideoPixelShape(
+        batch=1, frames=frames, height=PIXEL_H, width=PIXEL_W, fps=24.0
+    )
+    latent_shape = VideoLatentShape.from_pixel_shape(pixel, latent_channels=128)
+    n_tokens = latent_shape.frames * latent_shape.height * latent_shape.width
+    tools = VideoLatentTools(
+        patchifier=VideoLatentPatchifier(1), target_shape=latent_shape, fps=24.0
+    )
+    state = GaussianNoiser()(
+        jax.random.PRNGKey(2), tools.create_initial_state(dtype=jnp.bfloat16), 1.0
+    )
+    sigmas = jnp.asarray(
+        LTX2Scheduler().execute(steps, tokens=n_tokens), jnp.float32
+    )
+
+    loop = make_video_denoise_loop(
+        cfg, DenoiseLoopConfig(guider=CFGGuider(5.0))
+    )
+    sync(loop(dit_params, state, sigmas, ctx, neg).latent)  # compile
+    loop_samples = timed_samples(
+        lambda: sync(loop(dit_params, state, sigmas, ctx, neg).latent)
+    )
+    loop_s = p50(loop_samples)
+    latent_5d = tools.unpatchify(loop(dit_params, state, sigmas, ctx, neg)).latent
+
+    loop_flops = steps * dit_step_flops(cfg, n_tokens, TEXT_TOKENS, rows=2)
+    _DETAIL.setdefault("phases", {})[f"t2v_denoise_{steps}step_cfg"] = {
+        **phase_stats(loop_samples),
+        **mfu_report(loop_flops, loop_s),
+        "note": "both CFG rows on the batch axis (pipelines/denoise.py)",
+    }
+
+    del dit_params
+    gc.collect()
+
+    dec_cfg = VideoDecoderConfig(
+        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
+    )
+    dec_params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
+        )
+    )(jax.random.PRNGKey(1))
+    jax.block_until_ready(dec_params)
+
+    def decode():
+        return decode_latent(
+            latent_5d, dec_params, dec_cfg, key=jax.random.PRNGKey(4),
+            to_host=False,
+        )
+
+    sync(decode())  # compile
+    dec_samples = timed_samples(lambda: sync(decode()))
+    dec_s = p50(dec_samples)
+    lf, lh, lw = latent_5d.shape[2], latent_5d.shape[3], latent_5d.shape[4]
+    _DETAIL["phases"]["vae_decode_65f"] = {
+        **phase_stats(dec_samples),
+        **mfu_report(
+            video_decoder_flops(dec_cfg, lf, lh, lw), dec_s,
+            shape_ceiling_tflops=video_decoder_ceiling_tflops(
+                dec_cfg, lf, lh, lw
+            ),
+        ),
+    }
+    return enc_s + loop_s + dec_s
+
+
+def bench_temporal_upscale():
+    """BASELINE.json config 4 — the 2x-framerate chain: production
+    temporal upscaler (hidden 512, 4+4 res blocks) doubles the latent
+    frame rate of the headline 121f latent, then the doubled clip
+    re-decodes through the TILED VAE path (temporal_chunk_size bounds
+    HBM on the 241-frame output), sequential residency."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ltx2_tpu.models.upscaler.temporal import (
+        TemporalUpscalerConfig,
+        init_temporal_upscaler,
+        temporal_upscaler_apply,
+    )
+    from ltx2_tpu.models.video_vae.chunking import decode_latent
+    from ltx2_tpu.models.video_vae.decoder import (
+        VideoDecoderConfig,
+        init_video_decoder,
+    )
+    from ltx2_tpu.utils.flops import (
+        mfu_report,
+        video_decoder_ceiling_tflops,
+        video_decoder_flops,
+    )
+
+    _maybe_inject_fault("temporal_upscale")
+    up_cfg = TemporalUpscalerConfig(
+        hidden_channels=32 if SMOKE else 512,
+        num_res_blocks=1 if SMOKE else 4,
+    )
+    up_params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16),
+            init_temporal_upscaler(k, up_cfg),
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(up_params)
+
+    latent = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, 128, TOKENS_F, TOKENS_H, TOKENS_W),
+        jnp.bfloat16,
+    )
+    upscale = jax.jit(lambda p, z: temporal_upscaler_apply(p, up_cfg, z))
+    sync(upscale(up_params, latent))  # compile
+    up_samples = timed_samples(lambda: sync(upscale(up_params, latent)))
+    up_s = p50(up_samples)
+    up_latent = upscale(up_params, latent)
+    _DETAIL.setdefault("phases", {})["temporal_upscale_2x"] = {
+        **phase_stats(up_samples),
+        "note": (
+            f"latent {TOKENS_F}f -> {up_latent.shape[2]}f "
+            "(24->48 fps), production width 512"
+        ),
+    }
+
+    del up_params
+    gc.collect()
+
+    dec_cfg = VideoDecoderConfig(
+        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
+    )
+    dec_params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
+        )
+    )(jax.random.PRNGKey(2))
+    jax.block_until_ready(dec_params)
+    chunk = 4 if SMOKE else 12
+
+    def decode():
+        return decode_latent(
+            up_latent, dec_params, dec_cfg, key=jax.random.PRNGKey(3),
+            temporal_chunk_size=chunk, temporal_overlap=2, to_host=False,
+        )
+
+    sync(decode())  # compile
+    dec_samples = timed_samples(lambda: sync(decode()))
+    dec_s = p50(dec_samples)
+    lf, lh, lw = up_latent.shape[2], up_latent.shape[3], up_latent.shape[4]
+    _DETAIL["phases"]["vae_decode_tiled_2x_frames"] = {
+        **phase_stats(dec_samples),
+        **mfu_report(
+            video_decoder_flops(dec_cfg, lf, lh, lw), dec_s,
+            shape_ceiling_tflops=video_decoder_ceiling_tflops(
+                dec_cfg, lf, lh, lw
+            ),
+        ),
+        "note": f"tiled: temporal_chunk_size={chunk}, overlap=2",
+    }
+    return up_s + dec_s
+
+
 def bench_dit_step(num_layers: int, fp8: bool):
     import jax
 
@@ -971,6 +1183,28 @@ def _tier_av_e2e():
     }
 
 
+def _tier_t2v_cfg():
+    sec = bench_t2v_cfg()
+    return {
+        "metric": "t2v_e2e_sec_512x768x65f_25step_cfg5_fp8",
+        "value": round(sec, 2),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_SEC_T2V_CFG_65F / sec, 2),
+    }
+
+
+def _tier_temporal_upscale():
+    sec = bench_temporal_upscale()
+    return {
+        "metric": "temporal_upscale_2x_plus_tiled_redecode_sec_121f_to_241f",
+        "value": round(sec, 2),
+        "unit": "s",
+        # vs the reference's re-decode floor alone (~15 s, its upscaler
+        # timing is unpublished) — conservative.
+        "vs_baseline": round(REFERENCE_SEC_TEMPORAL_CHAIN / sec, 2),
+    }
+
+
 TIERS = (
     ("e2e", _tier_e2e),
     ("dit_fp8", _tier_dit_fp8),
@@ -983,6 +1217,8 @@ EXTRA_TIERS = (
     ("int8_e2e", _tier_int8_e2e),
     ("two_stage", _tier_two_stage),
     ("av_e2e", _tier_av_e2e),
+    ("t2v_cfg", _tier_t2v_cfg),
+    ("temporal_upscale", _tier_temporal_upscale),
 )
 
 ALL_TIERS = dict(TIERS) | dict(EXTRA_TIERS)

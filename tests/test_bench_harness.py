@@ -163,10 +163,22 @@ def test_extra_tiers_run_and_failures_stay_isolated(tmp_path):
     assert loop_phase["extrapolated_to_blocks"] >= loop_phase["measured_blocks"]
     assert av["result"]["metric"].endswith("_dit_extrapolated_48blk")
 
+    # BASELINE.json configs 2 and 4 are measured tiers too (r5)
+    t2v = tier_record(detail, "t2v_cfg", extra=True)
+    assert t2v["status"] == "ok"
+    assert t2v["result"]["metric"].startswith("t2v_e2e_sec")
+    assert any(k.startswith("t2v_denoise_") for k in t2v["phases"])
+    tup = tier_record(detail, "temporal_upscale", extra=True)
+    assert tup["status"] == "ok"
+    assert tup["phases"]["temporal_upscale_2x"]["n_samples"] >= 3
+    assert "tiled" in tup["phases"]["vae_decode_tiled_2x_frames"]["note"]
+
     # summary block for the judge: one value per measured extra metric
     assert set(detail["extra_metrics"]) >= {
         two_stage["result"]["metric"],
         av["result"]["metric"],
+        t2v["result"]["metric"],
+        tup["result"]["metric"],
         "two_stage_e2e_sec_cfg_interval2",
     }
 
