@@ -25,9 +25,13 @@ BENCH_DETAIL.json["extra_tiers"] / ["extra_metrics"]:
   /root/reference/LTX_2_MLX/pipelines/two_stage.py:495-804), exact CFG
   and --cfg-interval 2 guidance reuse, plus the 97f decode.
 - av_e2e: joint audio+video generation (AV DiT denoise -> video decode +
-  audio VAE decode + BigVGAN vocode). The fp8 AV tree (~19.7 GB) exceeds
-  one v5e's 16 GB, so the AV denoise runs int8 weights (the single-chip-
-  resident AV precision; fp8 AV needs TP2 — see SCALING.md).
+  audio VAE decode + BigVGAN vocode). The 48-block AV tree is ~18.4 GiB
+  even at int8 — over one v5e's 16 GiB at any 1-byte dtype — so the
+  denoise runs int8 at AV_BLOCKS (24) and extrapolates x2 (AV serving
+  needs TP2 — see SCALING.md "AV serving capacity").
+- t2v_cfg / temporal_upscale: BASELINE.json configs 2 and 4 — the
+  25-step CFG-5.0 dev recipe at 512x768x65f, and the 2x-framerate
+  temporal-upscale + tiled re-decode chain.
 
 STATISTICS (VERDICT r4 weak #3: the north star is a p50, not a single
 sample): every timed phase runs >=3 repeats after its compile pass and
@@ -207,6 +211,18 @@ def p50(samples) -> float:
 # every attempt record into BENCH_DETAIL.json (driver contract: stdout
 # stays ONE JSON line).
 _DETAIL = {}
+
+_CRUMB_T0 = time.perf_counter()
+
+
+def crumb(name: str) -> None:
+    """Tier wall-clock breadcrumb: cumulative seconds since process start,
+    recorded under _DETAIL['wall_breakdown']. Explains where a tier's
+    NON-measured time goes (model build, compile passes, cache loads) so
+    attempt wall-clock vs measured-phase gaps are auditable."""
+    _DETAIL.setdefault("wall_breakdown", {})[name] = round(
+        time.perf_counter() - _CRUMB_T0, 1
+    )
 
 
 def _maybe_inject_fault(tier: str) -> None:
@@ -461,13 +477,16 @@ def bench_e2e(int8: bool = False):
     )
 
     _maybe_inject_fault("int8_e2e" if int8 else "e2e")
+    crumb("tier_start")
     enc_s, ctx = bench_text_encode()
+    crumb("text_encode_done")
 
     int8_mfu_kwargs = {}
     if int8:
         # Honest int8 denominator, measured on this chip right before the
         # phase it normalizes (advisor r4).
         int8_roofline = measure_int8_matmul_roofline()
+        crumb("int8_roofline_done")
         _DETAIL["int8_matmul_roofline_tflops"] = round(int8_roofline, 3)
         int8_mfu_kwargs = dict(
             peak_tflops=V5E_INT8_PEAK_TFLOPS,
@@ -476,6 +495,7 @@ def bench_e2e(int8: bool = False):
         )
 
     cfg, dit_params = make_model(FULL_BLOCKS, fp8=not int8, int8=int8)
+    crumb("dit_built")
 
     pixel = VideoPixelShape(
         batch=1, frames=PIXEL_FRAMES, height=PIXEL_H, width=PIXEL_W, fps=24.0
@@ -494,6 +514,7 @@ def bench_e2e(int8: bool = False):
     )
     out = loop(dit_params, state, sigmas, ctx, ctx)
     sync(out.latent)  # compile
+    crumb("loop_compiled")
     loop_samples = timed_samples(
         lambda: sync(loop(dit_params, state, sigmas, ctx, ctx).latent)
     )
@@ -524,7 +545,9 @@ def bench_e2e(int8: bool = False):
             to_host=False,
         )
 
+    crumb("loop_sampled")
     sync(decode())  # compile
+    crumb("decode_compiled")
     dec_samples = timed_samples(lambda: sync(decode()))
     dec_s = p50(dec_samples)
 
@@ -934,8 +957,12 @@ def bench_t2v_cfg():
         LTX2Scheduler().execute(steps, tokens=n_tokens), jnp.float32
     )
 
+    # uniform_timesteps matches the unconditioned serving path
+    # (one_stage.py:359 sets it whenever no token conditioning exists);
+    # the per-token default measured 80 TF/s vs ~140 here — the (B,N,n,D)
+    # AdaLN materialization is conditioning-only cost.
     loop = make_video_denoise_loop(
-        cfg, DenoiseLoopConfig(guider=CFGGuider(5.0))
+        cfg, DenoiseLoopConfig(guider=CFGGuider(5.0), uniform_timesteps=True)
     )
     sync(loop(dit_params, state, sigmas, ctx, neg).latent)  # compile
     loop_samples = timed_samples(

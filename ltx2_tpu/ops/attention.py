@@ -27,11 +27,15 @@ FLASH_MIN_TOKENS = 2048
 
 
 def _pick_block(t: int, preferred: int) -> Optional[int]:
-    b = preferred
-    while b >= FLASH_MIN_BLOCK:
+    """Largest multiple of FLASH_MIN_BLOCK that divides t, capped at
+    `preferred`. A divisor search (not just preferred/2^k): 3456 tokens
+    (512x768x65f) takes 384 rather than degrading to 128, and 6912
+    (768x1024x65f) takes kv 768 — tiny tiles starve the MXU (measured
+    ~2x attention-phase cost at 128 vs 384 on the v5e)."""
+    start = (min(preferred, t) // FLASH_MIN_BLOCK) * FLASH_MIN_BLOCK
+    for b in range(start, FLASH_MIN_BLOCK - 1, -FLASH_MIN_BLOCK):
         if t % b == 0:
             return b
-        b //= 2
     return None
 
 

@@ -408,6 +408,25 @@ class TestAttentionMaskPreparation:
                   "block_q_dq"):
             assert getattr(bs, f) is not None, f
 
+    def test_pick_block_divisor_search(self):
+        """Block choice is a divisor SEARCH, not preferred/2^k: 3456 tokens
+        (512x768x65f) must tile at 384, not degrade to 128 — measured 2.8x
+        attention cost on the v5e at (128,128) vs (384,384)."""
+        from ltx2_tpu.ops.attention import _pick_block
+
+        assert _pick_block(3456, 512) == 384
+        assert _pick_block(3456, 1024) == 384
+        assert _pick_block(6912, 1024) == 768   # not 256
+        assert _pick_block(6144, 1024) == 1024  # headline shape unchanged
+        assert _pick_block(6144, 512) == 512
+        assert _pick_block(2048, 512) == 512
+        # non-multiple-of-128 token counts cannot tile -> einsum fallback
+        assert _pick_block(2050, 512) is None
+        # blocks are always multiples of the 128 lane width, even when the
+        # token count itself divides evenly (t < preferred edge)
+        b = _pick_block(2304, 512)
+        assert b == 384 and b % 128 == 0
+
 
 class TestX0ModalityRouting:
     def test_audio_only_model_with_both_args_denoises_audio(self):
