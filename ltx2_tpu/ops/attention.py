@@ -18,8 +18,9 @@ import jax.numpy as jnp
 # enough to tile cleanly. Tuned on v5e at 6k tokens: 8 ms/sample vs 17 ms
 # for einsum — and O(T) memory, which is what lets CFG rows batch without
 # materializing the (B, H, T, T) logits (14 GB at batch 2 / 6k tokens).
-# Block sizes adapt downward to whatever divides the token count — 6912
-# tokens (768x1024x65f) takes (256, 256); the preferred tiles are fastest.
+# Block sizes adapt to the largest multiple-of-128 divisor of the token
+# count (_pick_block): 6912 tokens (768x1024x65f) tiles at (384, 768),
+# 3456 at (384, 384); the preferred tiles are fastest when they divide.
 FLASH_BLOCK_Q = 512
 FLASH_BLOCK_KV = 1024
 FLASH_MIN_BLOCK = 128
