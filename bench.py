@@ -367,6 +367,7 @@ def bench_text_encode():
         * 0.02
     )
     jax.block_until_ready(gemma)
+    crumb("gemma_tree_built")
     del one, one_q, layers
     gc.collect()
 
@@ -384,6 +385,7 @@ def bench_text_encode():
         return states.mean(axis=0).astype(jnp.bfloat16) @ w
 
     sync(encode(gemma, proj, ids, mask))  # compile
+    crumb("gemma_encode_compiled")
     samples = timed_samples(lambda: sync(encode(gemma, proj, ids, mask)))
     sec = p50(samples)
     ctx = encode(gemma, proj, ids, mask)
