@@ -412,37 +412,126 @@ def measure_int8_matmul_roofline():
     read >100% because the full model amortizes activation quantization
     across fused consumers — q/k/v share one quantized x under CSE —
     which a standalone per-dot chain cannot.)"""
+    m, k, n, steps = (64, 128, 256, 2) if SMOKE else (6144, 4096, 16384, 12)
+    chain, ws, xq, flops = int8_roofline_chain(m, k, n, steps)
+    sync(chain(ws, xq))  # compile
+    samples = timed_samples(lambda: sync(chain(ws, xq)))
+    return flops / p50(samples) / 1e12
+
+
+def int8_roofline_chain(m: int, k: int, n: int, steps: int):
+    """Build the roofline chain: serialized pre-quantized int8 dot PAIRS
+    shaped like the DiT MLP (k -> n up-projection, n -> k down-projection).
+    Each dot's FULL output feeds the next dot through a fused int8 cast,
+    so every output element is structurally live — a review found that a
+    sliced consumer (sum of y[:1,:1]) lets XLA sink the slice into the dot
+    and eliminate the work being measured (verified on the CPU pipeline),
+    while a full row-sum consumer materializes+re-reads the 400 MB int32
+    output and read 47% low on the v5e. The dot->cast->dot chain has
+    neither failure mode. Split out so tests can pin the liveness property
+    on the compiled HLO
+    (tests/test_bench_harness.py::test_int8_roofline_dot_stays_full)."""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
 
-    m, k, n, steps = (64, 128, 256, 2) if SMOKE else (6144, 4096, 16384, 12)
-    ws = jax.random.randint(
+    ws_up = jax.random.randint(
         jax.random.PRNGKey(0), (steps, n, k), -127, 128, jnp.int8
+    )
+    ws_dn = jax.random.randint(
+        jax.random.PRNGKey(2), (steps, k, n), -127, 128, jnp.int8
     )
     xq = jax.random.randint(jax.random.PRNGKey(1), (m, k), -127, 128, jnp.int8)
 
+    def _dot(a, w):
+        return lax.dot_general(
+            a,
+            w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
     @jax.jit
     def chain(ws, x0):
-        def body(c, w):
-            y = lax.dot_general(
-                c,
-                w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            # cheap data dependency so scan steps serialize without adding
-            # measurable non-matmul work
-            s = (jnp.sum(y[:1, :1]) & 1).astype(jnp.int8)
-            return jnp.bitwise_xor(c, s), 0.0
+        ws_up, ws_dn = ws
 
-        out, _ = lax.scan(body, x0, ws)
+        def body(c, w):
+            w_up, w_dn = w
+            # int32 -> int8 truncating casts fuse into the dot epilogues
+            # (cheaper than the model's real dequant epilogue, so the
+            # roofline stays an upper bound on achievable int8 rate).
+            h = _dot(c, w_up).astype(jnp.int8)
+            return _dot(h, w_dn).astype(jnp.int8), 0.0
+
+        out, _ = lax.scan(body, x0, (ws_up, ws_dn))
         return out
 
-    sync(chain(ws, xq))  # compile
-    samples = timed_samples(lambda: sync(chain(ws, xq)))
-    flops = 2 * m * k * n * steps
-    return flops / p50(samples) / 1e12
+    return chain, (ws_up, ws_dn), xq, 2 * 2 * m * k * n * steps
+
+
+def bench_vae_decode(latent_5d, phase_key: str, note: str = "", **decode_kwargs):
+    """Shared decoder phase: build the production decoder (bf16, full
+    width unless SMOKE), decode `latent_5d` (compile pass + p50-of-3),
+    record phase stats + MFU against the measured per-shape conv ceiling
+    under `phase_key`, release the decoder. Returns the p50 seconds.
+
+    The device->host frame pull + file write is NOT in the metric: this
+    environment reaches the TPU through a ~3-25 MB/s dev tunnel, so the
+    ~170 MB of uint8 frames would measure the tunnel, not the system
+    (production pulls ride PCIe)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ltx2_tpu.models.video_vae.chunking import decode_latent
+    from ltx2_tpu.models.video_vae.decoder import (
+        VideoDecoderConfig,
+        init_video_decoder,
+    )
+    from ltx2_tpu.utils.flops import (
+        mfu_report,
+        video_decoder_ceiling_tflops,
+        video_decoder_flops,
+    )
+
+    dec_cfg = VideoDecoderConfig(
+        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
+    )
+    dec_params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
+        )
+    )(jax.random.PRNGKey(1))
+    jax.block_until_ready(dec_params)
+    crumb("decoder_built")
+
+    def decode():
+        return decode_latent(
+            latent_5d, dec_params, dec_cfg, key=jax.random.PRNGKey(4),
+            to_host=False, **decode_kwargs,
+        )
+
+    sync(decode())  # compile
+    crumb("decode_compiled")
+    samples = timed_samples(lambda: sync(decode()))
+    sec = p50(samples)
+    lf, lh, lw = latent_5d.shape[2], latent_5d.shape[3], latent_5d.shape[4]
+    rec = {
+        **phase_stats(samples),
+        **mfu_report(
+            video_decoder_flops(dec_cfg, lf, lh, lw), sec,
+            shape_ceiling_tflops=video_decoder_ceiling_tflops(
+                dec_cfg, lf, lh, lw
+            ),
+        ),
+    }
+    if note:
+        rec["note"] = note
+    _DETAIL.setdefault("phases", {})[phase_key] = rec
+    del dec_params
+    gc.collect()
+    return sec
 
 
 def bench_e2e(int8: bool = False):
@@ -463,19 +552,12 @@ def bench_e2e(int8: bool = False):
         VideoLatentPatchifier,
     )
     from ltx2_tpu.conditioning.tools import VideoLatentTools
-    from ltx2_tpu.models.video_vae.chunking import decode_latent
-    from ltx2_tpu.models.video_vae.decoder import (
-        VideoDecoderConfig,
-        init_video_decoder,
-    )
     from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
     from ltx2_tpu.types import VideoLatentShape, VideoPixelShape
     from ltx2_tpu.utils.flops import (
         V5E_INT8_PEAK_TFLOPS,
         dit_step_flops,
         mfu_report,
-        video_decoder_ceiling_tflops,
-        video_decoder_flops,
     )
 
     _maybe_inject_fault("int8_e2e" if int8 else "e2e")
@@ -521,69 +603,33 @@ def bench_e2e(int8: bool = False):
         lambda: sync(loop(dit_params, state, sigmas, ctx, ctx).latent)
     )
     loop_s = p50(loop_samples)
-    out = loop(dit_params, state, sigmas, ctx, ctx)
+    crumb("loop_sampled")
+    # Reuse the compile pass's output — a fifth full loop execution just
+    # for the latent would cost ~10 s/attempt against the tier timeout.
     latent_5d = tools.unpatchify(out).latent
 
     # Sequential residency: DiT released before the decoder exists.
     del dit_params, out
     gc.collect()
 
-    dec_cfg = VideoDecoderConfig(
-        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
-    )
-    dec_params = jax.jit(
-        lambda k: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
-        )
-    )(jax.random.PRNGKey(1))
-    jax.block_until_ready(dec_params)
-
-    def decode():
-        # Single fused pass (temporal_chunk_size=0): chunking remains the
-        # long-clip memory valve; whole-clip decode fits once the DiT is
-        # released (docs/PERF.md).
-        return decode_latent(
-            latent_5d, dec_params, dec_cfg, key=jax.random.PRNGKey(4),
-            to_host=False,
-        )
-
-    crumb("loop_sampled")
-    sync(decode())  # compile
-    crumb("decode_compiled")
-    dec_samples = timed_samples(lambda: sync(decode()))
-    dec_s = p50(dec_samples)
-
     # MFU accounting (VERDICT r1 #8): analytic FLOPs per phase so the
-    # roofline claims are auditable artifacts. The device->host frame pull
-    # + file write is NOT in the metric: this environment reaches the TPU
-    # through a ~3-25 MB/s dev tunnel, so the 170 MB of uint8 frames would
-    # measure the tunnel, not the system (production pulls ride PCIe).
+    # roofline claims are auditable artifacts. Decode is a single fused
+    # pass (chunking remains the long-clip memory valve; whole-clip decode
+    # fits once the DiT is released, docs/PERF.md); its denominator is the
+    # FLOP-weighted measured per-stage conv ceiling (flops.py) — the
+    # big-matmul roofline is unreachable at the decoder's C=128/256 shapes.
     n_tokens = latent_shape.frames * latent_shape.height * latent_shape.width
     loop_flops = 8 * dit_step_flops(cfg, n_tokens, TEXT_TOKENS, rows=1)
-    dec_flops = video_decoder_flops(
-        dec_cfg, latent_shape.frames, latent_shape.height, latent_shape.width
-    )
-    # The decode denominator that is actually achievable: the FLOP-weighted
-    # measured per-stage conv ceiling (see flops.py / docs/PERF.md) — the
-    # big-matmul roofline is unreachable at the decoder's C=128/256 shapes.
-    dec_ceiling = video_decoder_ceiling_tflops(
-        dec_cfg, latent_shape.frames, latent_shape.height, latent_shape.width
-    )
     loop_name = "denoise_loop_8step_int8" if int8 else "denoise_loop_8step"
-    _DETAIL["phases"].update({
-        loop_name: {
-            **phase_stats(loop_samples),
-            **mfu_report(loop_flops, loop_s, **int8_mfu_kwargs),
-        },
-        "vae_decode": {
-            **phase_stats(dec_samples),
-            **mfu_report(dec_flops, dec_s, shape_ceiling_tflops=dec_ceiling),
-        },
-    })
+    _DETAIL["phases"][loop_name] = {
+        **phase_stats(loop_samples),
+        **mfu_report(loop_flops, loop_s, **int8_mfu_kwargs),
+    }
     if int8:
         _DETAIL["phases"][loop_name]["note"] = (
             "opt-in --int8 W8A8 path; headline uses fp8"
         )
+    dec_s = bench_vae_decode(latent_5d, "vae_decode")
     return enc_s + loop_s + dec_s
 
 
@@ -602,17 +648,11 @@ def bench_two_stage():
     import numpy as np
 
     from ltx2_tpu.models.upscaler import SpatialUpscalerConfig, init_spatial_upscaler
-    from ltx2_tpu.models.video_vae.chunking import decode_latent
     from ltx2_tpu.models.video_vae.decoder import (
         VideoDecoderConfig,
         init_video_decoder,
     )
     from ltx2_tpu.pipelines.two_stage import TwoStageCFGConfig, TwoStagePipeline
-    from ltx2_tpu.utils.flops import (
-        mfu_report,
-        video_decoder_ceiling_tflops,
-        video_decoder_flops,
-    )
 
     _maybe_inject_fault("two_stage")
     enc_s, ctx = bench_text_encode()
@@ -675,32 +715,7 @@ def bench_two_stage():
     del pipeline, dit_params, up_params, stats_dec_params
     gc.collect()
 
-    dec_cfg = VideoDecoderConfig(
-        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
-    )
-    dec_params = jax.jit(
-        lambda k: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
-        )
-    )(jax.random.PRNGKey(3))
-    jax.block_until_ready(dec_params)
-
-    def decode():
-        return decode_latent(
-            latent_5d, dec_params, dec_cfg, key=jax.random.PRNGKey(4),
-            to_host=False,
-        )
-
-    sync(decode())  # compile
-    dec_samples = timed_samples(lambda: sync(decode()))
-    dec_s = p50(dec_samples)
-    lf, lh, lw = latent_5d.shape[2], latent_5d.shape[3], latent_5d.shape[4]
-    dec_flops = video_decoder_flops(dec_cfg, lf, lh, lw)
-    dec_ceiling = video_decoder_ceiling_tflops(dec_cfg, lf, lh, lw)
-    _DETAIL["phases"]["vae_decode_97f"] = {
-        **phase_stats(dec_samples),
-        **mfu_report(dec_flops, dec_s, shape_ceiling_tflops=dec_ceiling),
-    }
+    dec_s = bench_vae_decode(latent_5d, "vae_decode_97f")
 
     total_exact = enc_s + p50(exact_samples) + dec_s
     _DETAIL["two_stage_e2e_sec_cfg_interval2"] = round(
@@ -743,19 +758,12 @@ def bench_av_e2e():
         init_vocoder,
         vocoder_apply,
     )
-    from ltx2_tpu.models.video_vae.chunking import decode_latent
-    from ltx2_tpu.models.video_vae.decoder import (
-        VideoDecoderConfig,
-        init_video_decoder,
-    )
     from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_av_denoise_loop
     from ltx2_tpu.types import AudioLatentShape, VideoLatentShape, VideoPixelShape
     from ltx2_tpu.utils.flops import (
         V5E_INT8_PEAK_TFLOPS,
         dit_step_flops,
         mfu_report,
-        video_decoder_ceiling_tflops,
-        video_decoder_flops,
     )
 
     _maybe_inject_fault("av_e2e")
@@ -803,11 +811,10 @@ def bench_av_e2e():
         sync(a.latent)
         return v, a
 
-    run_loop()  # compile
+    v_out, a_out = run_loop()  # compile; outputs reused below
     loop_samples = timed_samples(lambda: run_loop())
     loop_s = p50(loop_samples)
     loop_s_48 = loop_s * (FULL_BLOCKS / AV_BLOCKS)
-    v_out, a_out = run_loop()
     video_latent_5d = vtools.unpatchify(v_out).latent
     audio_latent = atools.unpatchify(a_out).latent.astype(jnp.float32)
 
@@ -842,37 +849,7 @@ def bench_av_e2e():
     gc.collect()
 
     # --- video decode (sequential residency) -------------------------------
-    dec_cfg = VideoDecoderConfig(
-        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
-    )
-    dec_params = jax.jit(
-        lambda k: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
-        )
-    )(jax.random.PRNGKey(1))
-    jax.block_until_ready(dec_params)
-
-    def vdecode():
-        return decode_latent(
-            video_latent_5d, dec_params, dec_cfg, key=jax.random.PRNGKey(4),
-            to_host=False,
-        )
-
-    sync(vdecode())  # compile
-    vdec_samples = timed_samples(lambda: sync(vdecode()))
-    vdec_s = p50(vdec_samples)
-    dec_flops = video_decoder_flops(
-        dec_cfg, latent_shape.frames, latent_shape.height, latent_shape.width
-    )
-    dec_ceiling = video_decoder_ceiling_tflops(
-        dec_cfg, latent_shape.frames, latent_shape.height, latent_shape.width
-    )
-    _DETAIL["phases"]["vae_decode"] = {
-        **phase_stats(vdec_samples),
-        **mfu_report(dec_flops, vdec_s, shape_ceiling_tflops=dec_ceiling),
-    }
-    del dec_params
-    gc.collect()
+    vdec_s = bench_vae_decode(video_latent_5d, "vae_decode")
 
     # --- audio decode + vocode ---------------------------------------------
     if SMOKE:
@@ -922,19 +899,9 @@ def bench_t2v_cfg():
         VideoLatentPatchifier,
     )
     from ltx2_tpu.conditioning.tools import VideoLatentTools
-    from ltx2_tpu.models.video_vae.chunking import decode_latent
-    from ltx2_tpu.models.video_vae.decoder import (
-        VideoDecoderConfig,
-        init_video_decoder,
-    )
     from ltx2_tpu.pipelines.denoise import DenoiseLoopConfig, make_video_denoise_loop
     from ltx2_tpu.types import VideoLatentShape, VideoPixelShape
-    from ltx2_tpu.utils.flops import (
-        dit_step_flops,
-        mfu_report,
-        video_decoder_ceiling_tflops,
-        video_decoder_flops,
-    )
+    from ltx2_tpu.utils.flops import dit_step_flops, mfu_report
 
     _maybe_inject_fault("t2v_cfg")
     enc_s, ctx = bench_text_encode()
@@ -966,12 +933,14 @@ def bench_t2v_cfg():
     loop = make_video_denoise_loop(
         cfg, DenoiseLoopConfig(guider=CFGGuider(5.0), uniform_timesteps=True)
     )
-    sync(loop(dit_params, state, sigmas, ctx, neg).latent)  # compile
+    out = loop(dit_params, state, sigmas, ctx, neg)
+    sync(out.latent)  # compile; output reused below
     loop_samples = timed_samples(
         lambda: sync(loop(dit_params, state, sigmas, ctx, neg).latent)
     )
     loop_s = p50(loop_samples)
-    latent_5d = tools.unpatchify(loop(dit_params, state, sigmas, ctx, neg)).latent
+    latent_5d = tools.unpatchify(out).latent
+    del out
 
     loop_flops = steps * dit_step_flops(cfg, n_tokens, TEXT_TOKENS, rows=2)
     _DETAIL.setdefault("phases", {})[f"t2v_denoise_{steps}step_cfg"] = {
@@ -983,35 +952,7 @@ def bench_t2v_cfg():
     del dit_params
     gc.collect()
 
-    dec_cfg = VideoDecoderConfig(
-        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
-    )
-    dec_params = jax.jit(
-        lambda k: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
-        )
-    )(jax.random.PRNGKey(1))
-    jax.block_until_ready(dec_params)
-
-    def decode():
-        return decode_latent(
-            latent_5d, dec_params, dec_cfg, key=jax.random.PRNGKey(4),
-            to_host=False,
-        )
-
-    sync(decode())  # compile
-    dec_samples = timed_samples(lambda: sync(decode()))
-    dec_s = p50(dec_samples)
-    lf, lh, lw = latent_5d.shape[2], latent_5d.shape[3], latent_5d.shape[4]
-    _DETAIL["phases"]["vae_decode_65f"] = {
-        **phase_stats(dec_samples),
-        **mfu_report(
-            video_decoder_flops(dec_cfg, lf, lh, lw), dec_s,
-            shape_ceiling_tflops=video_decoder_ceiling_tflops(
-                dec_cfg, lf, lh, lw
-            ),
-        ),
-    }
+    dec_s = bench_vae_decode(latent_5d, "vae_decode_65f")
     return enc_s + loop_s + dec_s
 
 
@@ -1030,16 +971,6 @@ def bench_temporal_upscale():
         TemporalUpscalerConfig,
         init_temporal_upscaler,
         temporal_upscaler_apply,
-    )
-    from ltx2_tpu.models.video_vae.chunking import decode_latent
-    from ltx2_tpu.models.video_vae.decoder import (
-        VideoDecoderConfig,
-        init_video_decoder,
-    )
-    from ltx2_tpu.utils.flops import (
-        mfu_report,
-        video_decoder_ceiling_tflops,
-        video_decoder_flops,
     )
 
     _maybe_inject_fault("temporal_upscale")
@@ -1061,10 +992,10 @@ def bench_temporal_upscale():
         jnp.bfloat16,
     )
     upscale = jax.jit(lambda p, z: temporal_upscaler_apply(p, up_cfg, z))
-    sync(upscale(up_params, latent))  # compile
+    up_latent = upscale(up_params, latent)
+    sync(up_latent)  # compile; output reused below
     up_samples = timed_samples(lambda: sync(upscale(up_params, latent)))
     up_s = p50(up_samples)
-    up_latent = upscale(up_params, latent)
     _DETAIL.setdefault("phases", {})["temporal_upscale_2x"] = {
         **phase_stats(up_samples),
         "note": (
@@ -1076,37 +1007,15 @@ def bench_temporal_upscale():
     del up_params
     gc.collect()
 
-    dec_cfg = VideoDecoderConfig(
-        compute_dtype="bfloat16", base_channels=8 if SMOKE else 128
+    # SMOKE's 3-frame upscaled latent needs chunk < 3 to actually take the
+    # chunk-loop branch (t_latent <= chunk is a single fused pass) — the
+    # harness test asserts the tiled label, so the label must be earned.
+    chunk, overlap = (2, 1) if SMOKE else (12, 2)
+    dec_s = bench_vae_decode(
+        up_latent, "vae_decode_tiled_2x_frames",
+        note=f"tiled: temporal_chunk_size={chunk}, overlap={overlap}",
+        temporal_chunk_size=chunk, temporal_overlap=overlap,
     )
-    dec_params = jax.jit(
-        lambda k: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), init_video_decoder(k, dec_cfg)
-        )
-    )(jax.random.PRNGKey(2))
-    jax.block_until_ready(dec_params)
-    chunk = 4 if SMOKE else 12
-
-    def decode():
-        return decode_latent(
-            up_latent, dec_params, dec_cfg, key=jax.random.PRNGKey(3),
-            temporal_chunk_size=chunk, temporal_overlap=2, to_host=False,
-        )
-
-    sync(decode())  # compile
-    dec_samples = timed_samples(lambda: sync(decode()))
-    dec_s = p50(dec_samples)
-    lf, lh, lw = up_latent.shape[2], up_latent.shape[3], up_latent.shape[4]
-    _DETAIL["phases"]["vae_decode_tiled_2x_frames"] = {
-        **phase_stats(dec_samples),
-        **mfu_report(
-            video_decoder_flops(dec_cfg, lf, lh, lw), dec_s,
-            shape_ceiling_tflops=video_decoder_ceiling_tflops(
-                dec_cfg, lf, lh, lw
-            ),
-        ),
-        "note": f"tiled: temporal_chunk_size={chunk}, overlap=2",
-    }
     return up_s + dec_s
 
 

@@ -98,7 +98,14 @@ def av_capacity():
     av_e2e extrapolation and the TP2 requirement for AV serving."""
     import dataclasses
 
+    from ltx2_tpu.loader.int8 import quantize_params_int8
     from ltx2_tpu.models.transformer.model import LTXModelType, init_ltx_model
+
+    def nbytes(tree):
+        return sum(
+            math.prod(s.shape) * s.dtype.itemsize
+            for s in jax.tree_util.tree_leaves(tree)
+        )
 
     rows = []
     for label, av in (("video-only", False), ("audio+video", True)):
@@ -113,12 +120,15 @@ def av_capacity():
         n_elems = sum(
             math.prod(s.shape) for s in jax.tree_util.tree_leaves(shapes)
         )
-        bf16 = 2 * n_elems
-        # fp8/int8 halve the 2-byte tree; per-channel scales are noise
-        one_byte = n_elems
+        # Exact post-quantization residency: eval_shape the REAL int8
+        # quantizer over the tree, so norms/bias/scale leaves that stay
+        # bf16 are counted at 2 bytes (a flat n_elems undercounts by
+        # ~1 GiB — the number must match bench.py's measured ~18.4 GiB).
+        q_shapes = jax.eval_shape(quantize_params_int8, shapes)
+        int8_bytes = nbytes(q_shapes)
         rows.append(dict(
-            label=label, params=n_elems, bf16_bytes=bf16,
-            one_byte_bytes=one_byte, tp2_bytes=one_byte / 2,
+            label=label, params=n_elems, bf16_bytes=nbytes(shapes),
+            one_byte_bytes=int8_bytes, tp2_bytes=int8_bytes / 2,
         ))
     return rows
 

@@ -183,6 +183,27 @@ def test_extra_tiers_run_and_failures_stay_isolated(tmp_path):
     }
 
 
+def test_int8_roofline_dot_stays_full():
+    """The roofline chain must keep the full (m,n) int32 dot live: with a
+    sliced consumer XLA sinks the slice into the dot and eliminates the
+    work being measured (observed on the CPU pipeline: a y[:1,:1]
+    consumer compiled the (m,k)x(k,n) dot down to a [1,1] dot, which
+    would make the reported TF/s meaningless). Pin the optimized HLO."""
+    import re as _re
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    m, k, n, steps = 8, 128, 256, 2
+    chain, ws, xq, _flops = bench.int8_roofline_chain(m, k, n, steps)
+    txt = chain.lower(ws, xq).compile().as_text()
+    assert _re.search(rf"s32\[{m},{n}\][^\n]*dot\(", txt), (
+        "full-shape int32 dot missing from optimized HLO — the roofline "
+        "chain's consumer no longer keeps the dot output live"
+    )
+
+
 @pytest.mark.parametrize(
     "text,expect",
     [
