@@ -245,12 +245,19 @@ def _divisors(n: int) -> List[int]:
 
 
 def enumerate_layouts(
-    cfg, n_devices: int, n_tokens: int
+    cfg,
+    n_devices: int,
+    n_tokens: int,
+    extra_sp_constraints: Tuple[int, ...] = (),
 ) -> List[Tuple[int, int, int]]:
     """All (tp, sp, pp) with tp*sp*pp == n_devices satisfying the REAL
     divisibility constraints the parallel layer enforces: TP shards heads
     (sharding.py), SP shards tokens (_check_seq_divisible), PP stages whole
-    blocks (shard_pipeline_params)."""
+    blocks (shard_pipeline_params). `extra_sp_constraints` lists ADDITIONAL
+    token counts sp must divide — the two-stage recipe's half-resolution
+    stage and the audio stream run through the same sequence axis
+    (denoise.py:759-762, 1231-1232), so a layout valid only at the final
+    video resolution would crash mid-pipeline."""
     out = []
     for tp in _divisors(n_devices):
         if cfg.num_attention_heads % tp:
@@ -258,6 +265,8 @@ def enumerate_layouts(
         rest = n_devices // tp
         for sp in _divisors(rest):
             if n_tokens % sp:
+                continue
+            if any(c % sp for c in extra_sp_constraints):
                 continue
             pp = rest // sp
             if cfg.num_layers % pp:
@@ -272,10 +281,13 @@ def choose(
     n_tokens: int,
     rows: int = 2,
     dtype_bytes: int = 2,
+    extra_sp_constraints: Tuple[int, ...] = (),
 ) -> Tuple[LayoutEstimate, List[LayoutEstimate]]:
     """Best modeled layout for this request; also returns the full ranked
     table (printed by scaling_report / --auto-shard-verbose)."""
-    candidates = enumerate_layouts(cfg, n_devices, n_tokens)
+    candidates = enumerate_layouts(
+        cfg, n_devices, n_tokens, extra_sp_constraints=extra_sp_constraints
+    )
     if not candidates:
         raise ValueError(
             f"no (tp, sp, pp) layout of {n_devices} devices satisfies the "
@@ -328,3 +340,39 @@ def video_token_count(frames: int, height: int, width: int) -> int:
     """Pixel shape -> DiT token count (VAE 8x temporal-causal / 32x spatial
     with the patch-1 patchifier — types.VideoLatentShape.from_pixel_shape)."""
     return ((frames - 1) // 8 + 1) * (height // 32) * (width // 32)
+
+
+def peek_checkpoint_arch(path: str):
+    """Header-only peek at a real checkpoint's DiT architecture so the
+    chooser validates tp/pp against the ACTUAL head/layer counts rather
+    than the flagship assumption (a 30-layer fine-tune given pp=4 would
+    otherwise crash at placement, after the mesh is already built).
+    num_layers comes from the max transformer_blocks index in the tensor
+    names; heads from the metadata config blob when present. Returns
+    (num_layers or None, num_heads or None); (None, None) on any failure
+    — the caller keeps its default."""
+    import re
+
+    layers = heads = None
+    try:
+        from ltx2_tpu.loader.safetensors_io import SafetensorsFile
+        from ltx2_tpu.loader.weight_loader import read_checkpoint_config
+
+        f = SafetensorsFile(path)
+        try:
+            idx = [
+                int(m.group(1))
+                for k in f.keys()
+                for m in (re.search(r"transformer_blocks\.(\d+)\.", k),)
+                if m
+            ]
+        finally:
+            f.close()
+        if idx:
+            layers = max(idx) + 1
+        blob = read_checkpoint_config(path)
+        h = blob.get("num_attention_heads")
+        heads = int(h) if h else None
+    except Exception:
+        pass
+    return layers, heads

@@ -677,6 +677,7 @@ def apply_auto_shard(args):
     from ltx2_tpu.parallel.advisor import (
         choose,
         flagship_serving_config,
+        peek_checkpoint_arch,
         video_token_count,
     )
 
@@ -692,9 +693,52 @@ def apply_auto_shard(args):
         )
     else:
         cfg = flagship_serving_config()
+        # Header-only peek: a non-flagship checkpoint (e.g. a 30-layer
+        # fine-tune) must constrain tp/pp here, not crash at placement
+        # after the mesh exists (review r5).
+        layers, heads = peek_checkpoint_arch(args.checkpoint)
+        if layers or heads:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(
+                cfg,
+                num_layers=layers or cfg.num_layers,
+                num_attention_heads=heads or cfg.num_attention_heads,
+            )
     n_tokens = video_token_count(args.num_frames, args.height, args.width)
-    rows = 1 + int(args.cfg_scale > 1.0) + int(args.stg_scale != 0.0)
-    best, _table = choose(cfg, n, n_tokens, rows=rows)
+    # sp must divide EVERY token count that rides the sequence axis, not
+    # just the final resolution (review r5): the two-stage recipe's
+    # half-resolution stage 1 and the audio stream go through the same
+    # _check_seq_divisible gates (pipelines/denoise.py:759-762, 1231-1232).
+    pipeline = getattr(args, "pipeline", None)
+    sp_constraints = []
+    if pipeline == "two-stage":
+        sp_constraints.append(
+            video_token_count(args.num_frames, args.height // 2, args.width // 2)
+        )
+    if getattr(args, "audio", False) or pipeline == "a2vid":
+        from ltx2_tpu.types import AudioLatentShape, VideoPixelShape
+
+        sp_constraints.append(
+            AudioLatentShape.from_video_pixel_shape(
+                VideoPixelShape(
+                    batch=1, frames=args.num_frames, height=args.height,
+                    width=args.width, fps=getattr(args, "fps", 24.0) or 24.0,
+                )
+            ).frames
+        )
+    # Guidance rows drive the PP-microbatch bubble and all comm payloads.
+    # The distilled pipeline is guidance-free regardless of --cfg-scale
+    # (it hardcodes CFGGuider(1.0), pipelines/distilled.py:190), so only
+    # STG can add a row there (review r5).
+    if pipeline == "distilled":
+        rows = 1 + int(args.stg_scale != 0.0)
+    else:
+        rows = 1 + int(args.cfg_scale > 1.0) + int(args.stg_scale != 0.0)
+    best, _table = choose(
+        cfg, n, n_tokens, rows=rows,
+        extra_sp_constraints=tuple(sp_constraints),
+    )
     args.tp_devices = best.tp if best.tp > 1 else 0
     args.sp_devices = best.sp if best.sp > 1 else 0
     args.pp_stages = best.pp if best.pp > 1 else 0
