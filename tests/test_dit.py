@@ -427,6 +427,21 @@ class TestAttentionMaskPreparation:
         b = _pick_block(2304, 512)
         assert b == 384 and b % 128 == 0
 
+    def test_pick_kv_block_over_cap(self):
+        """kv tiles may exceed the preferred 1024 when the capped search
+        falls short: bigger K/V tiles amortize the q-tile reload (measured
+        29% at 4992 tokens, 10% at 3456 on the v5e), bounded at 2048 —
+        the q side stays capped (block_q >= 1664 fails to compile)."""
+        from ltx2_tpu.ops.attention import _pick_kv_block
+
+        assert _pick_kv_block(4992, 1024) == 1664   # not 384
+        assert _pick_kv_block(3456, 1024) == 1152   # not 384
+        assert _pick_kv_block(6144, 1024) == 1024   # preferred divides: keep
+        assert _pick_kv_block(6912, 1024) == 768    # healthy capped: keep
+        # no divisor in (1024, 2048] -> fall back to the capped choice
+        assert _pick_kv_block(2176, 1024) == 128    # 128x17, 17 prime
+        assert _pick_kv_block(2050, 1024) is None
+
 
 class TestX0ModalityRouting:
     def test_audio_only_model_with_both_args_denoises_audio(self):
